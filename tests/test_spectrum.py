@@ -1,0 +1,181 @@
+"""Spectrum pipeline vs the independent numpy oracle (tests/oracle.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from signalizer_tpu.core.config import (
+    BinInterpolation,
+    SpectrumChannels,
+    ViewScaling,
+)
+from signalizer_tpu.core.constant import make_spectrum_constant
+from signalizer_tpu.core.windows import WindowType, generate_window
+from signalizer_tpu.kernels.spectrum import (
+    analyze_frames,
+    init_line_graph_state,
+    spectrum_values,
+)
+from signalizer_tpu.kernels.peak_decay import peak_decay_scan
+
+from oracle import (
+    db_map_oracle,
+    peak_decay_oracle,
+    spectrum_values_oracle,
+)
+
+FS = 48_000.0
+INTERP_NAMES = {
+    BinInterpolation.NONE: "none",
+    BinInterpolation.LINEAR: "linear",
+    BinInterpolation.LANCZOS: "lanczos",
+}
+CONFIG_NAMES = {
+    SpectrumChannels.LEFT: "left",
+    SpectrumChannels.RIGHT: "right",
+    SpectrumChannels.MERGE: "merge",
+    SpectrumChannels.SIDE: "side",
+    SpectrumChannels.PHASE: "phase",
+    SpectrumChannels.SEPARATE: "separate",
+    SpectrumChannels.MIDSIDE: "midside",
+    SpectrumChannels.COMPLEX: "complex",
+}
+
+
+def _make(config, interp, scaling, axis_points, window_size=1024, window=WindowType.HANN):
+    return make_spectrum_constant(
+        axis_points=axis_points,
+        window_size=window_size,
+        sample_rate=FS,
+        configuration=config,
+        bin_interpolation=interp,
+        view_scaling=scaling,
+        window_type=window,
+        min_freq=20.0,
+    )
+
+
+def _oracle_vals(constant, frames, config, interp):
+    kernel, scale = generate_window(
+        WindowType.HANN, constant.window_size, symmetric=True
+    )
+    return spectrum_values_oracle(
+        frames,
+        config=CONFIG_NAMES[config],
+        window=kernel,
+        window_scale=scale,
+        mapped_frequencies=np.asarray(constant.mapped_frequencies, dtype=np.float64),
+        sample_rate=FS,
+        transform_size=constant.transform_size,
+        interpolation=INTERP_NAMES[interp],
+    )
+
+
+def _rand_frames(seed=0, channels=2, window=1024):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((channels, window)).astype(np.float32) * 0.3
+
+
+@pytest.mark.parametrize("config", list(CONFIG_NAMES))
+@pytest.mark.parametrize(
+    "interp", [BinInterpolation.NONE, BinInterpolation.LINEAR, BinInterpolation.LANCZOS]
+)
+@pytest.mark.parametrize(
+    "scaling,axis_points",
+    [
+        (ViewScaling.LINEAR, 257),  # coarse pixels -> bin-max dominated
+        (ViewScaling.LINEAR, 1024),  # fine pixels -> interpolation dominated
+        (ViewScaling.LOGARITHMIC, 331),  # mixed: interp low end, binmax high end
+    ],
+)
+def test_values_match_oracle(config, interp, scaling, axis_points):
+    constant = _make(config, interp, scaling, axis_points)
+    frames = _rand_frames()
+    got = np.asarray(spectrum_values(constant, jnp.asarray(frames)))
+    want = _oracle_vals(constant, frames, config, interp)
+    assert got.shape == want.shape
+    # float32 device pipeline vs float64 oracle
+    atol = 2e-4 if config != SpectrumChannels.PHASE else 2e-3
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=atol)
+
+
+def test_exact_bin_sine_reads_unity():
+    """Full-scale sine on an exact FFT bin -> 1.0 linear for any window."""
+    n = 1024
+    for wtype in (WindowType.RECTANGULAR, WindowType.HANN, WindowType.BLACKMAN):
+        constant = make_spectrum_constant(
+            axis_points=513,
+            window_size=n,
+            sample_rate=FS,
+            configuration=SpectrumChannels.LEFT,
+            bin_interpolation=BinInterpolation.NONE,
+            view_scaling=ViewScaling.LINEAR,
+            window_type=wtype,
+            window_symmetric=False,
+        )
+        k = 64  # bin 64 of 512 -> f = 64/512 * 24000 = 3000 Hz
+        t = np.arange(n)
+        x = np.sin(2 * np.pi * k * t / n).astype(np.float32)
+        frames = np.stack([x, np.zeros_like(x)])
+        vals = np.asarray(spectrum_values(constant, jnp.asarray(frames)))[0]
+        # pixel mapping: 513 points over 0..24000 -> pixel i sits on bin i
+        assert abs(vals[k] - 1.0) < 1e-3, wtype
+
+
+def test_phase_mode_cancellation_limits():
+    """Identical channels -> cancellation 0; inverted -> cancellation 1."""
+    constant = _make(SpectrumChannels.PHASE, BinInterpolation.LINEAR, ViewScaling.LINEAR, 600)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(1024).astype(np.float32) * 0.4
+    same = np.asarray(spectrum_values(constant, jnp.asarray(np.stack([x, x]))))
+    np.testing.assert_allclose(same[1], 0.0, atol=1e-5)
+    inv = np.asarray(spectrum_values(constant, jnp.asarray(np.stack([x, -x]))))
+    np.testing.assert_allclose(inv[1], 1.0, atol=1e-5)
+
+
+def test_peak_decay_matches_sequential():
+    rng = np.random.default_rng(7)
+    xs = rng.random((17, 4, 33)).astype(np.float32)
+    s0 = rng.random((4, 33)).astype(np.float32)
+    pole = 0.83
+    want_seq, want_final = peak_decay_oracle(s0, xs, pole)
+    got_seq, got_final = peak_decay_scan(jnp.asarray(s0), jnp.asarray(xs), pole, time_axis=0)
+    np.testing.assert_allclose(np.asarray(got_seq), want_seq, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_final), want_final, rtol=1e-5, atol=1e-6)
+
+
+def test_peak_decay_single_frame_fast_path():
+    s0 = jnp.asarray([1.0, 0.1])
+    xs = jnp.asarray([[0.5, 0.5]])
+    seq, final = peak_decay_scan(s0, xs, 0.5, time_axis=0)
+    np.testing.assert_allclose(np.asarray(final), [0.5, 0.5])
+
+
+def test_full_pipeline_db_mapping():
+    """End-to-end: analyze_frames output equals oracle values -> decay -> dB."""
+    constant = _make(SpectrumChannels.LEFT, BinInterpolation.LINEAR, ViewScaling.LOGARITHMIC, 200)
+    frames = _rand_frames(seed=11)[None, None]  # [B=1, T=1, C, W]
+    state = init_line_graph_state(constant, (1,))
+    result = analyze_frames(constant, state, jnp.asarray(frames))
+    assert result.results.shape == (1, 1, constant.num_line_graphs, 1, 200)
+
+    want_vals = _oracle_vals(constant, frames[0, 0], SpectrumChannels.LEFT, BinInterpolation.LINEAR)
+    # first frame from zero state: decayed state == new values
+    want_db = db_map_oracle(
+        want_vals[0],
+        np.asarray(constant.slope_map, dtype=np.float64),
+        -96.0,
+        0.0,
+        float(constant.clip_db),
+    )
+    np.testing.assert_allclose(result.results[0, 0, 0, 0], want_db, rtol=1e-3, atol=1e-3)
+    # state must carry the linear (pre-dB) values
+    np.testing.assert_allclose(result.state.magnitude[0, 0, 0], want_vals[0], rtol=1e-3, atol=1e-5)
+
+
+def test_db_map_clips_at_zero_magnitude():
+    constant = _make(SpectrumChannels.LEFT, BinInterpolation.NONE, ViewScaling.LINEAR, 64)
+    frames = np.zeros((2, 1024), dtype=np.float32)
+    state = init_line_graph_state(constant)
+    result = analyze_frames(constant, state, jnp.asarray(frames)[None])
+    np.testing.assert_allclose(np.asarray(result.results), float(constant.clip_db))
