@@ -52,11 +52,12 @@ def peak_decay_scan(
     frame's display value from the updated state).
     """
     if time_axis is None:
-        time_axis = xs.ndim - state0.ndim - 1
-        if time_axis < 0:
+        if xs.ndim != state0.ndim + 1:
             raise ValueError("xs must have exactly one more axis than state0")
+        time_axis = 0
+    time_axis = time_axis % xs.ndim
 
-    t = jnp.moveaxis(xs, time_axis, 0)  # [T, *S]
+    t = jnp.moveaxis(xs, time_axis, 0)  # [T, *S'] where S' broadcasts to S
     T = t.shape[0]
     pole_b = jnp.broadcast_to(jnp.asarray(pole, t.dtype), state0.shape)
 
@@ -64,11 +65,16 @@ def peak_decay_scan(
         new = peak_decay_step(state0, t[0], pole_b)
         return jnp.expand_dims(new, time_axis), new
 
+    # xs may use broadcast dims (e.g. a singleton line-graph axis against a
+    # K-sized state axis) — expand to the full state shape for the scan
+    full = jnp.broadcast_shapes(state0.shape, t.shape[1:])
+    t = jnp.broadcast_to(t, (T,) + full)
+    state_full = jnp.broadcast_to(state0, full)
     poles = jnp.broadcast_to(pole_b, t.shape)
-    ones = jnp.ones_like(state0)[None]
+    ones = jnp.ones_like(state_full)[None]
     elems = (
         jnp.concatenate([ones, poles], axis=0),
-        jnp.concatenate([state0[None], t], axis=0),
+        jnp.concatenate([state_full[None], t], axis=0),
     )
     _, scanned = jax.lax.associative_scan(_combine, elems, axis=0)
     decayed = scanned[1:]  # drop the prepended initial state

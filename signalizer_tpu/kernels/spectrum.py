@@ -274,7 +274,7 @@ def post_process(
         mag_seq = seq[..., 0:1, :] * 0.5  # ref: consts::half at :1407
         cancel_seq = seq[..., 1:2, :]
         decayed, new_mag_state = peak_decay_scan(
-            state.magnitude[..., 0:1, :], mag_seq, poles[:, None, None]
+            state.magnitude[..., 0:1, :], mag_seq, poles[:, None, None], time_axis=-4
         )
         # phase smoothing: one-pole toward (cancel * mag) with pole^0.3
         # (ref: TransformDSP.inl:1395-1419)
@@ -294,7 +294,7 @@ def post_process(
         results = jnp.stack([mag_db, phase_db], axis=-2)  # [..., T, K, rows=2, P]
         return SpectrumResult(results, LineGraphState(new_mag_state, phase_state))
 
-    decayed, new_state = peak_decay_scan(state.magnitude, seq, poles[:, None, None])
+    decayed, new_state = peak_decay_scan(state.magnitude, seq, poles[:, None, None], time_axis=-4)
     results = _db_map(constant, decayed)
     return SpectrumResult(results, LineGraphState(new_state, state.phase))
 

@@ -1,0 +1,147 @@
+"""VectorscopeProcessor — stateful public face of the vectorscope view.
+
+Plays the role of the reference's ``VectorScope::Processor`` + rendering
+vertex generation (ref: Source/Vectorscope/Vectorscope.cpp:268-377,
+VectorscopeRendering.cpp). Owns the meter filter states and auto-gain,
+emits render-ready vertex arrays ([N, 3] point clouds) and meter readouts.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from signalizer_tpu.kernels.vectorscope import (
+    VectorscopeMeterState,
+    filter_coefficient,
+    init_meter_state,
+    lissajous_vertices,
+    meter_readout,
+    peak_autogain_update,
+    polar_vertices,
+    rms_autogain,
+    update_meters,
+)
+
+
+class OperationalMode(enum.IntEnum):
+    """ref: VectorscopeParameters.h operationalMode."""
+
+    LISSAJOUS = 0
+    POLAR = 1
+
+
+class AutoGain(enum.IntEnum):
+    """ref: VectorscopeParameters.h autoGain {None, RMS, PeakDecay}."""
+
+    NONE = 0
+    RMS = 1
+    PEAK_DECAY = 2
+
+
+class VectorscopeFrame(NamedTuple):
+    vertices: jax.Array  # [..., W, 3] point cloud (x, y, age-fade z)
+    balance: jax.Array  # [..., 2] quick/slow balance bars in [0, 1]
+    correlation_bars: jax.Array  # [..., 2] quick/slow correlation bars in [0, 1]
+    gain: jax.Array  # [...] applied gain
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "autogain", "rotation"))
+def _vs_step(
+    state: VectorscopeMeterState,
+    peak_env: jax.Array,
+    frames: jax.Array,
+    envelope_pole: jax.Array,
+    stereo_pole: jax.Array,
+    user_gain: jax.Array,
+    peak_coeff: jax.Array,
+    *,
+    mode: OperationalMode,
+    autogain: AutoGain,
+    rotation: float,
+):
+    new_state = update_meters(
+        state, frames, envelope_pole=envelope_pole, stereo_pole=stereo_pole
+    )
+    if autogain == AutoGain.RMS:
+        gain = rms_autogain(new_state) * user_gain
+        new_peak_env = peak_env
+    elif autogain == AutoGain.PEAK_DECAY:
+        new_peak_env, g = peak_autogain_update(peak_env, frames, peak_coeff)
+        gain = g * user_gain
+    else:
+        gain = jnp.broadcast_to(user_gain, frames.shape[:-2])
+        new_peak_env = peak_env
+    gain_b = gain[..., None]  # broadcast over the sample axis
+    if mode == OperationalMode.POLAR:
+        verts = polar_vertices(frames, gain=gain_b)
+    else:
+        verts = lissajous_vertices(frames, rotation=rotation, gain=gain_b)
+    bars = meter_readout(new_state)
+    return VectorscopeFrame(verts, bars["balance"], bars["correlation"], gain), new_state, new_peak_env
+
+
+class VectorscopeProcessor:
+    """Stateful wrapper over the vectorscope kernels.
+
+    ``process(frames)`` with frames [pairs, 2, W] returns a
+    :class:`VectorscopeFrame`; filter states carry across calls.
+    """
+
+    def __init__(
+        self,
+        *,
+        pairs: int = 1,
+        sample_rate: float = 48_000.0,
+        mode: OperationalMode = OperationalMode.LISSAJOUS,
+        autogain: AutoGain = AutoGain.NONE,
+        envelope_window: float = 0.1,  # normalized (ref: envelopeWindow param)
+        stereo_window: float = 0.02,
+        rotation: float = 0.0,  # turns (ref: waveZRotation)
+        user_gain: float = 1.0,
+        frame_rate: float = 60.0,
+    ):
+        self.pairs = pairs
+        self.sample_rate = sample_rate
+        self.mode = OperationalMode(mode)
+        self.autogain = AutoGain(autogain)
+        self.rotation = float(rotation)
+        self.user_gain = float(user_gain)
+        self.frame_rate = frame_rate
+        self.envelope_pole = filter_coefficient(envelope_window, sample_rate)
+        self.stereo_pole = filter_coefficient(stereo_window, sample_rate)
+        self._state = init_meter_state((pairs,))
+        self._peak_env = jnp.zeros((pairs, 2), jnp.float32)
+
+    @property
+    def state(self) -> VectorscopeMeterState:
+        return self._state
+
+    def reset(self) -> None:
+        self._state = init_meter_state((self.pairs,))
+        self._peak_env = jnp.zeros((self.pairs, 2), jnp.float32)
+
+    def process(self, frames) -> VectorscopeFrame:
+        frames = jnp.asarray(frames, jnp.float32)
+        w = frames.shape[-1]
+        # peak autogain decay scaled per visible buffer per frame
+        # (ref: VectorscopeRendering.cpp:839-842)
+        peak_coeff = jnp.asarray(self.envelope_pole, jnp.float32) ** (w / self.frame_rate)
+        frame, self._state, self._peak_env = _vs_step(
+            self._state,
+            self._peak_env,
+            frames,
+            jnp.asarray(self.envelope_pole, jnp.float32),
+            jnp.asarray(self.stereo_pole, jnp.float32),
+            jnp.asarray(self.user_gain, jnp.float32),
+            peak_coeff,
+            mode=self.mode,
+            autogain=self.autogain,
+            rotation=self.rotation,
+        )
+        return frame
