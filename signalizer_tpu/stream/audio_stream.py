@@ -1,0 +1,269 @@
+"""AudioStream — producer/consumer audio transport with history.
+
+Host-side equivalent of cpl's ``AudioStream<float, 256>``
+(ref: usage inventory SURVEY.md §2.9; typedef at
+Source/Config/SignalizerConfiguration.h:60): a single Input (the real-time
+producer), an Output with listeners (async consumers) and a retained
+history ring for windowed re-reads, plus performance counters.
+
+Re-design notes: the reference packetizes into a lock-free SPSC queue and
+wakes a dedicated consumer thread (the visualization DSP ran on CPU beside
+the audio thread). Here consumers run DSP on the TPU, so the host layer's
+job is only to (a) decouple the producer from consumers and (b) retain
+history. ``threaded=True`` reproduces the async-consumer-thread behavior
+(queue + worker); ``threaded=False`` delivers synchronously — useful for
+deterministic tests and offline analysis.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Protocol
+
+import numpy as np
+
+from signalizer_tpu.core.config import DEFAULT_HISTORY_SIZE, STREAM_PACKET_SIZE
+from signalizer_tpu.stream.ring_buffer import RingBuffer
+
+
+@dataclass
+class Playhead:
+    """Transport snapshot (ref: cpl Playhead — getPositionInSamples,
+    getSteadyClock, getBPM, isPlaying)."""
+
+    position_samples: int = 0
+    steady_clock: int = 0
+    bpm: float = 120.0
+    is_playing: bool = False
+
+    def advanced(self, n: int) -> "Playhead":
+        return Playhead(
+            position_samples=self.position_samples + (n if self.is_playing else 0),
+            steady_clock=self.steady_clock + n,
+            bpm=self.bpm,
+            is_playing=self.is_playing,
+        )
+
+
+@dataclass
+class AudioStreamInfo:
+    """Stream properties (ref: cpl AudioStreamInfo / ProducerInfo)."""
+
+    channels: int = 2
+    sample_rate: float = 48_000.0
+    anticipated_size: int = STREAM_PACKET_SIZE
+    audio_history_size: int = DEFAULT_HISTORY_SIZE
+    audio_history_capacity: int = DEFAULT_HISTORY_SIZE
+    channel_names: List[str] = field(default_factory=list)
+
+
+@dataclass
+class PerfMeasures:
+    """ref: AudioStream::getPerfMeasures (producer/consumer usage,
+    dropped frames)."""
+
+    producer_usage: float = 0.0
+    consumer_usage: float = 0.0
+    dropped_frames: int = 0
+    in_flight_packets: int = 0
+
+
+class StreamListener(Protocol):
+    """ref: cpl AudioStream::Listener."""
+
+    def on_stream_audio(self, ctx: "ListenerContext", block: np.ndarray) -> None: ...
+
+    def on_stream_properties_changed(
+        self, ctx: "ListenerContext", before: AudioStreamInfo
+    ) -> None: ...
+
+    def on_stream_died(self, ctx: "ListenerContext") -> None: ...
+
+
+class ListenerContext:
+    """Delivered with every callback (ref: cpl ListenerContext)."""
+
+    def __init__(self, output: "AudioStreamOutput", playhead: Playhead):
+        self._output = output
+        self.playhead = playhead
+
+    @property
+    def info(self) -> AudioStreamInfo:
+        return self._output.info
+
+    def get_history(self, n: int) -> np.ndarray:
+        """Windowed re-read of retained history [channels, n]
+        (ref: getAudioBufferViews)."""
+        return self._output.get_history(n)
+
+
+class AudioStreamOutput:
+    """Consumer side: listener registry + history ring + perf counters."""
+
+    def __init__(self, stream: "AudioStream"):
+        self._stream = stream
+        self._listeners: List[StreamListener] = []
+        self._lock = threading.Lock()
+
+    @property
+    def info(self) -> AudioStreamInfo:
+        return self._stream.info
+
+    def add_listener(self, listener: StreamListener) -> None:
+        with self._lock:
+            self._listeners.append(listener)
+
+    def remove_listener(self, listener: StreamListener) -> None:
+        with self._lock:
+            if listener in self._listeners:
+                self._listeners.remove(listener)
+
+    def modify_consumer_info(self, fn) -> None:
+        """Adjust history sizing (ref: modifyConsumerInfo —
+        storeAudioHistory / audioHistorySize)."""
+        fn(self._stream.info)
+        self._stream._resize_history()
+
+    def get_history(self, n: int) -> np.ndarray:
+        return self._stream._history.latest(n)
+
+    @property
+    def sample_clock(self) -> int:
+        return self._stream._history.sample_clock
+
+    def get_perf_measures(self) -> PerfMeasures:
+        return self._stream._perf
+
+    # internal
+    def _deliver(self, block: np.ndarray, playhead: Playhead) -> None:
+        ctx = ListenerContext(self, playhead)
+        with self._lock:
+            listeners = list(self._listeners)
+        for l in listeners:
+            l.on_stream_audio(ctx, block)
+
+    def _properties_changed(self, before: AudioStreamInfo) -> None:
+        ctx = ListenerContext(self, self._stream._playhead)
+        with self._lock:
+            listeners = list(self._listeners)
+        for l in listeners:
+            l.on_stream_properties_changed(ctx, before)
+
+    def _died(self) -> None:
+        ctx = ListenerContext(self, self._stream._playhead)
+        with self._lock:
+            listeners = list(self._listeners)
+        for l in listeners:
+            l.on_stream_died(ctx)
+
+
+class AudioStreamInput:
+    """Producer side (ref: AudioStream::Input)."""
+
+    def __init__(self, stream: "AudioStream"):
+        self._stream = stream
+
+    def initialize_info(self, fn) -> None:
+        before = AudioStreamInfo(**vars(self._stream.info))
+        fn(self._stream.info)
+        self._stream._resize_history()
+        self._stream.output._properties_changed(before)
+
+    def enqueue_channel_name(self, index: int, name: str) -> None:
+        names = self._stream.info.channel_names
+        while len(names) <= index:
+            names.append(f"channel {len(names)}")
+        names[index] = name
+
+    def is_anyone_listening(self) -> bool:
+        return bool(self._stream.output._listeners)
+
+    def process_incoming_audio(self, block: np.ndarray, playhead: Optional[Playhead] = None) -> None:
+        """Real-time entry (ref: processIncomingRTAudio)."""
+        self._stream._ingest(np.asarray(block, np.float32), playhead)
+
+
+class AudioStream:
+    """Factory + plumbing. ``AudioStream.create(threaded)`` returns
+    ``(input, output)`` (ref: AudioStream::create)."""
+
+    def __init__(self, threaded: bool, info: Optional[AudioStreamInfo] = None):
+        self.info = info or AudioStreamInfo()
+        self._history = RingBuffer(self.info.channels, max(self.info.audio_history_capacity, 1))
+        self._playhead = Playhead()
+        self._perf = PerfMeasures()
+        self.output = AudioStreamOutput(self)
+        self.input = AudioStreamInput(self)
+        self._threaded = threaded
+        self._queue: Optional[queue.Queue] = None
+        self._worker: Optional[threading.Thread] = None
+        self._alive = True
+        if threaded:
+            self._queue = queue.Queue(maxsize=256)
+            self._worker = threading.Thread(target=self._run, daemon=True, name="audio-stream")
+            self._worker.start()
+
+    @classmethod
+    def create(cls, threaded: bool = False, info: Optional[AudioStreamInfo] = None):
+        stream = cls(threaded, info)
+        return stream.input, stream.output
+
+    def _resize_history(self) -> None:
+        cap = max(self.info.audio_history_capacity, 1)
+        if cap != self._history.capacity or self.info.channels != self._history.channels:
+            self._history = RingBuffer(self.info.channels, cap)
+
+    def _ingest(self, block: np.ndarray, playhead: Optional[Playhead]) -> None:
+        if not self._alive:
+            return
+        t0 = time.perf_counter()
+        if block.shape[0] != self.info.channels:
+            # adapt (mono -> stereo surrogate etc.; ref: PluginProcessor
+            # mono handling :179-193)
+            fixed = np.zeros((self.info.channels, block.shape[1]), np.float32)
+            fixed[: min(block.shape[0], self.info.channels)] = block[: self.info.channels]
+            block = fixed
+        self._history.write(block)
+        ph = playhead or self._playhead
+        self._playhead = ph.advanced(block.shape[1])
+        if self._threaded:
+            try:
+                self._queue.put_nowait((block, ph))
+                self._perf.in_flight_packets = self._queue.qsize()
+            except queue.Full:
+                self._perf.dropped_frames += 1
+        else:
+            self.output._deliver(block, ph)
+        self._perf.producer_usage = time.perf_counter() - t0
+
+    def _run(self) -> None:
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            block, ph = item
+            t0 = time.perf_counter()
+            self.output._deliver(block, ph)
+            self._perf.consumer_usage = time.perf_counter() - t0
+            self._perf.in_flight_packets = self._queue.qsize()
+
+    def close(self) -> None:
+        self._alive = False
+        if self._threaded and self._queue is not None:
+            self._queue.put(None)
+            self._worker.join(timeout=2)
+        self.output._died()
+
+    def wait_for_drain(self, timeout: float = 5.0) -> bool:
+        """Block until all queued packets were delivered (test helper)."""
+        if not self._threaded:
+            return True
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if self._queue.empty():
+                return True
+            time.sleep(0.001)
+        return False

@@ -1,0 +1,174 @@
+"""SpectrogramProcessor — streaming colour-spectrum pipeline.
+
+The reference's ColourSpectrum display mode (ref:
+Source/Spectrum/TransformDSP.inl:1163-1211 blobSize chunker +
+SpectrumDSP.cpp:110-206 colour blending + SpectrumRendering.cpp:671-749
+column texture updates). Here: a host-side hopper batches blob frames, the
+device runs window->FFT->remap->decay->dB->gradient for ALL pending frames
+in one dispatch, and a host-side scrolling image receives RGBA8 columns.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from signalizer_tpu.core.config import DisplayMode
+from signalizer_tpu.core.constant import SpectrumConstant, make_spectrum_constant
+from signalizer_tpu.kernels.colormap import normalize_ratios, spectrogram_columns
+from signalizer_tpu.kernels.spectrum import (
+    LineGraphState,
+    analyze_frames,
+    init_line_graph_state,
+)
+from signalizer_tpu.stream.batcher import FrameBatcher
+
+# default 5-stop gradient + background (ref: SpectrumParameters.h
+# specColours defaults; exact defaults are preset-defined, these are the
+# classic dark->blue->green->yellow->red heat map)
+DEFAULT_GRADIENT = np.asarray(
+    [
+        [0.0, 0.0, 0.0],  # background
+        [0.0, 0.0, 0.5],
+        [0.0, 0.5, 1.0],
+        [0.0, 1.0, 0.0],
+        [1.0, 1.0, 0.0],
+        [1.0, 0.0, 0.0],
+    ],
+    np.float32,
+)
+DEFAULT_RATIOS = np.asarray([0.0, 0.2, 0.2, 0.2, 0.2, 0.2], np.float32)
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
+def _spectrogram_step(
+    constant: SpectrumConstant,
+    state: LineGraphState,
+    frames: jax.Array,
+    colours: jax.Array,
+    ratios: jax.Array,
+):
+    """frames [pairs, T, C, W] -> (columns [T, P, 4] uint8, new state)."""
+    result = analyze_frames(constant, state, frames)
+    # spectrogram uses the main line graph's decayed dB row
+    # (ref: addAudioFrame uses LineMain, TransformDSP.inl:1144-1147)
+    intensity = result.results[:, :, 0, 0, :]  # [pairs, T, P]
+    cols = spectrogram_columns(intensity, colours, ratios)
+    return cols, result.state
+
+
+class SpectrogramProcessor:
+    """Streaming spectrogram over batched channel pairs.
+
+    ``push(block)`` feeds interleaved pair audio [pairs*2, n]; ``pull()``
+    returns all newly completed RGBA8 columns [T, P, 4] (pairs blended).
+    """
+
+    def __init__(
+        self,
+        constant: Optional[SpectrumConstant] = None,
+        *,
+        pairs: int = 1,
+        blob_ms: float = 10.0,  # ref: blobSize, 0.5-1000 ms
+        overlap: float = 0.0,  # 0 = contiguous blobs, 0.5 = 50% overlap
+        colours: Optional[np.ndarray] = None,
+        ratios: Optional[np.ndarray] = None,
+        image_width: int = 512,
+        **constant_kwargs,
+    ):
+        if constant is None:
+            constant_kwargs.setdefault("axis_points", 256)
+            constant_kwargs.setdefault("window_size", 4096)
+            constant_kwargs.setdefault("display_mode", DisplayMode.COLOUR_SPECTRUM)
+            constant = make_spectrum_constant(**constant_kwargs)
+        self.constant = constant
+        self.pairs = pairs
+        hop = max(1.0, blob_ms * 1e-3 * constant.sample_rate * (1.0 - overlap))
+        self.batcher = FrameBatcher(
+            pairs * 2,
+            constant.window_size,
+            hop,
+            capacity=max(constant.window_size * 4, int(hop * 64)),
+        )
+        self._state = init_line_graph_state(constant, (pairs,))
+        base = colours if colours is not None else DEFAULT_GRADIENT
+        base = np.asarray(base, np.float32)
+        # per-pair colour rotation (ref: generateSpectrogramColourRotation);
+        # background stop shared, others hue-shifted per pair
+        tables = np.stack([self._rotate(base, p, pairs) for p in range(pairs)])
+        self._colours = jnp.asarray(tables)
+        self._ratios = jnp.asarray(
+            normalize_ratios(ratios if ratios is not None else DEFAULT_RATIOS), jnp.float32
+        )
+        self.image = SpectrogramImage(image_width, constant.axis_points)
+
+    @staticmethod
+    def _rotate(colours: np.ndarray, pair: int, pairs: int) -> np.ndarray:
+        """Hue-rotate gradient stops per pair (ref: ColourRotation,
+        CommonSignalizer.h:921-954 — base.withRotatedHue(index/size))."""
+        if pair == 0 or pairs <= 1:
+            return colours
+        import colorsys
+
+        out = colours.copy()
+        shift = pair / pairs
+        for i in range(1, len(colours)):
+            h, l, s = colorsys.rgb_to_hls(*colours[i])
+            out[i] = colorsys.hls_to_rgb((h + shift) % 1.0, l, s)
+        return out
+
+    def push(self, block: np.ndarray) -> None:
+        """Feed [pairs*2, n] audio."""
+        self.batcher.push(block)
+
+    def pull(self, max_frames: Optional[int] = None) -> np.ndarray:
+        """Process pending blobs -> RGBA8 columns [T, P, 4]."""
+        frames = self.batcher.pull(max_frames)
+        t = frames.shape[0]
+        if t == 0:
+            return np.zeros((0, self.constant.axis_points, 4), np.uint8)
+        # [T, pairs*2, W] -> [pairs, T, 2, W]
+        stacked = frames.reshape(t, self.pairs, 2, self.constant.window_size).transpose(1, 0, 2, 3)
+        cols, self._state = _spectrogram_step(
+            self.constant, self._state, jnp.asarray(stacked), self._colours, self._ratios
+        )
+        cols = np.asarray(cols)
+        self.image.push_columns(cols)
+        return cols
+
+    def reset(self) -> None:
+        self._state = init_line_graph_state(self.constant, (self.pairs,))
+
+
+class SpectrogramImage:
+    """Host-side circularly-scrolled column image (ref: cpl COpenGLImage
+    scroll + updateSingleColumn usage, SpectrumRendering.cpp:671-749)."""
+
+    def __init__(self, width: int, height: int):
+        self.width = width
+        self.height = height
+        self._img = np.zeros((width, height, 4), np.uint8)
+        self._img[..., 3] = 255
+        self._cursor = 0
+
+    def push_columns(self, cols: np.ndarray) -> None:
+        """cols [T, height, 4]."""
+        t = cols.shape[0]
+        if t >= self.width:
+            self._img[:] = cols[-self.width :]
+            self._cursor = 0
+            return
+        first = min(t, self.width - self._cursor)
+        self._img[self._cursor : self._cursor + first] = cols[:first]
+        rest = t - first
+        if rest:
+            self._img[:rest] = cols[first:]
+        self._cursor = (self._cursor + t) % self.width
+
+    def snapshot(self) -> np.ndarray:
+        """Time-ordered image [width, height, 4], oldest column first."""
+        return np.roll(self._img, -self._cursor, axis=0)
