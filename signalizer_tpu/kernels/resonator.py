@@ -1,0 +1,159 @@
+"""Complex resonator bank — the Spectrum's RSNT algorithm.
+
+TPU-native re-design of cpl's ``CComplexResonator`` (ref: usage at
+Source/Spectrum/TransformConstant.h:44-45,120-123 remapResonator and
+TransformDSP.inl:1213-1295 resonatingDispatch; the cpl submodule is absent,
+so the filter design is re-derived here from the documented behavior: a
+per-display-pixel tuned complex one-pole bank with *windowed readout*
+restricted to finite-cosine-sum windows, ref: SpectrumController.cpp:136-169).
+
+Theory: a complex one-pole ``z[n] = c z[n-1] + x[n]`` with
+``c = r e^{j w}`` is a sliding exponentially-weighted DFT at frequency w.
+A cosine-sum window ``w[n] = sum_k (-1)^k a_k cos(2 pi k n / N)`` in the
+frequency domain is a comb of 2K+1 Diracs, so the *windowed* sliding DFT
+is a fixed linear combination of 2K+1 resonators offset by the bin spacing
+— which is why the reference restricts RSNT to "finite DFT windows".
+
+TPU-first transformation: the reference advances the bank per sample with
+SIMD (resonateReal<V>). Per *block*, the recurrence has the closed form
+
+    z' = c^W z + sum_n c^(W-1-n) x[n]
+
+so a whole W-sample block is ONE complex matrix product of the input
+against a precomputed [P*V, W] pole-power ramp — MXU work instead of a
+length-W sequential dependency. States stay exact (same recurrence, just
+evaluated associatively).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from signalizer_tpu.core.windows import WindowType, window_coefficients
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ResonatorConstant:
+    """Immutable resonator bank configuration.
+
+    ``vectors`` = 2K+1 resonators per pixel (window order K). Leaves:
+
+    * poles [P, V] complex64 — r_k e^{j(w_k + m d_k)}
+    * combine [V] float32 — signed window combination coefficients
+    * gain [P] float32 — per-pixel normalization so a full-scale sine at
+      the pixel's frequency reads magnitude 1.0 (matching the FFT path's
+      invSize convention, TransformDSP.inl:540)
+    """
+
+    num_pixels: int = dataclasses.field(metadata=dict(static=True))
+    vectors: int = dataclasses.field(metadata=dict(static=True))
+    poles: jax.Array
+    combine: jax.Array
+    gain: jax.Array
+
+
+def make_resonator_constant(
+    mapped_frequencies: np.ndarray,
+    sample_rate: float,
+    window_size: int,
+    *,
+    window_type: WindowType = WindowType.HANN,
+    free_q: bool = False,
+    min_cycles: int = 8,
+    min_window: int = 8,
+    dtype=jnp.complex64,
+) -> ResonatorConstant:
+    """Design the bank (ref: Resonator mapSystemHz call,
+    TransformConstant.h:120-123 — freeQ flag, the constant 8, windowSize).
+
+    Per pixel k with frequency f_k:
+
+    * effective window N_k = window_size (locked Q), or with ``free_q``
+      N_k = clamp(min_cycles * fs / f_k, min_window, window_size) —
+      constant-Q: every pixel integrates ``min_cycles`` cycles.
+    * pole radius r_k = 1 - 2/N_k (exponential window with the same
+      equivalent length), vector offsets d_k = 2 pi / N_k (the window's
+      bin spacing).
+    * gain calibrated analytically from the steady-state response of the
+      combined bank to a unit complex exponential at f_k.
+    """
+    freqs = np.asarray(mapped_frequencies, np.float64)
+    p = len(freqs)
+    coeffs = np.asarray(window_coefficients(window_type), np.float64)
+    k_order = len(coeffs) - 1
+    v = 2 * k_order + 1
+    offsets_m = np.arange(-k_order, k_order + 1)
+
+    if free_q:
+        n_k = np.clip(min_cycles * sample_rate / np.maximum(freqs, 1e-3), min_window, window_size)
+    else:
+        n_k = np.full(p, float(max(window_size, min_window)))
+
+    r = 1.0 - 2.0 / n_k  # equivalent-length exponential window
+    r = np.clip(r, 0.0, 0.999999)
+    omega = 2.0 * np.pi * freqs / sample_rate
+    delta = 2.0 * np.pi / n_k
+    angles = omega[:, None] + offsets_m[None, :] * delta[:, None]
+    poles = r[:, None] * np.exp(1j * angles)  # [P, V]
+
+    # combination: cos(k t) = (e^{jkt} + e^{-jkt})/2 -> vector m = +-k gets
+    # (-1)^k a_k / 2 (m != 0), center gets a_0
+    comb = np.zeros(v)
+    comb[k_order] = coeffs[0]
+    for k in range(1, k_order + 1):
+        comb[k_order + k] = ((-1.0) ** k) * coeffs[k] * 0.5
+        comb[k_order - k] = ((-1.0) ** k) * coeffs[k] * 0.5
+
+    # steady-state response of the combined bank to e^{j omega n}:
+    # each vector resonator accumulates 1/(1 - c_m e^{-j omega})
+    resp = np.zeros(p, np.complex128)
+    for m in range(v):
+        resp += comb[m] / (1.0 - poles[:, m] * np.exp(-1j * omega))
+    # a real sine contributes half its amplitude at +omega
+    gain = 1.0 / np.maximum(np.abs(resp) * 0.5, 1e-20)
+
+    return ResonatorConstant(
+        num_pixels=p,
+        vectors=v,
+        poles=jnp.asarray(poles, dtype),
+        combine=jnp.asarray(comb, jnp.float32),
+        gain=jnp.asarray(gain, jnp.float32),
+    )
+
+
+def init_resonator_state(
+    constant: ResonatorConstant, batch_shape: Tuple[int, ...] = ()
+) -> jax.Array:
+    return jnp.zeros(batch_shape + (constant.num_pixels, constant.vectors), jnp.complex64)
+
+
+def resonate_block(
+    constant: ResonatorConstant, state: jax.Array, x: jax.Array
+) -> jax.Array:
+    """Advance the bank over a block: state [..., P, V], x [..., W] real.
+
+    Closed form (see module docstring): one [P*V, W] x [W] complex product
+    per batch element — batched, this is an MXU matmul.
+    """
+    w = x.shape[-1]
+    n = jnp.arange(w, dtype=jnp.float32)
+    # c^(W-1-n) ramp: [P, V, W]
+    ramp = constant.poles[..., None] ** (w - 1 - n)
+    driven = jnp.einsum("pvw,...w->...pv", ramp, x.astype(jnp.complex64))
+    decay = constant.poles ** float(w)
+    return state * decay + driven
+
+
+def resonator_readout(constant: ResonatorConstant, state: jax.Array) -> jax.Array:
+    """Windowed magnitude readout (ref: getWholeWindowedState usage,
+    TransformPair.h copyResonatorStateInto): combine the 2K+1 vectors with
+    the window coefficients, normalize. state [..., P, V] -> [..., P]."""
+    z = jnp.einsum("...pv,v->...p", state, constant.combine.astype(state.dtype))
+    return jnp.abs(z) * constant.gain

@@ -29,6 +29,7 @@ from signalizer_tpu.kernels.spectrum import (
     SpectrumResult,
     analyze_frames,
     init_line_graph_state,
+    post_process,
 )
 
 
@@ -83,3 +84,85 @@ class SpectrumProcessor:
 
     def process_to_host(self, frames) -> np.ndarray:
         return np.asarray(self.process(frames))
+
+
+# ---------------------------------------------------------------------------
+# RSNT algorithm path (ref: TransformDSP.inl:1213-1295 resonatingDispatch)
+# ---------------------------------------------------------------------------
+
+
+class ResonatorSpectrumProcessor:
+    """Spectrum view driven by the resonator bank instead of the FFT
+    (ref: TransformAlgorithm::RSNT). Consumes a *continuous* sample stream
+    (no framing); per block: channel-mode mix -> resonate -> windowed
+    readout -> peak decay -> dB.
+
+    Channel packing per resonatingDispatch: Mid = L + R and Side = L - R
+    (the RSNT path does NOT halve, unlike the FFT path's prepareTransform).
+    """
+
+    def __init__(
+        self,
+        constant: SpectrumConstant,
+        *,
+        pairs: int = 1,
+        window_type=None,
+        free_q: bool = False,
+    ):
+        from signalizer_tpu.core.windows import WindowType
+        from signalizer_tpu.kernels.resonator import (
+            init_resonator_state,
+            make_resonator_constant,
+        )
+
+        self.constant = constant
+        self.pairs = pairs
+        self.rows = constant.state_channels
+        self.resonator = make_resonator_constant(
+            np.asarray(constant.mapped_frequencies, np.float64),
+            constant.sample_rate,
+            constant.window_size,
+            window_type=window_type if window_type is not None else WindowType.HANN,
+            free_q=free_q,
+        )
+        self._res_state = init_resonator_state(self.resonator, (pairs, self.rows))
+        self._graph_state = init_line_graph_state(constant, (pairs,))
+
+    def reset(self) -> None:
+        from signalizer_tpu.kernels.resonator import init_resonator_state
+
+        self._res_state = init_resonator_state(self.resonator, (self.pairs, self.rows))
+        self._graph_state = init_line_graph_state(self.constant, (self.pairs,))
+
+    def _mix(self, block: jax.Array) -> jax.Array:
+        """[pairs, 2, n] -> [pairs, rows, n] per resonatingDispatch."""
+        from signalizer_tpu.core.config import SpectrumChannels
+
+        cfg = self.constant.configuration
+        left, right = block[:, 0], block[:, 1]
+        if cfg == SpectrumChannels.LEFT:
+            return left[:, None]
+        if cfg == SpectrumChannels.RIGHT:
+            return right[:, None]
+        if cfg == SpectrumChannels.MERGE:
+            return (left + right)[:, None]
+        if cfg == SpectrumChannels.SIDE:
+            return (left - right)[:, None]
+        if cfg == SpectrumChannels.MIDSIDE:
+            # ref quirk: RSNT MidSide packs (side, mid) in that order
+            # (TransformDSP.inl:1277: pair{left - right, left + right})
+            return jnp.stack([left - right, left + right], axis=1)
+        return block[:, :2]  # PHASE / SEPARATE / COMPLEX
+
+    def process(self, block) -> jax.Array:
+        """block [pairs, 2, n] -> display results [pairs, 1, K, rows, P]."""
+        from signalizer_tpu.kernels.resonator import resonate_block, resonator_readout
+
+        block = jnp.asarray(block, jnp.float32)
+        mixed = self._mix(block)
+        self._res_state = resonate_block(self.resonator, self._res_state, mixed)
+        mags = resonator_readout(self.resonator, self._res_state)  # [pairs, rows, P]
+        vals = mags[:, None]  # one time step: [pairs, T=1, rows, P]
+        result = post_process(self.constant, self._graph_state, vals)
+        self._graph_state = result.state
+        return result.results
