@@ -1,0 +1,198 @@
+"""Domain transformatters and formatters.
+
+* AudioHistoryTransformatter — window size against a mutable history
+  capacity (ref: Source/Common/CommonSignalizer.h:266-454).
+* WindowSizeTransformatter — per-time-mode oscilloscope window mapping
+  (ref: Source/Oscilloscope/OscilloscopeParameters.h:189-240) with unit
+  parsing (ms / smps / r / bars, :95-187).
+* LinearHzFormatter — parses notes ("A4", "C#3"), samples, ms, radians
+  and beats into Hz (ref: OscilloscopeParameters.h:247-347).
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+import re
+from typing import Optional
+
+from signalizer_tpu.params.parameters import Formatter, Transformer
+
+
+class AudioHistoryTransformatter(Transformer, Formatter):
+    """Normalized knob <-> window size in samples, exponential against the
+    *current* history capacity; rescales when stream properties change
+    (ref: onStreamPropertiesChanged, CommonSignalizer.h:326 — the
+    transformed value tracks capacity so the knob keeps its relative
+    position when the capacity grows)."""
+
+    class Mode(enum.IntEnum):
+        MILLISECONDS = 0
+        SAMPLES = 1
+
+    def __init__(self, sample_rate: float = 48_000.0, capacity: int = 48_000,
+                 minimum: float = 128.0, mode: "AudioHistoryTransformatter.Mode" = None):
+        self.sample_rate = float(sample_rate)
+        self.capacity = float(capacity)
+        self.minimum = float(minimum)
+        self.mode = mode if mode is not None else self.Mode.MILLISECONDS
+
+    def set_stream_properties(self, sample_rate: float, capacity: int) -> None:
+        self.sample_rate = float(sample_rate)
+        self.capacity = float(capacity)
+
+    def transform(self, n: float) -> float:
+        return self.minimum * (self.capacity / self.minimum) ** n
+
+    def normalize(self, v: float) -> float:
+        v = max(self.minimum, min(v, self.capacity))
+        return math.log(v / self.minimum) / math.log(self.capacity / self.minimum)
+
+    def format(self, value: float) -> str:
+        if self.mode == self.Mode.MILLISECONDS:
+            return f"{value * 1000.0 / self.sample_rate:.1f} ms"
+        return f"{int(round(value))} smps"
+
+    def parse(self, text: str) -> Optional[float]:
+        t = text.strip().lower()
+        m = re.match(r"([-+0-9.e]+)\s*(smps|samples|ms|s)?", t)
+        if not m:
+            return None
+        try:
+            v = float(m.group(1))
+        except ValueError:
+            return None
+        unit = m.group(2)
+        if unit == "ms":
+            return v * 1e-3 * self.sample_rate
+        if unit == "s":
+            return v * self.sample_rate
+        if unit in ("smps", "samples", None):
+            return v if unit else (v * 1e-3 * self.sample_rate if self.mode == self.Mode.MILLISECONDS else v)
+        return v
+
+
+class TimeMode(enum.IntEnum):
+    """ref: OscilloscopeParameters.h:60-63."""
+
+    TIME = 0
+    CYCLES = 1
+    BEATS = 2
+
+
+class WindowSizeTransformatter(AudioHistoryTransformatter):
+    """Oscilloscope window size with per-time-mode semantics
+    (ref: OscilloscopeParameters.h:189-240):
+
+    * TIME: exponential 100 .. capacity samples
+    * CYCLES: exponential 1 .. 32 cycles
+    * BEATS: power-of-two quantized reciprocal 1 .. 32 bars
+    """
+
+    MIN_TIME_SAMPLES = 100.0
+    MAX_CYCLES = 32.0
+    MAX_BEATS = 32
+
+    def __init__(self, sample_rate: float = 48_000.0, capacity: int = 48_000):
+        super().__init__(sample_rate, capacity, minimum=self.MIN_TIME_SAMPLES)
+        self.time_mode = TimeMode.TIME
+
+    def transform(self, n: float) -> float:
+        if self.time_mode == TimeMode.TIME:
+            return self.minimum * (self.capacity / self.minimum) ** n
+        if self.time_mode == TimeMode.CYCLES:
+            return 1.0 * self.MAX_CYCLES**n
+        # BEATS: quantized powers of two, descending (32 bars .. 1 bar)
+        exp = round((1.0 - n) * math.log2(self.MAX_BEATS))
+        return float(2**exp)
+
+    def normalize(self, v: float) -> float:
+        if self.time_mode == TimeMode.TIME:
+            return super().normalize(v)
+        if self.time_mode == TimeMode.CYCLES:
+            v = max(1.0, min(v, self.MAX_CYCLES))
+            return math.log(v) / math.log(self.MAX_CYCLES)
+        exp = max(0, min(int(round(math.log2(max(v, 1.0)))), int(math.log2(self.MAX_BEATS))))
+        return 1.0 - exp / math.log2(self.MAX_BEATS)
+
+    def format(self, value: float) -> str:
+        if self.time_mode == TimeMode.TIME:
+            return super().format(value)
+        if self.time_mode == TimeMode.CYCLES:
+            return f"{value:.2f} r"
+        return f"{int(value)} bars"
+
+    def parse(self, text: str) -> Optional[float]:
+        t = text.strip().lower()
+        m = re.match(r"([-+0-9.e]+)\s*(smps|samples|ms|s|r|cycles|bars|beats)?", t)
+        if not m:
+            return None
+        try:
+            v = float(m.group(1))
+        except ValueError:
+            return None
+        unit = m.group(2)
+        if unit in ("r", "cycles"):
+            return v
+        if unit in ("bars", "beats"):
+            return v
+        if unit == "ms":
+            return v * 1e-3 * self.sample_rate
+        if unit == "s":
+            return v * self.sample_rate
+        return v
+
+
+_NOTE_OFFSETS = {"c": -9, "d": -7, "e": -5, "f": -4, "g": -2, "a": 0, "b": 2}
+_NOTE_RE = re.compile(r"^([a-g])([#b]?)(-?\d+)$")
+
+
+class LinearHzFormatter(Formatter):
+    """Hz formatter that also parses musical notes and period units
+    (ref: LinearHzFormatter, OscilloscopeParameters.h:247-347).
+
+    Accepted: "440", "440 hz", "a4", "c#3", "eb2", "100 smps",
+    "10 ms", "0.5 r" (radians/sample), "2 beats" (against bpm).
+    """
+
+    def __init__(self, sample_rate: float = 48_000.0, reference_tuning: float = 440.0,
+                 bpm: float = 120.0):
+        self.sample_rate = float(sample_rate)
+        self.reference_tuning = float(reference_tuning)
+        self.bpm = float(bpm)
+
+    def format(self, value: float) -> str:
+        return f"{value:.5g} Hz"
+
+    def parse(self, text: str) -> Optional[float]:
+        t = text.strip().lower().replace("hz", "").strip()
+        m = _NOTE_RE.match(t.replace(" ", ""))
+        if m:
+            letter, accidental, octave = m.groups()
+            semis = _NOTE_OFFSETS[letter]
+            if accidental == "#":
+                semis += 1
+            elif accidental == "b":
+                semis -= 1
+            semis += (int(octave) - 4) * 12
+            return self.reference_tuning * 2.0 ** (semis / 12.0)
+        m = re.match(r"([-+0-9.e]+)\s*(smps|samples|ms|s|r|beats|bars)?$", t)
+        if not m:
+            return None
+        try:
+            v = float(m.group(1))
+        except ValueError:
+            return None
+        unit = m.group(2)
+        if unit in ("smps", "samples"):
+            return self.sample_rate / v if v != 0 else None
+        if unit == "ms":
+            return 1000.0 / v if v != 0 else None
+        if unit == "s":
+            return 1.0 / v if v != 0 else None
+        if unit == "r":
+            # radians per sample -> Hz
+            return v * self.sample_rate / (2.0 * math.pi)
+        if unit in ("beats", "bars"):
+            return (self.bpm / 60.0) / v if v != 0 else None
+        return v

@@ -1,0 +1,410 @@
+"""View parameter contents — the declarative parameter inventories.
+
+Equivalents of the reference's per-view "Content" classes with the same
+knobs, ranges, unit semantics and registration prefixes
+(ref: Source/Spectrum/SpectrumParameters.h:38-441,
+Source/Oscilloscope/OscilloscopeParameters.h,
+Source/Vectorscope/VectorscopeParameters.h; registration order =
+Vectorscope, Oscilloscope, Spectrum per MainEditor ContentCreationList,
+Source/Editor/MainEditor.cpp:70-75).
+
+Each Content exposes:
+* a sealed :class:`ParameterSet` with the view's prefix ("VS."/"OS."/"SC.")
+* ``serialize``/``deserialize`` (versioned keyed tree)
+* a factory producing the view's device configuration (e.g.
+  ``SpectrumContent.make_constant()``), the bridge from knobs to kernels.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from signalizer_tpu.core.config import (
+    BinInterpolation,
+    DisplayMode,
+    OscChannels,
+    SpectrumChannels,
+    TransformAlgorithm,
+    ViewScaling,
+)
+from signalizer_tpu.core.constant import (
+    MAX_DBS,
+    MIN_DBS,
+    NUM_LINE_GRAPHS,
+    SpectrumConstant,
+    make_spectrum_constant,
+)
+from signalizer_tpu.params.parameters import (
+    BasicFormatter,
+    BooleanFormatter,
+    BooleanRange,
+    ChoiceFormatter,
+    DBFormatter,
+    ExponentialRange,
+    IntegerLinearRange,
+    LinearRange,
+    Parameter,
+    ParameterSet,
+    PercentageFormatter,
+    UnitFormatter,
+    UnityRange,
+)
+from signalizer_tpu.params.transformatters import (
+    AudioHistoryTransformatter,
+    LinearHzFormatter,
+    TimeMode,
+    WindowSizeTransformatter,
+)
+from signalizer_tpu.params.values import (
+    ColourValue,
+    PowerSlopeValue,
+    TransformValue,
+    WindowDesignValue,
+)
+from signalizer_tpu.state.serialize import (
+    Archive,
+    SerializableObject,
+    deserialize_parameter_set,
+    serialize_parameter_set,
+)
+
+NUM_SPECTRUM_COLOURS = 5  # ref: SpectrumParameters.h:77
+
+
+def _choice(name: str, options, default_index: int = 0) -> Parameter:
+    n = len(options) - 1
+    return Parameter(
+        name,
+        IntegerLinearRange(0, n),
+        ChoiceFormatter(options),
+        default_index / n if n else 0.0,
+    )
+
+
+class SpectrumContent(SerializableObject):
+    """ref: SpectrumParameters.h:38-441 (~40 parameters)."""
+
+    NAME = "Spectrum"
+    PREFIX = "SC."
+
+    def __init__(self, sample_rate: float = 48_000.0, history_capacity: int = 48_000):
+        ps = self.parameter_set = ParameterSet(self.NAME, self.PREFIX)
+        self.audio_history_transformatter = AudioHistoryTransformatter(
+            sample_rate, history_capacity
+        )
+        dyn = LinearRange(MIN_DBS, MAX_DBS)
+
+        self.view_scaling = ps.register_parameter(_choice("ViewScaling", ["linear", "logarithmic"], 1))
+        self.algorithm = ps.register_parameter(_choice("Algorithm", ["FFT", "Resonator"]))
+        self.channel_configuration = ps.register_parameter(
+            _choice(
+                "ChannelConfiguration",
+                ["left", "right", "merge", "side", "phase", "separate", "mid/side", "complex"],
+            )
+        )
+        self.display_mode = ps.register_parameter(_choice("DisplayMode", ["line graph", "colour spectrum"]))
+        self.bin_interpolation = ps.register_parameter(_choice("BinInterpolation", ["none", "linear", "lanczos"], 2))
+        self.low_dbs = ps.register_parameter(Parameter("LowerBound", dyn, DBFormatter(), dyn.normalize(-96.0)))
+        self.high_dbs = ps.register_parameter(Parameter("UpperBound", dyn, DBFormatter(), dyn.normalize(0.0)))
+        self.window_size = ps.register_parameter(
+            Parameter("WindowSize", self.audio_history_transformatter, self.audio_history_transformatter, 0.5)
+        )
+        self.pct_for_division = ps.register_parameter(Parameter("PctDivision", UnityRange(), PercentageFormatter(), 0.5))
+        self.blob_size = ps.register_parameter(
+            Parameter("BlobSize", ExponentialRange(0.5, 1000.0), UnitFormatter("ms"), 0.5)
+        )
+        self.frame_update_smoothing = ps.register_parameter(
+            Parameter("FrameSmoothing", LinearRange(0.0, 0.996), PercentageFormatter(), 0.1)
+        )
+        self.spectrum_stretching = ps.register_parameter(
+            Parameter("SpectrumStretch", LinearRange(1.0, 20.0), BasicFormatter(), 0.0)
+        )
+        self.primitive_size = ps.register_parameter(
+            Parameter("PrimitiveSize", LinearRange(0.01, 10.0), UnitFormatter("pts"), 0.1)
+        )
+        self.flood_fill_alpha = ps.register_parameter(
+            Parameter("FloodFillAlpha", UnityRange(), PercentageFormatter(), 0.2)
+        )
+        self.reference_tuning = ps.register_parameter(
+            Parameter("RefTuning", LinearRange(220.0, 880.0), UnitFormatter("Hz"), (440.0 - 220.0) / 660.0)
+        )
+        self.view_left = ps.register_parameter(Parameter("ViewLeft", UnityRange(), PercentageFormatter(), 0.0))
+        self.view_right = ps.register_parameter(Parameter("ViewRight", UnityRange(), PercentageFormatter(), 1.0))
+        self.free_q = ps.register_parameter(Parameter("FreeQ", BooleanRange(), BooleanFormatter(), 0.0))
+        self.diagnostics = ps.register_parameter(Parameter("Diagnostics", BooleanRange(), BooleanFormatter(), 0.0))
+        self.tracker_smoothing = ps.register_parameter(
+            Parameter("TrackerSmoothing", LinearRange(0.0, 1000.0), UnitFormatter("ms"), 0.0)
+        )
+        self.show_legend = ps.register_parameter(Parameter("ShowLegend", BooleanRange(), BooleanFormatter(), 1.0))
+
+        self.spec_ratios = [
+            ps.register_parameter(Parameter(f"GradRatio{i}", UnityRange(), PercentageFormatter(), 0.5))
+            for i in range(NUM_SPECTRUM_COLOURS)
+        ]
+        self.grid_colour = ps.register_bundle(ColourValue("Grid", (0.5, 0.5, 0.5, 1.0)))
+        self.background_colour = ps.register_bundle(ColourValue("Bck", (0.0, 0.0, 0.0, 1.0)))
+        self.spec_colours = [
+            ps.register_bundle(ColourValue(f"Grad{i}")) for i in range(NUM_SPECTRUM_COLOURS)
+        ]
+        self.widget_colour = ps.register_bundle(ColourValue("Widget"))
+
+        # 2 line graphs x (decay + 2 colours), ref: lines[LineEnd]
+        self.lines = []
+        for i in range(NUM_LINE_GRAPHS):
+            decay = ps.register_parameter(
+                Parameter(f"Line{i}Decay", LinearRange(0.0, 10.0), UnitFormatter("s"), 0.1)
+            )
+            one = ps.register_bundle(ColourValue(f"Line{i}One"))
+            two = ps.register_bundle(ColourValue(f"Line{i}Two"))
+            self.lines.append((decay, one, two))
+
+        self.dsp_win = ps.register_bundle(WindowDesignValue("DspWin"))
+        self.slope = ps.register_bundle(PowerSlopeValue("Slope"))
+        ps.seal()
+
+    # --- bridge to kernels ---------------------------------------------------
+    def make_constant(self, *, axis_points: int, sample_rate: float = 48_000.0,
+                      frames_per_second: float = 60.0) -> SpectrumConstant:
+        a, b = self.slope.derive()
+        return make_spectrum_constant(
+            axis_points=axis_points,
+            window_size=max(32, int(round(self.window_size.get_transformed()))),
+            sample_rate=sample_rate,
+            configuration=SpectrumChannels(int(self.channel_configuration.get_transformed())),
+            bin_interpolation=BinInterpolation(int(self.bin_interpolation.get_transformed())),
+            view_scaling=ViewScaling(int(self.view_scaling.get_transformed())),
+            algo=TransformAlgorithm(int(self.algorithm.get_transformed())),
+            display_mode=DisplayMode(int(self.display_mode.get_transformed())),
+            window_type=self.dsp_win.get_window_type(),
+            window_symmetric=self.dsp_win.symmetric.get_transformed() > 0.5,
+            window_alpha=self.dsp_win.alpha.get_transformed(),
+            window_beta=self.dsp_win.beta.get_transformed(),
+            view_left=self.view_left.get_transformed(),
+            view_right=self.view_right.get_transformed(),
+            low_dbs=self.low_dbs.get_transformed(),
+            high_dbs=self.high_dbs.get_transformed(),
+            clip_db=MIN_DBS,
+            slope_a=a,
+            slope_b=b,
+            decay_seconds=tuple(l[0].get_transformed() for l in self.lines),
+            frames_per_second=frames_per_second,
+        )
+
+    VERSION = 1
+
+    def serialize(self, archive: Archive) -> None:
+        archive.version = self.VERSION
+        serialize_parameter_set(self.parameter_set, archive.child("Parameters"))
+
+    def deserialize(self, archive: Archive) -> None:
+        serialize = archive.find_child("Parameters")
+        if serialize is not None:
+            deserialize_parameter_set(self.parameter_set, serialize)
+
+
+class OscilloscopeContent(SerializableObject):
+    """ref: OscilloscopeParameters.h (LookaheadSize 8192, kernel size 10)."""
+
+    NAME = "Oscilloscope"
+    PREFIX = "OS."
+    LOOKAHEAD_SIZE = 8192  # ref: :46
+    INTERPOLATION_KERNEL_SIZE = 10  # ref: :47
+
+    def __init__(self, sample_rate: float = 48_000.0, history_capacity: int = 48_000):
+        ps = self.parameter_set = ParameterSet(self.NAME, self.PREFIX)
+        self.window_transformatter = WindowSizeTransformatter(sample_rate, history_capacity)
+        hz_fmt = LinearHzFormatter(sample_rate)
+
+        self.envelope_window = ps.register_parameter(
+            Parameter("EnvelopeWindow", ExponentialRange(0.001, 1000.0), UnitFormatter("ms"), 0.5)
+        )
+        self.input_gain = ps.register_parameter(
+            Parameter("InputGain", LinearRange(-120.0, 120.0), DBFormatter(), 0.5)
+        )
+        self.window_size = ps.register_parameter(
+            Parameter("WindowSize", self.window_transformatter, self.window_transformatter, 0.5)
+        )
+        self.antialias = ps.register_parameter(Parameter("Antialias", BooleanRange(), BooleanFormatter(), 1.0))
+        self.diagnostics = ps.register_parameter(Parameter("Diagnostics", BooleanRange(), BooleanFormatter(), 0.0))
+        self.primitive_size = ps.register_parameter(
+            Parameter("PrimitiveSize", LinearRange(0.01, 10.0), UnitFormatter("pts"), 0.1)
+        )
+        self.pct_for_division = ps.register_parameter(Parameter("PctDivision", UnityRange(), PercentageFormatter(), 0.5))
+        self.trigger_phase_offset = ps.register_parameter(
+            Parameter("TriggerPhase", LinearRange(-180.0, 180.0), UnitFormatter("deg"), 0.5)
+        )
+        self.dot_samples = ps.register_parameter(Parameter("DotSamples", BooleanRange(), BooleanFormatter(), 0.0))
+        self.trigger_on_custom_frequency = ps.register_parameter(
+            Parameter("CustomTrigger", BooleanRange(), BooleanFormatter(), 0.0)
+        )
+        self.custom_trigger_frequency = ps.register_parameter(
+            Parameter("CustomTriggerFrequency", ExponentialRange(5.0, 20_000.0), hz_fmt, 0.5)
+        )
+        self.overlay_channels = ps.register_parameter(Parameter("OverlayChannels", BooleanRange(), BooleanFormatter(), 1.0))
+        self.colour_smoothing = ps.register_parameter(
+            Parameter("ColourSmoothing", ExponentialRange(0.1, 1000.0), UnitFormatter("ms"), 0.5)
+        )
+        self.cursor_tracker = ps.register_parameter(Parameter("CursorTracker", BooleanRange(), BooleanFormatter(), 0.0))
+        self.frequency_colouring_blend = ps.register_parameter(
+            Parameter("FColourBlend", UnityRange(), PercentageFormatter(), 0.0)
+        )
+        self.trigger_hysteresis = ps.register_parameter(Parameter("THysteresis", UnityRange(), PercentageFormatter(), 0.0))
+        self.trigger_threshold = ps.register_parameter(Parameter("TThreshold", UnityRange(), PercentageFormatter(), 0.0))
+        self.triggering_channel = ps.register_parameter(
+            Parameter("TriggeringChannel", IntegerLinearRange(0, 16), BasicFormatter(), 0.0)
+        )
+        self.show_legend = ps.register_parameter(Parameter("ShowLegend", BooleanRange(), BooleanFormatter(), 1.0))
+        self.view_offsets = [
+            ps.register_parameter(Parameter(f"View{n}", UnityRange(), PercentageFormatter(), d))
+            for n, d in (("Left", 0.0), ("Top", 0.0), ("Right", 1.0), ("Bottom", 1.0))
+        ]
+        self.auto_gain = ps.register_parameter(_choice("AutoGain", ["none", "rms", "peak decay"]))
+        self.channel_configuration = ps.register_parameter(
+            _choice("ChannelConfiguration", ["left", "right", "merge", "side", "separate", "mid/side"])
+        )
+        self.sub_sample_interpolation = ps.register_parameter(
+            _choice("SampleInterpolation", ["none", "rectangular", "linear", "lanczos"], 3)
+        )
+        self.trigger_mode = ps.register_parameter(
+            _choice("TriggerMode", ["none", "spectral", "window", "envelope hold", "zero crossing"])
+        )
+        self.time_mode = ps.register_parameter(_choice("TimeMode", ["time", "cycles", "beats"]))
+        self.channel_colouring = ps.register_parameter(_choice("ChannelColouring", ["static", "spectral energy"]))
+
+        self.primary_colour = ps.register_bundle(ColourValue("PrimaryColour", (0.0, 1.0, 0.0, 1.0)))
+        self.secondary_colour = ps.register_bundle(ColourValue("SecondaryColour", (1.0, 0.0, 0.0, 1.0)))
+        self.graph_colour = ps.register_bundle(ColourValue("GraphColour", (0.5, 0.5, 0.5, 1.0)))
+        self.background_colour = ps.register_bundle(ColourValue("BackgroundColour", (0.0, 0.0, 0.0, 1.0)))
+        self.low_colour = ps.register_bundle(ColourValue("LowColour", (1.0, 0.1, 0.1, 1.0)))
+        self.mid_colour = ps.register_bundle(ColourValue("MidColour", (0.1, 1.0, 0.1, 1.0)))
+        self.high_colour = ps.register_bundle(ColourValue("HighColour", (0.1, 0.1, 1.0, 1.0)))
+        self.widget_colour = ps.register_bundle(ColourValue("WidgetColour"))
+        self.transform = ps.register_bundle(TransformValue("Transform"))
+        ps.seal()
+
+    def effective_window_samples(self, sample_rate: float, bpm: float = 120.0,
+                                 cycle_samples: float = 0.0) -> float:
+        """Per-time-mode effective window (ref: Oscilloscope.cpp:293-308)."""
+        v = self.window_size.get_transformed()
+        mode = TimeMode(int(self.time_mode.get_transformed()))
+        if mode == TimeMode.TIME:
+            return v
+        if mode == TimeMode.CYCLES:
+            return max(128.0, v * max(cycle_samples, 1.0) + 1.0)
+        return max(128.0, sample_rate * 60.0 / (bpm * max(v, 1e-9)))
+
+    def make_processor_kwargs(self, sample_rate: float = 48_000.0) -> dict:
+        from signalizer_tpu.views.oscilloscope import SubSampleInterpolation, TriggerMode
+
+        return dict(
+            sample_rate=sample_rate,
+            channel_mode=OscChannels(int(self.channel_configuration.get_transformed())),
+            trigger_mode=TriggerMode(int(self.trigger_mode.get_transformed())),
+            interpolation=SubSampleInterpolation(int(self.sub_sample_interpolation.get_transformed())),
+            window_samples=self.effective_window_samples(sample_rate),
+            lookahead=self.LOOKAHEAD_SIZE,
+            trigger_threshold=self.trigger_threshold.get_transformed(),
+            trigger_hysteresis=self.trigger_hysteresis.get_transformed(),
+            trigger_phase_degrees=self.trigger_phase_offset.get_transformed(),
+            autogain=int(self.auto_gain.get_transformed()) != 0,
+            colour_enabled=int(self.channel_colouring.get_transformed()) == 1,
+            colour_smooth_ms=self.colour_smoothing.get_transformed(),
+            band_colours=(
+                tuple(self.low_colour.get_rgb()),
+                tuple(self.mid_colour.get_rgb()),
+                tuple(self.high_colour.get_rgb()),
+            ),
+            key_colour=tuple(self.primary_colour.get_rgb()),
+            colour_blend=1.0 - self.frequency_colouring_blend.get_transformed(),
+            manual_gain=10.0 ** (self.input_gain.get_transformed() / 20.0),
+        )
+
+    VERSION = 1
+
+    def serialize(self, archive: Archive) -> None:
+        archive.version = self.VERSION
+        serialize_parameter_set(self.parameter_set, archive.child("Parameters"))
+
+    def deserialize(self, archive: Archive) -> None:
+        child = archive.find_child("Parameters")
+        if child is not None:
+            deserialize_parameter_set(self.parameter_set, child)
+
+
+class VectorScopeContent(SerializableObject):
+    """ref: VectorscopeParameters.h (265 LoC)."""
+
+    NAME = "Vectorscope"
+    PREFIX = "VS."
+
+    def __init__(self, sample_rate: float = 48_000.0, history_capacity: int = 48_000):
+        ps = self.parameter_set = ParameterSet(self.NAME, self.PREFIX)
+        self.audio_history_transformatter = AudioHistoryTransformatter(sample_rate, history_capacity)
+
+        self.envelope_window = ps.register_parameter(
+            Parameter("EnvelopeWindow", ExponentialRange(0.001, 1000.0), UnitFormatter("ms"), 0.5)
+        )
+        self.stereo_window = ps.register_parameter(
+            Parameter("StereoWindow", ExponentialRange(0.001, 1000.0), UnitFormatter("ms"), 0.5)
+        )
+        self.input_gain = ps.register_parameter(
+            Parameter("InputGain", LinearRange(-120.0, 120.0), DBFormatter(), 0.5)
+        )
+        self.window_size = ps.register_parameter(
+            Parameter("WindowSize", self.audio_history_transformatter, self.audio_history_transformatter, 0.5)
+        )
+        self.wave_z_rotation = ps.register_parameter(
+            Parameter("WaveZRotation", LinearRange(0.0, 360.0), UnitFormatter("deg"), 0.0)
+        )
+        self.antialias = ps.register_parameter(Parameter("Antialias", BooleanRange(), BooleanFormatter(), 1.0))
+        self.fade_older_points = ps.register_parameter(Parameter("FadeOlderPoints", BooleanRange(), BooleanFormatter(), 1.0))
+        self.interconnect_samples = ps.register_parameter(Parameter("InterconnectSamples", BooleanRange(), BooleanFormatter(), 1.0))
+        self.diagnostics = ps.register_parameter(Parameter("Diagnostics", BooleanRange(), BooleanFormatter(), 0.0))
+        self.primitive_size = ps.register_parameter(
+            Parameter("PrimitiveSize", LinearRange(0.01, 10.0), UnitFormatter("pts"), 0.1)
+        )
+        self.show_legend = ps.register_parameter(Parameter("ShowLegend", BooleanRange(), BooleanFormatter(), 1.0))
+        self.scale_polar_mode_to_fill = ps.register_parameter(
+            Parameter("ScalePolarModeToFill", BooleanRange(), BooleanFormatter(), 0.0)
+        )
+        self.auto_gain = ps.register_parameter(_choice("AutoGain", ["none", "rms", "peak decay"]))
+        self.operational_mode = ps.register_parameter(_choice("OperationalMode", ["lissajous", "polar"]))
+
+        self.waveform_colour = ps.register_bundle(ColourValue("DrawingColour", (0.0, 1.0, 0.0, 1.0)))
+        self.axis_colour = ps.register_bundle(ColourValue("GraphColour", (0.5, 0.5, 0.5, 1.0)))
+        self.background_colour = ps.register_bundle(ColourValue("BackgroundColour", (0.0, 0.0, 0.0, 1.0)))
+        self.skeleton_colour = ps.register_bundle(ColourValue("SkeletonColour", (0.3, 0.3, 0.3, 1.0)))
+        self.meter_colour = ps.register_bundle(ColourValue("MeterColour", (0.1, 0.6, 1.0, 1.0)))
+        self.widget_colour = ps.register_bundle(ColourValue("WidgetColour"))
+        self.transform = ps.register_bundle(TransformValue("Transform"))
+        ps.seal()
+
+    def make_processor_kwargs(self, sample_rate: float = 48_000.0) -> dict:
+        from signalizer_tpu.views.vectorscope import AutoGain, OperationalMode
+
+        return dict(
+            sample_rate=sample_rate,
+            mode=OperationalMode(int(self.operational_mode.get_transformed())),
+            autogain=AutoGain(int(self.auto_gain.get_transformed())),
+            envelope_window=self.envelope_window.get_normalized(),
+            stereo_window=self.stereo_window.get_normalized(),
+            rotation=self.wave_z_rotation.get_transformed() / 360.0,
+            user_gain=10.0 ** (self.input_gain.get_transformed() / 20.0),
+        )
+
+    VERSION = 1
+
+    def serialize(self, archive: Archive) -> None:
+        archive.version = self.VERSION
+        serialize_parameter_set(self.parameter_set, archive.child("Parameters"))
+
+    def deserialize(self, archive: Archive) -> None:
+        child = archive.find_child("Parameters")
+        if child is not None:
+            deserialize_parameter_set(self.parameter_set, child)
+
+
+# registration order mirrors the reference (MainEditor.cpp:70-75)
+CONTENT_CREATION_LIST = (VectorScopeContent, OscilloscopeContent, SpectrumContent)

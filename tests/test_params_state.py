@@ -1,0 +1,293 @@
+"""Parameter system, serialization, presets, view contents."""
+
+import math
+
+import numpy as np
+import pytest
+
+from signalizer_tpu.params.parameters import (
+    BooleanFormatter,
+    BooleanRange,
+    ChoiceFormatter,
+    DBFormatter,
+    ExponentialRange,
+    IntegerLinearRange,
+    LinearRange,
+    Parameter,
+    ParameterMap,
+    ParameterSet,
+    PercentageFormatter,
+    UnityRange,
+)
+from signalizer_tpu.params.transformatters import (
+    AudioHistoryTransformatter,
+    LinearHzFormatter,
+    TimeMode,
+    WindowSizeTransformatter,
+)
+from signalizer_tpu.params.values import (
+    ColourValue,
+    PowerSlopeValue,
+    TransformValue,
+    WindowDesignValue,
+)
+from signalizer_tpu.state.presets import PresetManager
+from signalizer_tpu.state.serialize import Archive
+from signalizer_tpu.views.content import (
+    CONTENT_CREATION_LIST,
+    OscilloscopeContent,
+    SpectrumContent,
+    VectorScopeContent,
+)
+
+
+# ---------------------------------------------------------------------------
+# transformers / formatters
+# ---------------------------------------------------------------------------
+
+
+def test_ranges_roundtrip():
+    for tr, lo, hi in [
+        (LinearRange(-96, 12), -96, 12),
+        (ExponentialRange(0.5, 1000.0), 0.5, 1000.0),
+        (IntegerLinearRange(0, 7), 0, 7),
+    ]:
+        for n in (0.0, 0.25, 0.5, 1.0):
+            v = tr.transform(n)
+            assert lo - 1e-9 <= v <= hi + 1e-9
+            assert abs(tr.normalize(v) - n) < 1e-9 or isinstance(tr, IntegerLinearRange)
+
+
+def test_choice_formatter():
+    f = ChoiceFormatter(["fft", "resonator"])
+    assert f.format(1.0) == "resonator"
+    assert f.parse("FFT") == 0.0
+    assert f.parse("resonator") == 1.0
+
+
+def test_parameter_listeners_and_pulse():
+    p = Parameter("test", LinearRange(0, 10))
+    events = []
+    p.add_rt_listener(lambda param, src: events.append(("rt", src)))
+    p.add_ui_listener(lambda param, src: events.append(("ui", src)))
+    p.update_from_host_normalized(0.5)
+    assert events == [("rt", "host")]
+    p.pulse_ui()
+    assert events[-1] == ("ui", "pulse")
+    p.pulse_ui()  # coalesced: no second delivery
+    assert len(events) == 2
+    assert p.get_transformed() == 5.0
+    assert p.version == 1
+
+
+def test_parameter_text_roundtrip():
+    p = Parameter("gain", LinearRange(-120, 120), DBFormatter(), 0.5)
+    assert p.get_display_text() == "0 dB"
+    assert p.set_from_text("-6 dB")
+    assert abs(p.get_transformed() + 6.0) < 1e-9
+
+
+def test_parameter_map_flat_indexing():
+    pm = ParameterMap()
+    s1 = pm.add_set(ParameterSet("A", "A."))
+    a0 = s1.register_parameter(Parameter("x"))
+    a1 = s1.register_parameter(Parameter("y"))
+    s2 = pm.add_set(ParameterSet("B", "B."))
+    b0 = s2.register_parameter(Parameter("z"))
+    assert pm.num_parameters() == 3
+    assert pm.find_parameter(0) is a0
+    assert pm.find_parameter(2) is b0
+    assert pm.flat_index_of(b0) == 2
+    assert b0.exported_name == "B.z"
+    with pytest.raises(IndexError):
+        pm.find_parameter(3)
+
+
+# ---------------------------------------------------------------------------
+# bundles
+# ---------------------------------------------------------------------------
+
+
+def test_colour_value():
+    c = ColourValue("test", (0.1, 0.2, 0.3, 1.0))
+    np.testing.assert_allclose(c.get_rgba(), (0.1, 0.2, 0.3, 1.0))
+    c.set_rgba((1, 0, 0, 0.5))
+    np.testing.assert_allclose(c.get_rgba(), (1, 0, 0, 0.5))
+    assert len(c.parameters()) == 4
+
+
+def test_window_design_value():
+    from signalizer_tpu.core.windows import WindowType
+
+    w = WindowDesignValue("win", WindowType.BLACKMAN)
+    assert w.get_window_type() == WindowType.BLACKMAN
+    kernel, scale = w.generate_window(256)
+    assert kernel.shape == (256,)
+    assert scale > 1.0  # blackman coherent gain < 1
+
+
+def test_power_slope_derive():
+    s = PowerSlopeValue("slope")
+    s.base.set_transformed(2.0)
+    s.pivot.set_transformed(1000.0)
+    s.slope.set_transformed(3.0)  # 3 dB/octave
+    a, b = s.derive()
+    # slope map at pivot must be 1; one octave up must be +3 dB
+    assert abs(b * 1000.0**a - 1.0) < 1e-9
+    assert abs(20 * math.log10(b * 2000.0**a) - 3.0) < 1e-9
+
+
+def test_transform_value_matrix():
+    t = TransformValue("tsf")
+    m = t.matrix()
+    assert m.shape == (3, 3)
+    t.rotation[2].set_transformed(90.0)
+    for i, s in enumerate(t.scale):
+        s.set_transformed(1.0)
+    m = t.matrix()
+    np.testing.assert_allclose(m @ [1, 0, 0], [0, 1, 0], atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# transformatters
+# ---------------------------------------------------------------------------
+
+
+def test_audio_history_transformatter():
+    t = AudioHistoryTransformatter(48_000.0, 48_000, minimum=128)
+    assert t.transform(0.0) == 128.0
+    assert t.transform(1.0) == 48_000.0
+    assert abs(t.normalize(t.transform(0.37)) - 0.37) < 1e-9
+    assert t.format(4800.0) == "100.0 ms"
+    assert abs(t.parse("100 ms") - 4800.0) < 1e-9
+    assert t.parse("1024 smps") == 1024.0
+
+
+def test_window_size_transformatter_modes():
+    t = WindowSizeTransformatter(48_000.0, 48_000)
+    t.time_mode = TimeMode.TIME
+    assert t.transform(0.0) == 100.0
+    t.time_mode = TimeMode.CYCLES
+    assert t.transform(0.0) == 1.0
+    assert t.transform(1.0) == 32.0
+    t.time_mode = TimeMode.BEATS
+    vals = {t.transform(n) for n in np.linspace(0, 1, 21)}
+    assert vals <= {1.0, 2.0, 4.0, 8.0, 16.0, 32.0}  # pow2 quantized
+
+
+def test_linear_hz_formatter_notes():
+    f = LinearHzFormatter(48_000.0, reference_tuning=440.0)
+    assert abs(f.parse("a4") - 440.0) < 1e-9
+    assert abs(f.parse("A5") - 880.0) < 1e-9
+    assert abs(f.parse("c#3") - 138.591) < 0.01
+    assert abs(f.parse("eb4") - 311.127) < 0.01
+    assert abs(f.parse("480 smps") - 100.0) < 1e-9
+    assert abs(f.parse("10 ms") - 100.0) < 1e-9
+    assert abs(f.parse("440 hz") - 440.0) < 1e-9
+    assert abs(f.parse("0.1 r") - 0.1 * 48000 / (2 * math.pi)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# serialization
+# ---------------------------------------------------------------------------
+
+
+def test_archive_roundtrip():
+    ar = Archive(version=3)
+    ar["x"] = 1.5
+    ar["s"] = "hello"
+    ar["flag"] = True
+    ar["arr"] = np.arange(6, dtype=np.float32).reshape(2, 3)
+    ar.child("sub")["y"] = 7
+    ar.child("sub").version = 2
+    data = ar.to_bytes()
+    back = Archive.from_bytes(data)
+    assert back.version == 3
+    assert back["x"] == 1.5 and back["s"] == "hello" and back["flag"] is True
+    np.testing.assert_array_equal(back["arr"], ar["arr"])
+    assert back.child("sub")["y"] == 7
+    assert back.child("sub").version == 2
+    # tolerant reads for version evolution
+    assert back.get("added_in_v4", "default") == "default"
+
+
+def test_archive_rejects_unserializable():
+    ar = Archive()
+    with pytest.raises(TypeError):
+        ar["bad"] = object()
+
+
+def test_preset_manager(tmp_path):
+    pm = PresetManager(tmp_path)
+    ar = Archive()
+    ar["value"] = 42
+    pm.save("test.main", ar)
+    assert pm.list_presets() == ["test.main"]
+    assert pm.load("test.main")["value"] == 42
+    assert pm.try_load("missing") is None
+    assert pm.delete("test.main")
+    assert pm.list_presets() == []
+
+
+# ---------------------------------------------------------------------------
+# contents
+# ---------------------------------------------------------------------------
+
+
+def test_contents_roundtrip_through_archive():
+    """Full session save/restore across fresh content instances
+    (ref: PluginProcessor serialize/deserialize, §3.4)."""
+    session = Archive(version=1)
+    contents = [cls() for cls in CONTENT_CREATION_LIST]
+    # twiddle some knobs
+    sc = contents[2]
+    sc.low_dbs.set_transformed(-60.0)
+    sc.channel_configuration.set_transformed(5)  # separate
+    vs = contents[0]
+    vs.input_gain.set_transformed(12.0)
+    for c in contents:
+        c.serialize(session.child(c.NAME))
+
+    restored = [cls() for cls in CONTENT_CREATION_LIST]
+    for c in restored:
+        c.deserialize(session.child(c.NAME))
+    assert abs(restored[2].low_dbs.get_transformed() + 60.0) < 1e-6
+    assert int(restored[2].channel_configuration.get_transformed()) == 5
+    assert abs(restored[0].input_gain.get_transformed() - 12.0) < 1e-6
+
+
+def test_spectrum_content_builds_constant():
+    sc = SpectrumContent()
+    sc.channel_configuration.set_transformed(5)  # separate
+    constant = sc.make_constant(axis_points=128)
+    assert constant.axis_points == 128
+    assert constant.state_channels == 2
+    assert constant.view_scaling.name == "LOGARITHMIC"
+
+
+def test_oscilloscope_content_builds_processor():
+    from signalizer_tpu.views.oscilloscope import OscilloscopeProcessor
+
+    oc = OscilloscopeContent()
+    oc.trigger_mode.set_transformed(4)  # zero crossing
+    kw = oc.make_processor_kwargs()
+    proc = OscilloscopeProcessor(pairs=1, pixels=64, **kw)
+    frame = proc.process(np.zeros((1, 2, 8192), np.float32))
+    assert frame.waveform.shape[-1] == 64
+
+
+def test_vectorscope_content_builds_processor():
+    from signalizer_tpu.views.vectorscope import VectorscopeProcessor
+
+    vc = VectorScopeContent()
+    vc.operational_mode.set_transformed(1)  # polar
+    proc = VectorscopeProcessor(pairs=1, **vc.make_processor_kwargs())
+    out = proc.process(np.zeros((1, 2, 128), np.float32))
+    assert out.vertices.shape == (1, 128, 3)
+
+
+def test_exported_names_have_view_prefixes():
+    sc = SpectrumContent()
+    assert all(p.exported_name.startswith("SC.") for p in sc.parameter_set)
+    oc = OscilloscopeContent()
+    assert all(p.exported_name.startswith("OS.") for p in oc.parameter_set)
