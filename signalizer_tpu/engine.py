@@ -1,0 +1,232 @@
+"""SignalizerEngine — the top-level instance (embedding / library API).
+
+Equivalent of the reference's AudioProcessor + MainEditor wiring minus the
+GUI (ref: Source/Processor/PluginProcessor.{h,cpp} — stream creation :46-114,
+flat host-parameter API :414-438, state save/restore :224-406; MainEditor's
+MixGraphListener ownership, MainEditor.cpp:145-146; the single-TU embedding
+build the reference offers, Source/Unity/SignalizerSource.cpp). One engine
+== one "plugin instance": a realtime input stream, a HostGraph node, a
+MixGraph producing the presentation stream, the three view contents and
+their processors, plus full-session serialization.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+
+from signalizer_tpu.core.config import DEFAULT_HISTORY_SIZE, MAX_INPUT_CHANNELS
+from signalizer_tpu.params.parameters import ParameterMap
+from signalizer_tpu.state.presets import PresetManager
+from signalizer_tpu.state.serialize import Archive, SerializableObject
+from signalizer_tpu.stream.audio_stream import AudioStream, AudioStreamInfo, Playhead
+from signalizer_tpu.stream.host_graph import HostGraph, PortPair, SerializationControl
+from signalizer_tpu.stream.mix_graph import MixGraph
+from signalizer_tpu.utils.diagnostics import Diagnostics, SharedBehaviour
+from signalizer_tpu.views.content import (
+    OscilloscopeContent,
+    SpectrumContent,
+    VectorScopeContent,
+)
+
+
+@dataclass
+class ConcurrentConfig:
+    """Engine facts snapshot (ref: Source/Common/ConcurrentConfig.h:39-46)."""
+
+    sample_rate: float = 48_000.0
+    history_size: int = DEFAULT_HISTORY_SIZE
+    history_capacity: int = DEFAULT_HISTORY_SIZE
+    bpm: float = 120.0
+    num_channels: int = 2
+
+
+class SignalizerEngine(SerializableObject):
+    """One analysis instance."""
+
+    VERSION = 1
+
+    def __init__(
+        self,
+        name: str = "signalizer",
+        *,
+        channels: int = 2,
+        sample_rate: float = 48_000.0,
+        history_capacity: int = DEFAULT_HISTORY_SIZE,
+        threaded: bool = False,
+        preset_dir: Optional[str] = None,
+    ):
+        if channels > MAX_INPUT_CHANNELS:
+            raise ValueError(f"at most {MAX_INPUT_CHANNELS} channels")
+        self.config = ConcurrentConfig(
+            sample_rate=sample_rate,
+            history_capacity=history_capacity,
+            num_channels=channels,
+        )
+        self.behaviour = SharedBehaviour()
+        self.diagnostics = Diagnostics()
+
+        info = AudioStreamInfo(
+            channels=channels,
+            sample_rate=sample_rate,
+            audio_history_capacity=history_capacity,
+        )
+        self.realtime_input, self.realtime_output = AudioStream.create(threaded, info)
+        self.host_graph = HostGraph(name, channels=channels)
+        self.host_graph.stream_output = self.realtime_output
+        self.mix_graph = MixGraph(self.host_graph, self.realtime_output)
+
+        # contents in the reference's registration order (MainEditor.cpp:70-75)
+        self.vectorscope = VectorScopeContent(sample_rate, history_capacity)
+        self.oscilloscope = OscilloscopeContent(sample_rate, history_capacity)
+        self.spectrum = SpectrumContent(sample_rate, history_capacity)
+        self.parameter_map = ParameterMap()
+        for content in (self.vectorscope, self.oscilloscope, self.spectrum):
+            self.parameter_map.add_set(content.parameter_set)
+
+        self.presets = PresetManager(preset_dir) if preset_dir else None
+        if self.presets:
+            default = self.presets.load_default()
+            if default is not None:
+                self.deserialize(default)
+
+        self._playhead = Playhead()
+
+    # --- audio entry (ref: processBlock, PluginProcessor.cpp:163-208) ------
+    def process_block(self, block: np.ndarray, playhead: Optional[Playhead] = None) -> None:
+        block = np.asarray(block, np.float32)
+        if playhead is None:
+            playhead = self._playhead
+        self.realtime_input.process_incoming_audio(block, playhead)
+        self._playhead = playhead.advanced(block.shape[1])
+        self.config.bpm = playhead.bpm
+
+    @property
+    def presentation_output(self):
+        """The mixed multichannel stream all views consume."""
+        return self.mix_graph.presentation_output
+
+    def get_presentation_history(self, n: int) -> np.ndarray:
+        return self.presentation_output.get_history(n)
+
+    # --- flat host parameter API (ref: PluginProcessor.cpp:414-438) --------
+    def num_parameters(self) -> int:
+        return self.parameter_map.num_parameters()
+
+    def get_parameter(self, index: int) -> float:
+        return self.parameter_map.find_parameter(index).get_normalized()
+
+    def set_parameter(self, index: int, normalized: float) -> None:
+        self.parameter_map.find_parameter(index).update_from_host_normalized(normalized)
+
+    def get_parameter_name(self, index: int) -> str:
+        return self.parameter_map.find_parameter(index).exported_name
+
+    def get_parameter_text(self, index: int) -> str:
+        return self.parameter_map.find_parameter(index).get_display_text()
+
+    def pulse_ui(self) -> None:
+        self.parameter_map.pulse_ui()
+
+    # --- view factories ---------------------------------------------------------
+    def make_spectrum_processor(self, *, axis_points: int = 1024, pairs: int = 1,
+                                frames_per_second: float = 60.0):
+        from signalizer_tpu.views.spectrum import SpectrumProcessor
+
+        constant = self.spectrum.make_constant(
+            axis_points=axis_points,
+            sample_rate=self.config.sample_rate,
+            frames_per_second=frames_per_second,
+        )
+        return SpectrumProcessor(constant, pairs=pairs)
+
+    def make_oscilloscope_processor(self, *, pixels: int = 1024, pairs: int = 1):
+        from signalizer_tpu.views.oscilloscope import OscilloscopeProcessor
+
+        return OscilloscopeProcessor(
+            pairs=pairs, pixels=pixels,
+            **self.oscilloscope.make_processor_kwargs(self.config.sample_rate),
+        )
+
+    def make_vectorscope_processor(self, *, pairs: int = 1):
+        from signalizer_tpu.views.vectorscope import VectorscopeProcessor
+
+        return VectorscopeProcessor(
+            pairs=pairs, **self.vectorscope.make_processor_kwargs(self.config.sample_rate)
+        )
+
+    def make_spectrogram_processor(self, *, axis_points: int = 256, pairs: int = 1,
+                                   image_width: int = 512, overlap: float = 0.0):
+        from signalizer_tpu.views.spectrogram import SpectrogramProcessor
+
+        constant = self.spectrum.make_constant(
+            axis_points=axis_points, sample_rate=self.config.sample_rate
+        )
+        return SpectrogramProcessor(
+            constant,
+            pairs=pairs,
+            blob_ms=self.spectrum.blob_size.get_transformed(),
+            overlap=overlap,
+            image_width=image_width,
+        )
+
+    # --- session state (ref: serialize/deserialize, PluginProcessor.cpp) ---
+    def serialize(self, archive: Archive) -> None:
+        archive.version = self.VERSION
+        params = archive.child("Parameters")
+        for content in (self.vectorscope, self.oscilloscope, self.spectrum):
+            content.serialize(params.child(content.NAME))
+        engine = archive.child("Engine")
+        engine["historyCapacity"] = self.config.history_capacity
+        engine["sampleRate"] = self.config.sample_rate
+        self.host_graph.serialize(archive.child("host-graph"))
+
+    def deserialize(self, archive: Archive) -> None:
+        params = archive.find_child("Parameters")
+        if params is not None:
+            for content in (self.vectorscope, self.oscilloscope, self.spectrum):
+                child = params.find_child(content.NAME)
+                if child is not None:
+                    content.deserialize(child)
+        engine = archive.find_child("Engine")
+        if engine is not None:
+            self.config.history_capacity = int(engine.get("historyCapacity", self.config.history_capacity))
+        hg = archive.find_child("host-graph")
+        if hg is not None:
+            self.host_graph.deserialize(hg)
+
+    def save_preset(self, name: str) -> None:
+        if not self.presets:
+            raise RuntimeError("engine created without preset_dir")
+        ar = Archive()
+        self.serialize(ar)
+        self.presets.save(name, ar)
+
+    def load_preset(self, name: str) -> bool:
+        if not self.presets:
+            raise RuntimeError("engine created without preset_dir")
+        ar = self.presets.try_load(name)
+        if ar is None:
+            return False
+        self.deserialize(ar)
+        return True
+
+    def perf_snapshot(self) -> Dict[str, float]:
+        """BASELINE observability metrics."""
+        mix = self.mix_graph.perf
+        stream = self.realtime_output.get_perf_measures()
+        return {
+            **self.diagnostics.snapshot(),
+            "mix_latency_samples": mix.latency_samples,
+            "mix_synchronized": float(mix.synchronized),
+            "mix_discontinuities": mix.discontinuities,
+            "stream_dropped_frames": stream.dropped_frames,
+            "stream_in_flight": stream.in_flight_packets,
+        }
+
+    def close(self) -> None:
+        self.mix_graph.close()
+        self.host_graph.close()
+        self.realtime_output._stream.close()

@@ -1,0 +1,275 @@
+"""MixGraph — multi-source clock-aligned mixing into one presentation stream.
+
+Equivalent of the reference's MixGraphListener
+(ref: Source/Common/MixGraphListener.{h,cpp}): ingests audio from every
+connected instance, aligns sources on the sample clock, bounds staleness by
+``maximumLatency = max(128, 2 * block size)`` (MixGraphListener.cpp:107),
+repairs drift, gathers connected ports into one multichannel matrix and
+emits it into the presentation stream each time the *self* stream delivers
+(deliver, :247-334). Functionally an all-gather with clock synchronization
+and flow control (SURVEY.md §5.8).
+
+Re-specification (the reference's version is known-buggy,
+Source/Notes/Bugs.txt): alignment is expressed as, per source, a single
+*clock offset* mapping source sample clocks onto the self clock, estimated
+at connection time and re-estimated whenever the source strays outside the
+latency window (covers both discontinuities and persistent drift — the
+reference's separate drop/insert-silence paths). Port reads validate
+against the source's actual channel count (Bugs.txt #2) and emit silence
+for out-of-range ports instead of indexing out of bounds. All topology
+edits are applied on the delivery path via a command queue exactly like
+the reference (updateTopologyCommands, :482-537), so listener callbacks
+never race structural changes.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from signalizer_tpu.core.config import MAX_INPUT_CHANNELS
+from signalizer_tpu.stream.audio_stream import (
+    AudioStream,
+    AudioStreamInfo,
+    AudioStreamOutput,
+    Playhead,
+)
+from signalizer_tpu.stream.host_graph import HostGraph, PortPair
+from signalizer_tpu.stream.ring_buffer import RingBuffer
+
+
+@dataclass
+class MixPerf:
+    """Latency & sync reporting (ref: MixGraphListener.cpp:185-193)."""
+
+    latency_samples: int = 0
+    synchronized: bool = True
+    discontinuities: int = 0
+    silence_inserted: int = 0
+    samples_dropped: int = 0
+
+
+class _SourceState:
+    """Per-source alignment state (ref: MixGraphListener::State)."""
+
+    def __init__(self, output: AudioStreamOutput, pairs: Set[PortPair], capacity: int):
+        self.output = output
+        self.pairs = set(pairs)
+        self.channels = output.info.channels
+        self.ring = RingBuffer(self.channels, capacity)
+        self.clock = 0  # source-side sample clock at ring head
+        self.offset: Optional[int] = None  # source clock -> self clock
+        self.listener = None
+
+
+class MixGraph:
+    """Owns the presentation stream; mixes per the host graph's topology.
+
+    Usage::
+
+        graph = HostGraph("me", channels=2)
+        graph.stream_output = my_realtime_output   # publish for peers
+        mix = MixGraph(graph, my_realtime_output)
+        mix.presentation_output.add_listener(my_view_listener)
+    """
+
+    def __init__(
+        self,
+        host_graph: HostGraph,
+        realtime_output: AudioStreamOutput,
+        *,
+        capacity: int = 65536,
+        threaded_presentation: bool = False,
+    ):
+        self.graph = host_graph
+        self.realtime = realtime_output
+        self.capacity = capacity
+        self.maximum_latency = 128  # ref: max(128, 2*blocksize)
+        self.perf = MixPerf()
+        self._sources: Dict[bytes, _SourceState] = {}
+        self._pending_commands: List[Tuple[str, object]] = []
+        self._cmd_lock = threading.Lock()
+        self._emitted_up_to = 0  # self-clock position of last emitted sample
+        self._self_clock = 0
+
+        # presentation stream (what views listen to)
+        info = AudioStreamInfo(
+            channels=min(host_graph.channels, MAX_INPUT_CHANNELS),
+            sample_rate=realtime_output.info.sample_rate,
+            audio_history_capacity=realtime_output.info.audio_history_capacity,
+        )
+        self.presentation_input, self.presentation_output = AudioStream.create(
+            threaded_presentation, info
+        )
+
+        host_graph.add_topology_listener(self._on_topology_changed)
+        # subscribe to the self stream
+        self._self_listener = _Forwarder(self, None, is_self=True)
+        realtime_output.add_listener(self._self_listener)
+        self._on_topology_changed()
+
+    # --- topology ------------------------------------------------------------
+    def _on_topology_changed(self) -> None:
+        with self._cmd_lock:
+            self._pending_commands.append(("rebuild", None))
+
+    def _apply_commands(self) -> None:
+        """Applied on the delivery path (ref: updateTopologyCommands)."""
+        with self._cmd_lock:
+            cmds = self._pending_commands
+            self._pending_commands = []
+        for op, _ in cmds:
+            if op == "rebuild":
+                self._rebuild_sources()
+
+    def _rebuild_sources(self) -> None:
+        wanted: Dict[bytes, Set[PortPair]] = {}
+        for src_id, pairs in self.graph.topology.items():
+            node = HostGraph.find(src_id)
+            output = None
+            if src_id == self.graph.node_id:
+                output = self.realtime
+            elif node is not None:
+                output = getattr(node, "stream_output", None)
+            if output is not None and pairs:
+                wanted[src_id] = set(pairs)
+
+        # drop removed
+        for src_id in list(self._sources):
+            if src_id not in wanted:
+                st = self._sources.pop(src_id)
+                if st.listener is not None and st.output is not self.realtime:
+                    st.output.remove_listener(st.listener)
+        # add new / update pairs
+        for src_id, pairs in wanted.items():
+            st = self._sources.get(src_id)
+            if st is None:
+                node = HostGraph.find(src_id)
+                output = self.realtime if src_id == self.graph.node_id else node.stream_output
+                st = _SourceState(output, pairs, self.capacity)
+                if output is not self.realtime:
+                    st.listener = _Forwarder(self, st, is_self=False)
+                    output.add_listener(st.listener)
+                self._sources[src_id] = st
+            else:
+                st.pairs = set(pairs)
+        self._update_channel_names()
+
+    def _update_channel_names(self) -> None:
+        """Propagate port names into the presentation stream
+        (ref: enqueueChannelName, MixGraphListener.cpp:210,236)."""
+        for src_id, st in self._sources.items():
+            node = HostGraph.find(src_id)
+            name = node.name if node else src_id.hex()[:8]
+            for p in sorted(st.pairs):
+                if p.destination < self.presentation_input._stream.info.channels:
+                    self.presentation_input.enqueue_channel_name(
+                        p.destination, f"{name}:{p.source}"
+                    )
+
+    # --- ingest ------------------------------------------------------------
+    def _on_source_audio(self, st: _SourceState, block: np.ndarray, playhead: Playhead) -> None:
+        end_clock = playhead.steady_clock + block.shape[1]
+        st.ring.write(block)
+        st.clock = end_clock
+
+    def _on_self_audio(self, block: np.ndarray, playhead: Playhead) -> None:
+        n = block.shape[1]
+        self.maximum_latency = max(128, 2 * n)
+        self._apply_commands()
+        self._self_clock = playhead.steady_clock + n
+
+        # make sure the self stream is in the source map even if the user
+        # never connected explicit self-edges: default layout i->i
+        # (ref: applyDefaultLayoutFromRuntime)
+        if self.graph.node_id not in self.graph.topology and not self._sources:
+            self.graph.topology[self.graph.node_id] = {
+                PortPair(i, i)
+                for i in range(min(self.realtime.info.channels, self.graph.channels))
+            }
+            self._rebuild_sources()
+        if self.graph.node_id in self.graph.topology and self.graph.node_id not in self._sources:
+            self._rebuild_sources()
+
+        self_state = self._sources.get(self.graph.node_id)
+        if self_state is not None:
+            # the forwarder for self doesn't write (we do it here, once)
+            self_state.ring.write(block)
+            self_state.clock = self._self_clock
+            if self_state.offset is None:
+                self_state.offset = 0
+
+        # establish / repair offsets and find the emittable range
+        emit_target = self._self_clock
+        emit_end = emit_target
+        synced = True
+        for st in self._sources.values():
+            if st.offset is None:
+                # first contact: align the source's head to "now"
+                st.offset = self._self_clock - st.clock
+            aligned_head = st.clock + st.offset
+            lag = emit_target - aligned_head
+            if lag > self.maximum_latency:
+                # persistent lag / discontinuity: re-anchor and count it
+                st.offset = self._self_clock - st.clock
+                self.perf.discontinuities += 1
+                self.perf.silence_inserted += int(lag)
+                synced = False
+                aligned_head = st.clock + st.offset
+            emit_end = min(emit_end, aligned_head)
+
+        emit_start = max(self._emitted_up_to, emit_target - self.maximum_latency)
+        if emit_end <= emit_start:
+            self.perf.synchronized = False
+            return
+        count = int(emit_end - emit_start)
+        self.perf.latency_samples = int(emit_target - emit_end)
+        self.perf.synchronized = synced
+
+        channels = self.presentation_input._stream.info.channels
+        matrix = np.zeros((channels, count), np.float32)
+        for st in self._sources.values():
+            src_end = emit_end - st.offset
+            try:
+                data = st.ring.read_at(int(src_end), count)
+            except ValueError:
+                self.perf.silence_inserted += count
+                continue
+            for p in st.pairs:
+                # Bugs.txt #2: validate against the source's REAL channels
+                if p.source < st.channels and p.destination < channels:
+                    matrix[p.destination] += data[p.source]
+
+        self._emitted_up_to = emit_end
+        self.presentation_input.process_incoming_audio(matrix, playhead)
+
+    def close(self) -> None:
+        for st in self._sources.values():
+            if st.listener is not None and st.output is not self.realtime:
+                st.output.remove_listener(st.listener)
+        self.realtime.remove_listener(self._self_listener)
+        self.presentation_input._stream.close()
+
+
+class _Forwarder:
+    """Listener adapter routing stream callbacks into the mix graph."""
+
+    def __init__(self, mix: MixGraph, state: Optional[_SourceState], is_self: bool):
+        self.mix = mix
+        self.state = state
+        self.is_self = is_self
+
+    def on_stream_audio(self, ctx, block) -> None:
+        if self.is_self:
+            self.mix._on_self_audio(block, ctx.playhead)
+        else:
+            self.mix._on_source_audio(self.state, block, ctx.playhead)
+
+    def on_stream_properties_changed(self, ctx, before) -> None:
+        pass
+
+    def on_stream_died(self, ctx) -> None:
+        pass

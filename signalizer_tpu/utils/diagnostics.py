@@ -1,0 +1,95 @@
+"""Diagnostics, global behaviour toggles, non-terminal assumptions.
+
+Equivalents of the reference's observability surface (ref: SURVEY.md §4/§5):
+
+* :class:`Diagnostics` — the diagnostics-HUD data (ref: per-view HUD,
+  SpectrumRendering.cpp:149-184) plus the BASELINE metrics (frames/sec,
+  latency percentiles).
+* :class:`SharedBehaviour` — global toggles (ref: SharedBehaviour.h:37-45).
+* :func:`assumption` — NONTERMINAL_ASSUMPTION (ref: CommonSignalizer.h:1175,
+  impl CommonSignalizer.cpp:51-83): hashed once-only reporting of violated
+  invariants via logging instead of crashing.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger("signalizer_tpu")
+
+_seen_assumptions: set = set()
+
+
+def assumption(condition: bool, message: str) -> bool:
+    """Non-fatal invariant check: logs each *distinct* violation once
+    (dedup by message hash, like the reference's hashed once-only MsgBox
+    queue) and returns the condition so callers can early-out."""
+    if not condition:
+        key = hash(message)
+        if key not in _seen_assumptions:
+            _seen_assumptions.add(key)
+            logger.error("assumption violated: %s", message)
+    return bool(condition)
+
+
+def reset_assumptions() -> None:
+    _seen_assumptions.clear()
+
+
+@dataclass
+class SharedBehaviour:
+    """ref: SharedBehaviour.h:37-45."""
+
+    hide_widgets_on_mouse_exit: bool = False
+    stop_processing_on_suspend: bool = False
+    show_legend: bool = True
+
+
+class Diagnostics:
+    """Rolling frame statistics (ref: GraphicsWindow 64-tap box filters,
+    CommonSignalizer.h:163-231 + AudioStream perf measures)."""
+
+    def __init__(self, window: int = 64):
+        self.window = window
+        self._frame_times: List[float] = []
+        self._latencies: List[float] = []
+        self._last = None
+        self.counters: Dict[str, float] = {}
+
+    def tick_frame(self) -> None:
+        now = time.perf_counter()
+        if self._last is not None:
+            self._frame_times.append(now - self._last)
+            self._frame_times = self._frame_times[-self.window :]
+        self._last = now
+
+    def record_latency(self, seconds: float) -> None:
+        self._latencies.append(seconds)
+        self._latencies = self._latencies[-max(self.window * 4, 256) :]
+
+    def bump(self, name: str, amount: float = 1.0) -> None:
+        self.counters[name] = self.counters.get(name, 0.0) + amount
+
+    @property
+    def fps(self) -> float:
+        if not self._frame_times:
+            return 0.0
+        return 1.0 / float(np.mean(self._frame_times))
+
+    def latency_percentiles(self) -> Dict[str, float]:
+        if not self._latencies:
+            return {"p50_ms": 0.0, "p99_ms": 0.0}
+        arr = np.asarray(self._latencies) * 1e3
+        return {
+            "p50_ms": float(np.percentile(arr, 50)),
+            "p99_ms": float(np.percentile(arr, 99)),
+        }
+
+    def snapshot(self) -> Dict[str, float]:
+        out = {"fps": self.fps, **self.latency_percentiles(), **self.counters}
+        return out

@@ -1,0 +1,275 @@
+"""HostGraph topology + MixGraph alignment tests (SURVEY.md §5.8)."""
+
+import numpy as np
+import pytest
+
+from signalizer_tpu.stream.audio_stream import AudioStream, AudioStreamInfo, Playhead
+from signalizer_tpu.stream.host_graph import (
+    HostGraph,
+    PortPair,
+    SerializationControl,
+)
+from signalizer_tpu.stream.mix_graph import MixGraph
+from signalizer_tpu.state.serialize import Archive
+
+
+@pytest.fixture(autouse=True)
+def _clean_registry():
+    yield
+    for node in HostGraph.live_nodes():
+        node.close()
+    HostGraph._alias_chains.clear()
+
+
+class _Sink:
+    def __init__(self):
+        self.blocks = []
+
+    def on_stream_audio(self, ctx, block):
+        self.blocks.append(block.copy())
+
+    def on_stream_properties_changed(self, ctx, before):
+        pass
+
+    def on_stream_died(self, ctx):
+        pass
+
+    def concat(self):
+        return np.concatenate(self.blocks, axis=1) if self.blocks else np.zeros((0, 0))
+
+
+def _make_instance(name, channels=2, history=65536):
+    inp, out = AudioStream.create(
+        threaded=False, info=AudioStreamInfo(channels=channels, audio_history_capacity=history)
+    )
+    graph = HostGraph(name, channels=channels)
+    graph.stream_output = out
+    return inp, out, graph
+
+
+# ---------------------------------------------------------------------------
+# host graph
+# ---------------------------------------------------------------------------
+
+
+def test_connect_disconnect_and_model():
+    _, _, a = _make_instance("a")
+    _, _, b = _make_instance("b")
+    assert a.connect(b.node_id, PortPair(0, 1))
+    model = a.get_model()
+    assert len(model.edges) == 1
+    assert model.edges[0][2] == PortPair(0, 1)
+    assert not model.missing
+    assert a.disconnect(b.node_id, PortPair(0, 1))
+    assert not a.get_model().edges
+
+
+def test_toggle_set_default_layout():
+    _, _, a = _make_instance("a")
+    _, _, b = _make_instance("b")
+    assert a.toggle_set(b.node_id)  # connect i->i
+    assert a.topology[b.node_id] == {PortPair(0, 0), PortPair(1, 1)}
+    assert not a.toggle_set(b.node_id)  # disconnects
+    assert b.node_id not in a.topology
+
+
+def test_edges_survive_peer_death_and_rebind():
+    """ref: liveReference == nullptr keeps edges; tryRebuildTopology
+    rebinds when a matching identity reappears (HostGraph.cpp:334-364,
+    :736-749)."""
+    _, _, a = _make_instance("a")
+    _, _, b = _make_instance("b")
+    b_id = b.node_id
+    a.connect(b_id, PortPair(0, 0))
+    # serialize b, kill it
+    ar = Archive()
+    b.serialize(ar)
+    b.close()
+    model = a.get_model()
+    assert model.missing == [b_id.hex()]
+    assert a.expected_nodes_to_resurrect() == 1
+    # resurrect: a new instance loads b's state -> assumes its identity
+    _, _, b2 = _make_instance("b-reborn")
+    b2.deserialize(ar)
+    assert b2.node_id == b_id
+    assert a.expected_nodes_to_resurrect() == 0
+    assert not a.get_model().missing
+
+
+def test_alias_chain_resurrection():
+    """Two instances loading the same identity: second becomes an alias;
+    on canonical death the alias takes over (ref: resurrectNextAlias)."""
+    _, _, original = _make_instance("orig")
+    ar = Archive()
+    original.serialize(ar)
+    _, _, clone = _make_instance("clone")
+    clone.deserialize(ar)  # identity collision -> alias
+    assert clone.node_id != original.node_id
+    orig_id = original.node_id
+    original.close()
+    assert clone.node_id == orig_id  # promoted
+    assert HostGraph.find(orig_id) is clone
+
+
+def test_serialization_control_modes():
+    _, _, a = _make_instance("a")
+    _, _, b = _make_instance("b")
+    a.connect(b.node_id, PortPair(0, 0))
+    a.serialization_control = SerializationControl.IGNORE_ALWAYS
+    ar = Archive()
+    a.serialize(ar)
+    assert ar.find_child("edges") is None
+    a.serialization_control = SerializationControl.FULL
+    ar2 = Archive()
+    a.serialize(ar2)
+    _, _, c = _make_instance("c")
+    c.serialization_control = SerializationControl.IGNORE_SESSION
+    before = dict(c.topology)
+    ar2_copy = Archive.from_bytes(ar2.to_bytes())
+    ar2_copy["control"] = int(SerializationControl.IGNORE_SESSION)
+    c.deserialize(ar2_copy)
+    assert c.topology == before  # topology not restored
+
+
+def test_invalid_connects_rejected():
+    _, _, a = _make_instance("a", channels=2)
+    _, _, b = _make_instance("b")
+    assert not a.connect(b.node_id, PortPair(0, 5))  # dest out of range
+    assert not a.connect(b.node_id, PortPair(-1, 0))
+
+
+# ---------------------------------------------------------------------------
+# mix graph
+# ---------------------------------------------------------------------------
+
+
+def test_self_default_layout_passthrough():
+    """With no explicit topology, the self stream passes through i->i."""
+    inp, out, graph = _make_instance("solo")
+    mix = MixGraph(graph, out)
+    sink = _Sink()
+    mix.presentation_output.add_listener(sink)
+    block = np.random.default_rng(0).standard_normal((2, 256)).astype(np.float32)
+    ph = Playhead(steady_clock=0, is_playing=True)
+    inp.process_incoming_audio(block, ph)
+    got = sink.concat()
+    np.testing.assert_allclose(got, block, atol=1e-7)
+    assert mix.perf.synchronized
+    mix.close()
+
+
+def test_two_instance_mixing_aligned():
+    """Peer audio mixes into the destination channels, clock-aligned."""
+    inp_a, out_a, ga = _make_instance("a")
+    inp_b, out_b, gb = _make_instance("b")
+    mix = MixGraph(ga, out_a)
+    sink = _Sink()
+    mix.presentation_output.add_listener(sink)
+
+    ga.topology[ga.node_id] = {PortPair(0, 0), PortPair(1, 1)}
+    ga.connect(gb.node_id, PortPair(0, 1))  # b's left into our right
+
+    a_block = np.zeros((2, 128), np.float32)
+    a_block[0] = 1.0
+    b_block = np.zeros((2, 128), np.float32)
+    b_block[0] = 0.5
+
+    # interleaved delivery, same clocks
+    for i in range(4):
+        ph = Playhead(steady_clock=i * 128)
+        inp_b.process_incoming_audio(b_block, ph)
+        inp_a.process_incoming_audio(a_block, ph)
+
+    got = sink.concat()
+    assert got.shape[0] == 2
+    # after alignment settles, channel 0 = a left (1.0), channel 1 = a right
+    # (0.0) + b left (0.5)
+    np.testing.assert_allclose(got[0, -128:], 1.0, atol=1e-6)
+    np.testing.assert_allclose(got[1, -128:], 0.5, atol=1e-6)
+    assert mix.perf.synchronized
+    mix.close()
+
+
+def test_clock_offset_between_sources():
+    """Sources with different steady-clock origins still align by offset."""
+    inp_a, out_a, ga = _make_instance("a")
+    inp_b, out_b, gb = _make_instance("b")
+    mix = MixGraph(ga, out_a)
+    sink = _Sink()
+    mix.presentation_output.add_listener(sink)
+    ga.topology[ga.node_id] = {PortPair(0, 0)}
+    ga.connect(gb.node_id, PortPair(0, 1))
+
+    rng = np.random.default_rng(1)
+    b_sig = rng.standard_normal((2, 512)).astype(np.float32)
+    # b's clock starts at 10_000, a's at 0 — content must still line up
+    for i in range(4):
+        inp_b.process_incoming_audio(
+            b_sig[:, i * 128 : (i + 1) * 128], Playhead(steady_clock=10_000 + i * 128)
+        )
+        inp_a.process_incoming_audio(
+            np.zeros((2, 128), np.float32), Playhead(steady_clock=i * 128)
+        )
+    got = sink.concat()
+    # channel 1 should reproduce b's stream (modulo initial alignment)
+    tail = got[1, -128:]
+    expect = b_sig[0, got.shape[1] - 128 : got.shape[1]]
+    np.testing.assert_allclose(tail, expect, atol=1e-6)
+    mix.close()
+
+
+def test_stalled_source_inserts_silence_and_recovers():
+    """A source that stops delivering must not stall the mix; it re-anchors
+    on return (drift repair, ref: deliver drop/insert logic)."""
+    inp_a, out_a, ga = _make_instance("a")
+    inp_b, out_b, gb = _make_instance("b")
+    mix = MixGraph(ga, out_a)
+    sink = _Sink()
+    mix.presentation_output.add_listener(sink)
+    ga.topology[ga.node_id] = {PortPair(0, 0)}
+    ga.connect(gb.node_id, PortPair(0, 1))
+
+    ones = np.ones((2, 128), np.float32)
+    # b delivers once, then goes silent while a keeps running
+    inp_b.process_incoming_audio(ones * 0.5, Playhead(steady_clock=0))
+    emitted_total = 0
+    for i in range(10):
+        inp_a.process_incoming_audio(ones, Playhead(steady_clock=i * 128))
+    got = sink.concat()
+    # the mix kept flowing (bounded staleness)
+    assert got.shape[1] >= 128 * 7
+    assert mix.perf.discontinuities >= 1
+    # b returns with a huge clock jump: must re-anchor, not crash
+    inp_b.process_incoming_audio(ones * 0.25, Playhead(steady_clock=999_999))
+    inp_a.process_incoming_audio(ones, Playhead(steady_clock=10 * 128))
+    mix.close()
+
+
+def test_mono_source_safe():
+    """Bugs.txt #2: connecting a port beyond a mono source's channel count
+    must produce silence, not an out-of-bounds read."""
+    inp_a, out_a, ga = _make_instance("a")
+    inp_m, out_m, gm = _make_instance("mono", channels=1)
+    mix = MixGraph(ga, out_a)
+    sink = _Sink()
+    mix.presentation_output.add_listener(sink)
+    ga.topology[ga.node_id] = {PortPair(0, 0)}
+    ga.connect(gm.node_id, PortPair(1, 1))  # channel 1 of a mono source!
+
+    inp_m.process_incoming_audio(np.ones((1, 128), np.float32), Playhead(steady_clock=0))
+    inp_a.process_incoming_audio(np.ones((2, 128), np.float32), Playhead(steady_clock=0))
+    got = sink.concat()
+    np.testing.assert_allclose(got[1], 0.0)  # silent, no crash
+    mix.close()
+
+
+def test_channel_names_propagate():
+    inp_a, out_a, ga = _make_instance("alpha")
+    inp_b, out_b, gb = _make_instance("beta")
+    mix = MixGraph(ga, out_a)
+    ga.topology[ga.node_id] = {PortPair(0, 0)}
+    ga.connect(gb.node_id, PortPair(0, 1))
+    inp_a.process_incoming_audio(np.zeros((2, 64), np.float32), Playhead())
+    names = mix.presentation_input._stream.info.channel_names
+    assert any("beta:0" in n for n in names)
+    mix.close()
