@@ -1,0 +1,101 @@
+"""Axis compilation: grid line placement for frequency and dB meters.
+
+Equivalent of cpl's AxisTools (ref: cpl/special/AxisTools.h —
+FrequencyAxis, DBMeterAxis, SuitableAxisDivision; consumed at
+Source/Spectrum/SpectrumRendering.cpp:899-974 renderLineGrid and the
+oscilloscope's 1-2-5-10 time grid, OscilloscopeRendering.cpp:439-549).
+Produces arrays of (position, value, label) for renderers.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+
+def suitable_axis_division(value_range: float, max_divisions: int) -> float:
+    """Largest 1-2-5-10 step giving at most ``max_divisions`` divisions
+    (ref: SuitableAxisDivision)."""
+    if value_range <= 0 or max_divisions <= 0:
+        return 1.0
+    raw = value_range / max_divisions
+    mag = 10.0 ** math.floor(math.log10(raw))
+    for mult in (1.0, 2.0, 5.0, 10.0):
+        if mag * mult >= raw:
+            return mag * mult
+    return mag * 10.0
+
+
+@dataclass
+class AxisLine:
+    position: float  # normalized [0, 1] along the axis
+    value: float
+    label: str
+
+
+def db_meter_axis(low_dbs: float, high_dbs: float, max_divisions: int = 10) -> List[AxisLine]:
+    """dB grid with 1-2-5-10 quantized steps (ref: DBMeterAxis)."""
+    step = suitable_axis_division(high_dbs - low_dbs, max_divisions)
+    first = math.ceil(low_dbs / step) * step
+    lines = []
+    v = first
+    while v <= high_dbs + 1e-9:
+        pos = (v - low_dbs) / (high_dbs - low_dbs)
+        lines.append(AxisLine(pos, v, f"{v:g} dB"))
+        v += step
+    return lines
+
+
+def frequency_axis(
+    mapped_frequencies: np.ndarray, max_divisions: int = 12
+) -> List[AxisLine]:
+    """Frequency grid lines against an arbitrary pixel->frequency map
+    (ref: FrequencyAxis compiled against mappedFrequencies). For log maps
+    this yields the familiar 10-20-50-100... ladder."""
+    f = np.asarray(mapped_frequencies, np.float64)
+    lo, hi = float(f[0]), float(f[-1])
+    if hi <= lo:
+        return []
+    lines: List[AxisLine] = []
+    # decade ladder with 1-2-5 subdivisions
+    decade = 10.0 ** math.floor(math.log10(max(lo, 1e-3)))
+    candidates = []
+    while decade <= hi:
+        for mult in (1.0, 2.0, 5.0):
+            v = decade * mult
+            if lo <= v <= hi:
+                candidates.append(v)
+        decade *= 10.0
+    if len(candidates) > max_divisions:
+        candidates = candidates[:: max(1, len(candidates) // max_divisions)]
+    p = len(f) - 1
+    for v in candidates:
+        # invert the pixel->frequency map numerically
+        idx = int(np.searchsorted(f, v))
+        if 0 < idx <= p:
+            f0, f1 = f[idx - 1], f[idx]
+            frac = (v - f0) / (f1 - f0) if f1 > f0 else 0.0
+            pos = (idx - 1 + frac) / p
+        else:
+            pos = 0.0 if idx == 0 else 1.0
+        label = f"{v/1000:g} kHz" if v >= 1000 else f"{v:g} Hz"
+        lines.append(AxisLine(float(pos), v, label))
+    return lines
+
+
+def time_axis(
+    window_seconds: float, max_divisions: int = 10, unit: str = "ms"
+) -> List[AxisLine]:
+    """Time-division grid (ref: oscilloscope time grid with 1-2-5-10
+    scaling, OscilloscopeRendering.cpp:439-549)."""
+    span = window_seconds * (1000.0 if unit == "ms" else 1.0)
+    step = suitable_axis_division(span, max_divisions)
+    lines = []
+    v = 0.0
+    while v <= span + 1e-9:
+        lines.append(AxisLine(v / span if span else 0.0, v, f"{v:g} {unit}"))
+        v += step
+    return lines

@@ -1,0 +1,69 @@
+"""Colour utilities: hue rotation for multi-pair displays, legends.
+
+Equivalents of the reference's ColourRotation / FloatColour / LegendCache
+(ref: Source/Common/CommonSignalizer.h:921-954, :990-1081, :1139-1163):
+channel pair k of n gets the base colour hue-rotated by k/n so overlaid
+pairs stay distinguishable.
+"""
+
+from __future__ import annotations
+
+import colorsys
+from dataclasses import dataclass, field
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+
+def with_rotated_hue(rgb: Sequence[float], rotation: float) -> Tuple[float, float, float]:
+    """ref: juce Colour::withRotatedHue as used by ColourRotation."""
+    h, l, s = colorsys.rgb_to_hls(*rgb[:3])
+    return colorsys.hls_to_rgb((h + rotation) % 1.0, l, s)
+
+
+class ColourRotation:
+    """Indexable rotated-palette (ref: ColourRotation — base colour +
+    ``base.withRotatedHue(index / size)``, CommonSignalizer.h:936)."""
+
+    def __init__(self, base: Sequence[float], size: int, dont_rotate_first: bool = False):
+        self.base = tuple(float(c) for c in base[:3])
+        self.size = max(1, size)
+        self.dont_rotate_first = dont_rotate_first
+        self._table = np.asarray(
+            [
+                self.base
+                if (i == 0 and dont_rotate_first) or self.size == 1
+                else with_rotated_hue(self.base, i / self.size)
+                for i in range(self.size)
+            ],
+            np.float32,
+        )
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        return self._table[index % self.size]
+
+    def as_array(self) -> np.ndarray:
+        return self._table
+
+
+@dataclass
+class LegendEntry:
+    name: str
+    colour: Tuple[float, float, float]
+
+
+@dataclass
+class Legend:
+    """Channel legend (ref: LegendCache — cached text + swatch list)."""
+
+    entries: List[LegendEntry] = field(default_factory=list)
+
+    @classmethod
+    def for_pairs(
+        cls, channel_names: Sequence[str], base_colour: Sequence[float], pairs: int
+    ) -> "Legend":
+        rot = ColourRotation(base_colour, max(pairs, 1))
+        entries = []
+        for i, name in enumerate(channel_names):
+            entries.append(LegendEntry(name, tuple(rot[i // 2])))
+        return cls(entries)

@@ -1,0 +1,128 @@
+"""Frequency tracker, axis tools, colour utilities."""
+
+import numpy as np
+import pytest
+
+from signalizer_tpu.core.windows import WindowType, generate_window
+from signalizer_tpu.kernels.tracker import (
+    SmoothedPeakState,
+    frequency_to_semitone,
+    scalloping_loss_at,
+    track_peak,
+)
+from signalizer_tpu.utils.axis import (
+    db_meter_axis,
+    frequency_axis,
+    suitable_axis_division,
+    time_axis,
+)
+from signalizer_tpu.utils.colour import ColourRotation, Legend, with_rotated_hue
+
+FS = 48_000.0
+
+
+def _spectrum_of_sine(f_hz, n=4096, amp=0.5):
+    t = np.arange(n)
+    x = amp * np.sin(2 * np.pi * f_hz * t / FS)
+    kernel, scale = generate_window(WindowType.HANN, n, symmetric=False)
+    mags = np.abs(np.fft.rfft(x * kernel))
+    return mags, scale / (n * 0.5)
+
+
+def test_track_peak_finds_and_refines():
+    f_true = 1234.5
+    mags, inv = _spectrum_of_sine(f_true)
+    cursor = f_true / (FS / 2)
+    peak = track_peak(mags, FS, cursor, inv_size=inv)
+    # parabolic refinement should land within a tenth of a bin
+    assert abs(peak.frequency - f_true) < 0.1 * FS / 4096
+    assert abs(peak.dbs - 20 * np.log10(0.5)) < 0.3  # parabolic-fit bias
+
+
+def test_track_peak_boundary_ascent():
+    """Cursor near—but not on—a peak: the edge-ascent walk must climb out
+    of the search window to the true summit."""
+    f_true = 2000.0
+    mags, inv = _spectrum_of_sine(f_true)
+    cursor = (f_true * 1.05) / (FS / 2)  # 5% off, outside the 3% window
+    peak = track_peak(mags, FS, cursor, inv_size=inv)
+    assert abs(peak.frequency - f_true) < 2 * FS / 4096
+
+
+def test_frequency_to_semitone():
+    assert frequency_to_semitone(440.0).startswith("A4")
+    assert frequency_to_semitone(261.63).startswith("C4")  # middle C
+    assert frequency_to_semitone(880.0).startswith("A5")
+    s = frequency_to_semitone(450.0)
+    assert s.startswith("A4") and "+" in s  # sharp by ~39 cents
+    assert frequency_to_semitone(-1) == "nan"
+
+
+def test_scalloping_loss():
+    kernel, _ = generate_window(WindowType.HANN, 2048)
+    on_bin = scalloping_loss_at(kernel, 100.0)
+    half_bin = scalloping_loss_at(kernel, 100.5)
+    assert abs(on_bin - 1.0) < 1e-9
+    assert abs(20 * np.log10(half_bin) + 1.42) < 0.05  # hann: -1.42 dB
+
+
+def test_smoothed_peak_state():
+    s = SmoothedPeakState(0.5)
+    from signalizer_tpu.kernels.tracker import PeakResult
+
+    f1, d1 = s.update(PeakResult(0.1, 1000.0, -6.0, 10))
+    assert f1 == 1000.0
+    f2, _ = s.update(PeakResult(0.1, 2000.0, -6.0, 10))
+    assert 1000.0 < f2 < 2000.0
+
+
+def test_suitable_axis_division():
+    assert suitable_axis_division(100.0, 10) == 10.0
+    assert suitable_axis_division(30.0, 10) == 5.0
+    assert suitable_axis_division(7.0, 10) == 1.0
+    assert suitable_axis_division(0.35, 10) == 0.05
+
+
+def test_db_meter_axis():
+    lines = db_meter_axis(-96.0, 0.0, 10)
+    vals = [l.value for l in lines]
+    assert vals[0] >= -96 and vals[-1] <= 0
+    steps = np.diff(vals)
+    assert np.allclose(steps, steps[0])
+    assert all(0 <= l.position <= 1 for l in lines)
+
+
+def test_frequency_axis_log_ladder():
+    from signalizer_tpu.core.constant import remap_frequencies
+    from signalizer_tpu.core.config import ViewScaling
+
+    f = remap_frequencies(512, FS, ViewScaling.LOGARITHMIC, min_freq=10.0)
+    lines = frequency_axis(f)
+    vals = [l.value for l in lines]
+    assert 100.0 in vals and 1000.0 in vals
+    # positions monotonically increase
+    pos = [l.position for l in lines]
+    assert all(b > a for a, b in zip(pos, pos[1:]))
+
+
+def test_time_axis():
+    lines = time_axis(0.010, 10)  # 10 ms window
+    assert lines[0].value == 0.0
+    assert lines[-1].value <= 10.0
+    assert "ms" in lines[1].label
+
+
+def test_colour_rotation():
+    rot = ColourRotation((1.0, 0.0, 0.0), 4)
+    c0, c1 = rot[0], rot[1]
+    assert not np.allclose(c0, c1)  # rotated
+    np.testing.assert_allclose(rot[4], rot[0])  # wraps
+    keep = ColourRotation((1.0, 0.0, 0.0), 4, dont_rotate_first=True)
+    np.testing.assert_allclose(keep[0], (1, 0, 0))
+
+
+def test_legend():
+    lg = Legend.for_pairs(["left", "right", "sc left", "sc right"], (0.0, 1.0, 0.0), 2)
+    assert len(lg.entries) == 4
+    assert lg.entries[0].colour == lg.entries[1].colour  # same pair
+    assert lg.entries[0].colour != lg.entries[2].colour  # next pair rotated
