@@ -273,3 +273,53 @@ def test_channel_names_propagate():
     names = mix.presentation_input._stream.info.channel_names
     assert any("beta:0" in n for n in names)
     mix.close()
+
+
+# ---------------------------------------------------------------------------
+# multi-chip sharding (8 virtual CPU devices via conftest)
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_spectrum_step_matches_single_device():
+    import jax
+    import jax.numpy as jnp
+
+    from signalizer_tpu.core.config import (
+        BinInterpolation,
+        SpectrumChannels,
+        ViewScaling,
+    )
+    from signalizer_tpu.core.constant import make_spectrum_constant
+    from signalizer_tpu.kernels.spectrum import analyze_frames, init_line_graph_state
+    from signalizer_tpu.parallel.mesh import (
+        init_sharded_state,
+        make_analysis_mesh,
+        shard_batch,
+        sharded_spectrum_step,
+    )
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_analysis_mesh(8)
+    constant = make_spectrum_constant(
+        axis_points=128,
+        window_size=256,
+        configuration=SpectrumChannels.SEPARATE,
+        bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LOGARITHMIC,
+    )
+    pairs, t = 16, 2
+    rng = np.random.default_rng(0)
+    frames_host = rng.standard_normal((pairs, t, 2, 256)).astype(np.float32)
+
+    step = sharded_spectrum_step(constant, mesh)
+    state = init_sharded_state(constant, pairs, mesh)
+    frames = shard_batch(jnp.asarray(frames_host), mesh)
+    results, new_state, peak = step(state, frames)
+    jax.block_until_ready(results)
+    # must equal the single-device result bit-for-bit (pure data parallel)
+    ref_state = init_line_graph_state(constant, (pairs,))
+    ref = analyze_frames(constant, ref_state, jnp.asarray(frames_host))
+    np.testing.assert_allclose(np.asarray(results), np.asarray(ref.results), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(peak), float(np.max(np.asarray(ref.results))), rtol=1e-6)
+    # sharding preserved on outputs (state stays resident per chip)
+    assert len(results.sharding.device_set) == 8
