@@ -1,0 +1,150 @@
+// signalizer_tpu native host runtime.
+//
+// C++ implementation of the host-side hot paths: the multichannel sample
+// ring (cpl CLIFOStream / AudioStream history equivalent — the reference's
+// runtime layer is native C++, so is ours), bulk frame gathering for the
+// device batcher, and the mix-graph port gather. Exposed as a plain C ABI
+// consumed from Python via ctypes (no pybind11 in the image).
+//
+// Concurrency contract (mirrors the Python RingBuffer): single writer,
+// readers receive copies; the monotonic sample clock is updated after the
+// data write so a racing reader sees a consistent prefix.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+struct SzRing {
+    int64_t channels;
+    int64_t capacity;
+    int64_t head;                      // next write index
+    std::atomic<int64_t> written;      // monotonic sample clock
+    std::vector<float> data;           // [channels][capacity]
+};
+
+SzRing* sz_ring_create(int64_t channels, int64_t capacity) {
+    if (channels <= 0 || capacity <= 0) return nullptr;
+    auto* r = new SzRing();
+    r->channels = channels;
+    r->capacity = capacity;
+    r->head = 0;
+    r->written.store(0, std::memory_order_relaxed);
+    r->data.assign(static_cast<size_t>(channels * capacity), 0.0f);
+    return r;
+}
+
+void sz_ring_destroy(SzRing* r) { delete r; }
+
+int64_t sz_ring_clock(const SzRing* r) {
+    return r->written.load(std::memory_order_acquire);
+}
+
+int64_t sz_ring_capacity(const SzRing* r) { return r->capacity; }
+
+void sz_ring_clear(SzRing* r) {
+    std::fill(r->data.begin(), r->data.end(), 0.0f);
+    r->head = 0;
+    r->written.store(0, std::memory_order_release);
+}
+
+// block: channel-major [channels][n] contiguous
+void sz_ring_write(SzRing* r, const float* block, int64_t n) {
+    if (n <= 0) return;
+    const int64_t cap = r->capacity;
+    if (n >= cap) {
+        // keep only the trailing capacity samples
+        for (int64_t c = 0; c < r->channels; ++c) {
+            std::memcpy(&r->data[c * cap], block + c * n + (n - cap),
+                        sizeof(float) * static_cast<size_t>(cap));
+        }
+        r->head = 0;
+    } else {
+        const int64_t first = std::min(n, cap - r->head);
+        for (int64_t c = 0; c < r->channels; ++c) {
+            std::memcpy(&r->data[c * cap + r->head], block + c * n,
+                        sizeof(float) * static_cast<size_t>(first));
+            if (n - first > 0) {
+                std::memcpy(&r->data[c * cap], block + c * n + first,
+                            sizeof(float) * static_cast<size_t>(n - first));
+            }
+        }
+        r->head = (r->head + n) % cap;
+    }
+    r->written.fetch_add(n, std::memory_order_release);
+}
+
+// Copy (op=0) or accumulate (op=1) one channel's window ending at
+// absolute clock `end_clock` into dst[n]. Shared core of all reads.
+static int read_channel(const SzRing* r, int64_t end_clock, int64_t channel,
+                        float* dst, int64_t n, int op) {
+    const int64_t written = r->written.load(std::memory_order_acquire);
+    if (end_clock > written) return -2;
+    const int64_t behind = written - end_clock;
+    if (behind + n > r->capacity) return -1;
+    const int64_t cap = r->capacity;
+    const int64_t avail = std::min<int64_t>(n, std::min(written, cap) - behind);
+    const int64_t pad = n - std::max<int64_t>(avail, 0);
+    if (op == 0) std::memset(dst, 0, sizeof(float) * static_cast<size_t>(n));
+    if (avail <= 0) return 0;
+    int64_t start = (r->head - behind - avail) % cap;
+    if (start < 0) start += cap;
+    const float* src = &r->data[channel * cap];
+    const int64_t first = std::min(avail, cap - start);
+    if (op == 0) {
+        std::memcpy(dst + pad, src + start, sizeof(float) * static_cast<size_t>(first));
+        if (avail - first > 0)
+            std::memcpy(dst + pad + first, src, sizeof(float) * static_cast<size_t>(avail - first));
+    } else {
+        for (int64_t i = 0; i < first; ++i) dst[pad + i] += src[start + i];
+        for (int64_t i = 0; i < avail - first; ++i) dst[pad + first + i] += src[i];
+    }
+    return 0;
+}
+
+// Fill out [channels][n] with the window ending at absolute clock
+// `end_clock`; zero-pads regions never written. Returns 0 on success,
+// -1 if the window scrolled out of the ring, -2 if it lies in the future.
+int sz_ring_read_at(const SzRing* r, int64_t end_clock, float* out, int64_t n) {
+    for (int64_t c = 0; c < r->channels; ++c) {
+        const int rc = read_channel(r, end_clock, c, out + c * n, n, 0);
+        if (rc != 0) return rc;
+    }
+    return 0;
+}
+
+int sz_ring_latest(const SzRing* r, float* out, int64_t n) {
+    return sz_ring_read_at(r, r->written.load(std::memory_order_acquire), out, n);
+}
+
+// Bulk frame extraction for the device batcher: frame k (k in
+// [first_frame, first_frame+num_frames)) covers samples ending at
+// round(k * hop) + window on the stream clock. out is
+// [num_frames][channels][window]. Returns the number of frames actually
+// written (frames that scrolled out are skipped, compacted to the front).
+int64_t sz_frame_gather(const SzRing* r, int64_t first_frame, int64_t num_frames,
+                        double hop, int64_t window, float* out) {
+    int64_t emitted = 0;
+    const int64_t stride = r->channels * window;
+    for (int64_t k = first_frame; k < first_frame + num_frames; ++k) {
+        const int64_t end_clock = static_cast<int64_t>(k * hop + 0.5) + window;
+        if (sz_ring_read_at(r, end_clock, out + emitted * stride, window) == 0) {
+            ++emitted;
+        }
+    }
+    return emitted;
+}
+
+// Mix gather: accumulate one channel of a source ring at end_clock into a
+// destination row (the mix graph's port gather). Out-of-range channels
+// contribute silence (returns -3) — never an out-of-bounds read.
+int sz_mix_accumulate(const SzRing* r, int64_t end_clock, int64_t src_channel,
+                      float* dst_row, int64_t n) {
+    if (src_channel < 0 || src_channel >= r->channels) return -3;
+    return read_channel(r, end_clock, src_channel, dst_row, n, 1);
+}
+
+}  // extern "C"

@@ -1,0 +1,174 @@
+"""ctypes bindings for the native host runtime (native/host_runtime.cpp).
+
+Builds ``libsignalizer_host.so`` with g++ on first use (cached beside the
+source), exposes :class:`NativeRingBuffer` with the same interface as
+:class:`signalizer_tpu.stream.ring_buffer.RingBuffer` plus bulk
+``frame_gather``. Everything degrades gracefully to the numpy
+implementations when no compiler is available (``native_available()``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent
+_SRC = _REPO_ROOT / "native" / "host_runtime.cpp"
+_LIB = _REPO_ROOT / "native" / "libsignalizer_host.so"
+
+_lib = None
+_lib_lock = threading.Lock()
+_build_error: Optional[str] = None
+
+
+def _build() -> Optional[str]:
+    """Compile the shared library; returns an error string or None."""
+    try:
+        cmd = [
+            "g++",
+            "-O3",
+            "-march=native",
+            "-shared",
+            "-fPIC",
+            "-std=c++17",
+            str(_SRC),
+            "-o",
+            str(_LIB),
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+        if proc.returncode != 0:
+            return proc.stderr[:2000]
+        return None
+    except (OSError, subprocess.TimeoutExpired) as e:  # no compiler etc.
+        return str(e)
+
+
+def _load():
+    global _lib, _build_error
+    with _lib_lock:
+        if _lib is not None or _build_error is not None:
+            return _lib
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            err = _build()
+            if err is not None:
+                _build_error = err
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB))
+        except OSError as e:
+            _build_error = str(e)
+            return None
+        c_i64 = ctypes.c_int64
+        c_fp = ctypes.POINTER(ctypes.c_float)
+        lib.sz_ring_create.restype = ctypes.c_void_p
+        lib.sz_ring_create.argtypes = [c_i64, c_i64]
+        lib.sz_ring_destroy.argtypes = [ctypes.c_void_p]
+        lib.sz_ring_clock.restype = c_i64
+        lib.sz_ring_clock.argtypes = [ctypes.c_void_p]
+        lib.sz_ring_capacity.restype = c_i64
+        lib.sz_ring_capacity.argtypes = [ctypes.c_void_p]
+        lib.sz_ring_clear.argtypes = [ctypes.c_void_p]
+        lib.sz_ring_write.argtypes = [ctypes.c_void_p, c_fp, c_i64]
+        lib.sz_ring_read_at.restype = ctypes.c_int
+        lib.sz_ring_read_at.argtypes = [ctypes.c_void_p, c_i64, c_fp, c_i64]
+        lib.sz_ring_latest.restype = ctypes.c_int
+        lib.sz_ring_latest.argtypes = [ctypes.c_void_p, c_fp, c_i64]
+        lib.sz_frame_gather.restype = c_i64
+        lib.sz_frame_gather.argtypes = [ctypes.c_void_p, c_i64, c_i64, ctypes.c_double, c_i64, c_fp]
+        lib.sz_mix_accumulate.restype = ctypes.c_int
+        lib.sz_mix_accumulate.argtypes = [ctypes.c_void_p, c_i64, c_i64, c_fp, c_i64]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def native_build_error() -> Optional[str]:
+    _load()
+    return _build_error
+
+
+def _fp(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+class NativeRingBuffer:
+    """Drop-in native counterpart of stream.ring_buffer.RingBuffer."""
+
+    def __init__(self, channels: int, capacity: int, dtype=np.float32):
+        if dtype != np.float32:
+            raise ValueError("native ring is float32 only")
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native runtime unavailable: {_build_error}")
+        self._lib = lib
+        self.channels = channels
+        self.capacity = capacity
+        self._handle = lib.sz_ring_create(channels, capacity)
+        if not self._handle:
+            raise RuntimeError("sz_ring_create failed")
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.sz_ring_destroy(handle)
+            self._handle = None
+
+    @property
+    def sample_clock(self) -> int:
+        return int(self._lib.sz_ring_clock(self._handle))
+
+    @property
+    def valid_samples(self) -> int:
+        return min(self.sample_clock, self.capacity)
+
+    def clear(self) -> None:
+        self._lib.sz_ring_clear(self._handle)
+
+    def write(self, block: np.ndarray) -> None:
+        block = np.ascontiguousarray(block, np.float32)
+        if block.ndim != 2 or block.shape[0] != self.channels:
+            raise ValueError(f"expected [{self.channels}, n] block, got {block.shape}")
+        self._lib.sz_ring_write(self._handle, _fp(block), block.shape[1])
+
+    def latest(self, n: int, out: Optional[np.ndarray] = None) -> np.ndarray:
+        if n > self.capacity:
+            raise ValueError(f"window {n} exceeds capacity {self.capacity}")
+        if out is None or not out.flags.c_contiguous:
+            out = np.empty((self.channels, n), np.float32)
+        self._lib.sz_ring_latest(self._handle, _fp(out), n)
+        return out
+
+    def read_at(self, clock: int, n: int) -> np.ndarray:
+        out = np.empty((self.channels, n), np.float32)
+        rc = self._lib.sz_ring_read_at(self._handle, clock, _fp(out), n)
+        if rc == -2:
+            raise ValueError("cannot read the future")
+        if rc == -1:
+            raise ValueError("window no longer in the ring")
+        return out
+
+    def frame_gather(self, first_frame: int, num_frames: int, hop: float, window: int) -> np.ndarray:
+        """Bulk batcher extraction: [emitted, channels, window]."""
+        out = np.empty((num_frames, self.channels, window), np.float32)
+        emitted = self._lib.sz_frame_gather(
+            self._handle, first_frame, num_frames, float(hop), window, _fp(out)
+        )
+        return out[:emitted]
+
+    def mix_accumulate(self, end_clock: int, src_channel: int, dst_row: np.ndarray) -> bool:
+        """Accumulate one aligned channel window into dst_row; returns
+        False when silence was contributed (scrolled out / bad channel)."""
+        assert dst_row.dtype == np.float32 and dst_row.flags.c_contiguous
+        rc = self._lib.sz_mix_accumulate(
+            self._handle, end_clock, src_channel, _fp(dst_row), len(dst_row)
+        )
+        return rc == 0

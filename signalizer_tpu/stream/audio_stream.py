@@ -26,7 +26,7 @@ from typing import List, Optional, Protocol
 import numpy as np
 
 from signalizer_tpu.core.config import DEFAULT_HISTORY_SIZE, STREAM_PACKET_SIZE
-from signalizer_tpu.stream.ring_buffer import RingBuffer
+from signalizer_tpu.stream.ring_buffer import make_ring_buffer
 
 
 @dataclass
@@ -192,7 +192,7 @@ class AudioStream:
 
     def __init__(self, threaded: bool, info: Optional[AudioStreamInfo] = None):
         self.info = info or AudioStreamInfo()
-        self._history = RingBuffer(self.info.channels, max(self.info.audio_history_capacity, 1))
+        self._history = make_ring_buffer(self.info.channels, max(self.info.audio_history_capacity, 1))
         self._playhead = Playhead()
         self._perf = PerfMeasures()
         self.output = AudioStreamOutput(self)
@@ -214,7 +214,7 @@ class AudioStream:
     def _resize_history(self) -> None:
         cap = max(self.info.audio_history_capacity, 1)
         if cap != self._history.capacity or self.info.channels != self._history.channels:
-            self._history = RingBuffer(self.info.channels, cap)
+            self._history = make_ring_buffer(self.info.channels, cap)
 
     def _ingest(self, block: np.ndarray, playhead: Optional[Playhead]) -> None:
         if not self._alive:

@@ -14,7 +14,7 @@ from typing import Optional
 
 import numpy as np
 
-from signalizer_tpu.stream.ring_buffer import RingBuffer
+from signalizer_tpu.stream.ring_buffer import RingBuffer, make_ring_buffer
 
 
 class FrameBatcher:
@@ -40,7 +40,7 @@ class FrameBatcher:
         self.window = window
         self.hop = float(hop)
         capacity = capacity or max(window * 4, int(hop * 4) + window)
-        self.ring = RingBuffer(channels, capacity, dtype=dtype)
+        self.ring = make_ring_buffer(channels, capacity, dtype=dtype)
         self._next_frame = 0  # next frame index to emit
         self.dropped_frames = 0
 
@@ -67,9 +67,14 @@ class FrameBatcher:
         t = self.frames_ready()
         if max_frames is not None:
             t = min(t, max_frames)
-        out = np.zeros((t, self.ring.channels, self.window), dtype=self.ring._data.dtype)
         if t == 0:
+            return np.zeros((0, self.ring.channels, self.window), np.float32)
+        if hasattr(self.ring, "frame_gather"):  # native bulk path
+            out = self.ring.frame_gather(self._next_frame, t, self.hop, self.window)
+            self.dropped_frames += t - out.shape[0]
+            self._next_frame += t
             return out
+        out = np.zeros((t, self.ring.channels, self.window), np.float32)
         emitted = 0
         for k in range(self._next_frame, self._next_frame + t):
             end_clock = int(round(k * self.hop)) + self.window

@@ -38,7 +38,7 @@ from signalizer_tpu.stream.audio_stream import (
     Playhead,
 )
 from signalizer_tpu.stream.host_graph import HostGraph, PortPair
-from signalizer_tpu.stream.ring_buffer import RingBuffer
+from signalizer_tpu.stream.ring_buffer import make_ring_buffer
 
 
 @dataclass
@@ -59,7 +59,7 @@ class _SourceState:
         self.output = output
         self.pairs = set(pairs)
         self.channels = output.info.channels
-        self.ring = RingBuffer(self.channels, capacity)
+        self.ring = make_ring_buffer(self.channels, capacity)
         self.clock = 0  # source-side sample clock at ring head
         self.offset: Optional[int] = None  # source clock -> self clock
         self.listener = None

@@ -98,3 +98,19 @@ class RingBuffer:
             raise ValueError("window no longer in the ring")
         full = self.latest(n + behind)
         return full[:, :n].copy() if behind else full
+
+
+def make_ring_buffer(channels: int, capacity: int, dtype=np.float32, prefer_native: bool = True):
+    """Ring factory: the C++ runtime when built (the hot host path lives in
+    native/host_runtime.cpp, like the reference's cpl layer), numpy
+    otherwise. Both share the exact same semantics (tests/test_native.py
+    cross-checks them)."""
+    if prefer_native and dtype == np.float32:
+        try:
+            from signalizer_tpu.native_bindings import NativeRingBuffer, native_available
+
+            if native_available():
+                return NativeRingBuffer(channels, capacity)
+        except Exception:
+            pass
+    return RingBuffer(channels, capacity, dtype=dtype)
