@@ -1,17 +1,25 @@
-"""Benchmark harness — BASELINE headline metric.
+"""Benchmark harness — all 5 BASELINE configs on the real chip.
 
-Measures stereo 4096-pt spectrum frames/sec/chip at 48 kHz plus p50 frame
-latency (driver BASELINE.json: target >= 1000 frames/s/chip, p50 < 1 ms).
-Prints exactly one JSON line.
+Headline metric (driver BASELINE.json): stereo 4096-pt spectrum
+frames/sec/chip at 48 kHz (target >= 1000) and p50 frame latency
+(target < 1 ms). Prints exactly ONE JSON line with the headline plus the
+other configs' numbers as extra keys.
 
-Methodology:
-* throughput: one jitted call analyzes a [pairs, T, 2, 4096] batch
-  (T time-sequential hops with peak-decay threading, pairs parallel);
-  frames/sec = pairs * T / wall-time, median over repeats.
-* latency: single-frame steps with donated state, p50 over repeats —
-  includes host->device transfer of the frame and device->host of the
-  result row (the full round trip the reference never pays because it
-  stays on CPU).
+Configs (BASELINE.json.configs):
+  1. mono 48 kHz 1024-pt Hann FFT spectrum, linear frequency (CPU-runnable)
+  2. stereo vectorscope: Lissajous + polar + correlation on 4096 frames
+  3. oscilloscope: zero-crossing trigger + 8x sinc resample + min-max
+     decimation, stereo 96 kHz
+  4. streaming spectrogram: 16384-pt FFT, log remap, dB colour map, 50%
+     overlap, peak-hold over 1000 frames
+  5. 8-channel 192 kHz full pipeline: spectrum + oscilloscope + vectorscope
+     fused per frame on one batch
+
+Latency methodology: single-frame steps with donated state; includes
+host->device transfer of the frame and device->host of the display row.
+NOTE: on this rig the TPU is reached through a network tunnel; we also
+measure a no-op device round trip ("rtt_floor_ms") so compute latency is
+distinguishable from transport.
 """
 
 from __future__ import annotations
@@ -22,76 +30,231 @@ import time
 import numpy as np
 
 
+def _timeit(fn, *args, reps=10, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from signalizer_tpu.core.config import (
         BinInterpolation,
+        OscChannels,
         SpectrumChannels,
         ViewScaling,
     )
     from signalizer_tpu.core.constant import make_spectrum_constant
     from signalizer_tpu.kernels.spectrum import analyze_frames, init_line_graph_state
+    from signalizer_tpu.kernels.peak_decay import peak_decay_scan
 
+    rng = np.random.default_rng(0)
+    extras = {}
+
+    # ---- headline: stereo 4096-pt spectrum throughput + latency -----------
     constant = make_spectrum_constant(
         axis_points=1024,
         window_size=4096,
         sample_rate=48_000.0,
-        configuration=SpectrumChannels.SEPARATE,  # stereo: both channels out
+        configuration=SpectrumChannels.SEPARATE,
         bin_interpolation=BinInterpolation.LINEAR,
         view_scaling=ViewScaling.LOGARITHMIC,
     )
 
     @jax.jit
-    def batch_step(state, frames):
+    def spectrum_batch(state, frames):
         r = analyze_frames(constant, state, frames)
         return r.results, r.state
 
+    pairs, t_steps = 8, 128
+    frames = jnp.asarray(rng.standard_normal((pairs, t_steps, 2, 4096)).astype(np.float32))
+    state = init_line_graph_state(constant, (pairs,))
+    results, state = spectrum_batch(state, frames)
+    jax.block_until_ready(results)
+    dt = _timeit(lambda f: spectrum_batch(state, f)[0], frames)
+    throughput = pairs * t_steps / dt
+
+    # latency: single frame round trip
     @jax.jit
-    def single_step(state, frame):
+    def spectrum_single(state, frame):
         r = analyze_frames(constant, state, frame)
-        # display row only (what a renderer would fetch)
         return r.results[:, 0, 0], r.state
 
-    rng = np.random.default_rng(0)
-
-    # ---- throughput: batched frames ---------------------------------------
-    pairs, t_steps = 8, 128  # 1024 frames per call
-    frames = jnp.asarray(
-        rng.standard_normal((pairs, t_steps, 2, constant.window_size)).astype(np.float32)
-    )
-    state = init_line_graph_state(constant, (pairs,))
-    # warmup/compile
-    results, state = batch_step(state, frames)
-    jax.block_until_ready(results)
-
-    reps = 10
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        results, state = batch_step(state, frames)
-        jax.block_until_ready(results)
-        times.append(time.perf_counter() - t0)
-    frames_per_call = pairs * t_steps
-    throughput = frames_per_call / float(np.median(times))
-
-    # ---- latency: single frame round trip ---------------------------------
     lat_state = init_line_graph_state(constant, (1,))
-    host_frame = rng.standard_normal((1, 1, 2, constant.window_size)).astype(np.float32)
-    row, lat_state = single_step(lat_state, jnp.asarray(host_frame))
+    host_frame = rng.standard_normal((1, 1, 2, 4096)).astype(np.float32)
+    row, lat_state = spectrum_single(lat_state, jnp.asarray(host_frame))
     np.asarray(row)
-
     lats = []
     for _ in range(200):
         t0 = time.perf_counter()
-        row, lat_state = single_step(lat_state, jnp.asarray(host_frame))
-        np.asarray(row)  # force device->host
+        row, lat_state = spectrum_single(lat_state, jnp.asarray(host_frame))
+        np.asarray(row)
         lats.append(time.perf_counter() - t0)
-    p50_ms = float(np.percentile(lats, 50) * 1e3)
-    p99_ms = float(np.percentile(lats, 99) * 1e3)
+    extras["p50_latency_ms"] = round(float(np.percentile(lats, 50) * 1e3), 4)
+    extras["p99_latency_ms"] = round(float(np.percentile(lats, 99) * 1e3), 4)
 
-    target = 1000.0  # frames/sec/chip (BASELINE.json)
+    # transport floor: no-op round trip (tiny identity through device)
+    tiny = jnp.zeros(8, jnp.float32)
+    noop = jax.jit(lambda x: x + 1.0)
+    np.asarray(noop(tiny))
+    floors = []
+    for _ in range(100):
+        t0 = time.perf_counter()
+        np.asarray(noop(tiny))
+        floors.append(time.perf_counter() - t0)
+    extras["rtt_floor_ms"] = round(float(np.percentile(floors, 50) * 1e3), 4)
+
+    # ---- config 1: mono 1024-pt Hann, linear axis -------------------------
+    c1 = make_spectrum_constant(
+        axis_points=513,
+        window_size=1024,
+        sample_rate=48_000.0,
+        configuration=SpectrumChannels.LEFT,
+        bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LINEAR,
+    )
+
+    @jax.jit
+    def mono_batch(state, frames):
+        r = analyze_frames(c1, state, frames)
+        return r.results, r.state
+
+    f1 = jnp.asarray(rng.standard_normal((8, 256, 2, 1024)).astype(np.float32))
+    s1 = init_line_graph_state(c1, (8,))
+    dt = _timeit(lambda f: mono_batch(s1, f)[0], f1)
+    extras["cfg1_mono1024_frames_per_sec"] = round(8 * 256 / dt, 1)
+
+    # ---- config 2: vectorscope -----------------------------------------------
+    from signalizer_tpu.kernels.vectorscope import (
+        init_meter_state,
+        lissajous_vertices,
+        meter_readout,
+        polar_vertices,
+        update_meters,
+    )
+
+    @jax.jit
+    def vs_step(state, frames):
+        new_state = update_meters(state, frames, envelope_pole=0.999, stereo_pole=0.99)
+        liss = lissajous_vertices(frames)
+        pol = polar_vertices(frames)
+        bars = meter_readout(new_state)
+        return liss, pol, bars["balance"], new_state
+
+    vf = jnp.asarray(rng.standard_normal((64, 2, 4096)).astype(np.float32))
+    vstate = init_meter_state((64,))
+    dt = _timeit(lambda f: vs_step(vstate, f)[0], vf)
+    extras["cfg2_vectorscope_frames_per_sec"] = round(64 / dt, 1)
+
+    # ---- config 3: oscilloscope @96k ---------------------------------------
+    from signalizer_tpu.views.oscilloscope import (
+        OscilloscopeProcessor,
+        SubSampleInterpolation,
+        TriggerMode,
+    )
+
+    osc = OscilloscopeProcessor(
+        pairs=16,
+        sample_rate=96_000.0,
+        channel_mode=OscChannels.SEPARATE,
+        trigger_mode=TriggerMode.ZERO_CROSSING,
+        interpolation=SubSampleInterpolation.LANCZOS,
+        window_samples=1024.0,  # 8x upsample to 8192 pixels
+        pixels=8192,
+        lookahead=8192,
+        trigger_threshold=0.1,
+        autogain=True,
+    )
+    t = np.arange(16384)
+    hist = np.sin(2 * np.pi * 440.0 * t / 96_000.0).astype(np.float32)
+    hist = np.broadcast_to(hist, (16, 2, 16384)).copy()
+    osc.process(hist)  # warmup/compile
+
+    def osc_step():
+        return osc.process(hist).waveform
+
+    dt = _timeit(lambda: osc_step(), reps=10)
+    extras["cfg3_oscilloscope_frames_per_sec"] = round(16 / dt, 1)
+
+    # ---- config 4: 16384-pt 50%-overlap spectrogram + 1000-frame peak hold --
+    c4 = make_spectrum_constant(
+        axis_points=1024,
+        window_size=16384,
+        sample_rate=48_000.0,
+        configuration=SpectrumChannels.LEFT,
+        bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LOGARITHMIC,
+        display_mode=1,
+    )
+    from signalizer_tpu.kernels.colormap import normalize_ratios, spectrogram_columns
+    from signalizer_tpu.views.spectrogram import DEFAULT_GRADIENT, DEFAULT_RATIOS
+
+    colours = jnp.asarray(DEFAULT_GRADIENT[None])
+    ratios = jnp.asarray(normalize_ratios(DEFAULT_RATIOS), jnp.float32)
+
+    @jax.jit
+    def sg_step(state, frames, hold):
+        r = analyze_frames(c4, state, frames)
+        intensity = r.results[:, :, 0, 0, :]
+        cols = spectrogram_columns(intensity, colours, ratios)
+        # 1000-frame peak hold: running max across the time axis
+        held, new_hold = peak_decay_scan(hold, intensity[0], 1.0, time_axis=0)
+        return cols, held, r.state, new_hold
+
+    t4 = 64  # frames per dispatch (50% overlap of 16384 = hop 8192)
+    f4 = jnp.asarray(rng.standard_normal((1, t4, 2, 16384)).astype(np.float32))
+    s4 = init_line_graph_state(c4, (1,))
+    hold = jnp.zeros((1024,), jnp.float32)
+    out = sg_step(s4, f4, hold)
+    jax.block_until_ready(out)
+    dt = _timeit(lambda f: sg_step(s4, f, hold)[0], f4)
+    extras["cfg4_spectrogram16k_frames_per_sec"] = round(t4 / dt, 1)
+
+    # ---- config 5: 8-channel 192 kHz fused pipeline -------------------------
+    c5 = make_spectrum_constant(
+        axis_points=1024,
+        window_size=4096,
+        sample_rate=192_000.0,
+        configuration=SpectrumChannels.SEPARATE,
+        bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LOGARITHMIC,
+    )
+    from signalizer_tpu.kernels.oscilloscope import minmax_decimate, sinc_resample
+    from signalizer_tpu.kernels.vectorscope import correlation
+
+    @jax.jit
+    def fused_step(state, vstate, frames):
+        # frames [4 pairs, T, 2, 4096] (8 channels)
+        r = analyze_frames(c5, state, frames)
+        corr = correlation(frames)
+        wave = sinc_resample(
+            frames[..., 0, :], jnp.zeros(frames.shape[:2]),
+            jnp.full(frames.shape[:2], 4096.0 / 1024), 1024
+        )
+        mins, maxs = minmax_decimate(frames[..., 0, :], 1024)
+        vnew = update_meters(vstate, frames[:, -1], envelope_pole=0.999, stereo_pole=0.99)
+        return r.results, wave, mins, maxs, corr, r.state, vnew
+
+    f5 = jnp.asarray(rng.standard_normal((4, 32, 2, 4096)).astype(np.float32))
+    s5 = init_line_graph_state(c5, (4,))
+    v5 = init_meter_state((4,))
+    out = fused_step(s5, v5, f5)
+    jax.block_until_ready(out)
+    dt = _timeit(lambda f: fused_step(s5, v5, f)[0], f5)
+    extras["cfg5_fused8ch192k_frames_per_sec"] = round(4 * 32 / dt, 1)
+
+    target = 1000.0
     print(
         json.dumps(
             {
@@ -99,9 +262,8 @@ def main() -> None:
                 "value": round(throughput, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(throughput / target, 3),
-                "p50_latency_ms": round(p50_ms, 4),
-                "p99_latency_ms": round(p99_ms, 4),
                 "device": str(jax.devices()[0]),
+                **extras,
             }
         )
     )
