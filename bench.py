@@ -30,7 +30,13 @@ import time
 import numpy as np
 
 
-def _timeit(fn, *args, reps=10, warmup=2):
+def _timeit(fn, *args, reps=10, warmup=2, chain=8):
+    """Median seconds per call at steady state.
+
+    Dispatches ``chain`` async calls per synchronization so the tunnel
+    round trip (rtt_floor_ms, ~28 ms on this rig) is amortized out of the
+    *throughput* numbers; inputs must already live on device.
+    """
     import jax
 
     for _ in range(warmup):
@@ -39,9 +45,10 @@ def _timeit(fn, *args, reps=10, warmup=2):
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
+        for _ in range(chain):
+            out = fn(*args)
         jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / chain)
     return float(np.median(times))
 
 
@@ -178,11 +185,11 @@ def main() -> None:
     )
     t = np.arange(16384)
     hist = np.sin(2 * np.pi * 440.0 * t / 96_000.0).astype(np.float32)
-    hist = np.broadcast_to(hist, (16, 2, 16384)).copy()
-    osc.process(hist)  # warmup/compile
+    hist_dev = jnp.asarray(np.broadcast_to(hist, (16, 2, 16384)).copy())
+    osc.process(hist_dev)  # warmup/compile
 
     def osc_step():
-        return osc.process(hist).waveform
+        return osc.process(hist_dev).waveform
 
     dt = _timeit(lambda: osc_step(), reps=10)
     extras["cfg3_oscilloscope_frames_per_sec"] = round(16 / dt, 1)
