@@ -54,6 +54,11 @@ def _timeit(fn, *args, reps=10, warmup=2, chain=8):
 
 def main() -> None:
     import jax
+
+    # persistent compilation cache: compiles through the remote-TPU tunnel
+    # cost minutes; cache them across bench runs
+    jax.config.update("jax_compilation_cache_dir", str(__import__("pathlib").Path(__file__).parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from signalizer_tpu.core.config import (
@@ -68,6 +73,40 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     extras = {}
+
+    # ---- config 3: oscilloscope @96k (measured first: the remote tunnel
+    # develops dispatch backpressure after sustained load, which penalizes
+    # python-wrapper dispatch paths; fresh-context numbers reflect the chip) ---------------------------------------
+    from signalizer_tpu.views.oscilloscope import (
+        OscilloscopeProcessor,
+        SubSampleInterpolation,
+        TriggerMode,
+    )
+
+    osc = OscilloscopeProcessor(
+        pairs=16,
+        sample_rate=96_000.0,
+        channel_mode=OscChannels.SEPARATE,
+        trigger_mode=TriggerMode.ZERO_CROSSING,
+        interpolation=SubSampleInterpolation.LANCZOS,
+        window_samples=1024.0,  # 8x upsample to 8192 pixels
+        pixels=8192,
+        lookahead=8192,
+        trigger_threshold=0.1,
+        autogain=True,
+    )
+    t = np.arange(16384)
+    hist = np.sin(2 * np.pi * 440.0 * t / 96_000.0).astype(np.float32)
+    hist_dev = jnp.asarray(np.broadcast_to(hist, (16, 2, 16384)).copy())
+    osc.process(hist_dev)  # warmup/compile
+
+    def osc_step():
+        return osc.process(hist_dev).waveform
+
+    dt = _timeit(lambda: osc_step(), reps=10)
+    extras["cfg3_oscilloscope_frames_per_sec"] = round(16 / dt, 1)
+
+
 
     # ---- headline: stereo 4096-pt spectrum throughput + latency -----------
     constant = make_spectrum_constant(
@@ -163,36 +202,6 @@ def main() -> None:
     vstate = init_meter_state((64,))
     dt = _timeit(lambda f: vs_step(vstate, f)[0], vf)
     extras["cfg2_vectorscope_frames_per_sec"] = round(64 / dt, 1)
-
-    # ---- config 3: oscilloscope @96k ---------------------------------------
-    from signalizer_tpu.views.oscilloscope import (
-        OscilloscopeProcessor,
-        SubSampleInterpolation,
-        TriggerMode,
-    )
-
-    osc = OscilloscopeProcessor(
-        pairs=16,
-        sample_rate=96_000.0,
-        channel_mode=OscChannels.SEPARATE,
-        trigger_mode=TriggerMode.ZERO_CROSSING,
-        interpolation=SubSampleInterpolation.LANCZOS,
-        window_samples=1024.0,  # 8x upsample to 8192 pixels
-        pixels=8192,
-        lookahead=8192,
-        trigger_threshold=0.1,
-        autogain=True,
-    )
-    t = np.arange(16384)
-    hist = np.sin(2 * np.pi * 440.0 * t / 96_000.0).astype(np.float32)
-    hist_dev = jnp.asarray(np.broadcast_to(hist, (16, 2, 16384)).copy())
-    osc.process(hist_dev)  # warmup/compile
-
-    def osc_step():
-        return osc.process(hist_dev).waveform
-
-    dt = _timeit(lambda: osc_step(), reps=10)
-    extras["cfg3_oscilloscope_frames_per_sec"] = round(16 / dt, 1)
 
     # ---- config 4: 16384-pt 50%-overlap spectrogram + 1000-frame peak hold --
     c4 = make_spectrum_constant(

@@ -86,6 +86,31 @@ class SignalizerEngine(SerializableObject):
         for content in (self.vectorscope, self.oscilloscope, self.spectrum):
             self.parameter_map.add_set(content.parameter_set)
 
+        # keep window-size transformatters in sync with stream properties
+        # (ref: onStreamPropertiesChanged rescale, CommonSignalizer.h:326)
+        engine = self
+
+        class _PropertyWatcher:
+            def on_stream_audio(self, ctx, block):
+                pass
+
+            def on_stream_properties_changed(self, ctx, before):
+                info = ctx.info
+                for tf in (
+                    engine.vectorscope.audio_history_transformatter,
+                    engine.oscilloscope.window_transformatter,
+                    engine.spectrum.audio_history_transformatter,
+                ):
+                    tf.set_stream_properties(info.sample_rate, info.audio_history_capacity)
+                engine.config.sample_rate = info.sample_rate
+                engine.config.num_channels = info.channels
+
+            def on_stream_died(self, ctx):
+                pass
+
+        self._property_watcher = _PropertyWatcher()
+        self.realtime_output.add_listener(self._property_watcher)
+
         self.presets = PresetManager(preset_dir) if preset_dir else None
         if self.presets:
             default = self.presets.load_default()

@@ -346,7 +346,9 @@ def linear_resample(x: jax.Array, start, step, num_out: int) -> jax.Array:
     """2-tap linear variant (ref: SubSampleInterpolation::Linear path)."""
     w = x.shape[-1]
     p = jnp.arange(num_out, dtype=jnp.float32)
-    pos = start + p * step
+    start = jnp.asarray(start, jnp.float32)
+    step = jnp.asarray(step, jnp.float32)
+    pos = start[..., None] + p * step[..., None]
     i0 = jnp.floor(pos)
     frac = pos - i0
     idx = jnp.stack([i0, i0 + 1], axis=-1).astype(jnp.int32)

@@ -21,6 +21,15 @@ TPU-first re-formulation of the remap plan for the MXU/VPU:
 
 The kernel runs on a (batch-tile x pixel-tile) grid; every operand is
 produced once per Constant by :func:`make_display_map_operands`.
+
+**Measured verdict (TPU v5 lite, B=1024, P=1024, 2049 bins):** the kernel
+is numerically correct on hardware (max err 6e-4 vs production) but the
+masked-max bin-max formulation performs O(bins x pixels) VPU work where
+the production segment-max does O(bins); measured 16.0 ms vs 4.0 ms for
+the XLA gather pipeline. Production therefore keeps the XLA path
+(kernels/spectrum.py) — "let XLA fuse what it already fuses well" — and
+this kernel is retained as a validated alternative formulation and a
+pallas reference for future fusions where XLA's scheduling falls short.
 """
 
 from __future__ import annotations
@@ -94,9 +103,9 @@ def pallas_supported() -> bool:
 
 
 def _kernel(
-    mags_ref,  # [Bt, nv] f32
-    interp_w_ref,  # [nv, Pt]
-    seg_mask_ref,  # [nv, Pt]
+    mags_ref,  # [Bt, nv_padded] f32
+    interp_w_ref,  # [nv_padded, Pt]
+    seg_mask_ref,  # [nv_padded, Pt]
     select_ref,  # [1, Pt]
     slope_ref,  # [1, Pt]
     state_ref,  # [Bt, Pt] (decay state in)
@@ -107,9 +116,8 @@ def _kernel(
     v_chunk: int,
     n_values: int,
 ):
-    from jax.experimental import pallas as pl  # noqa: F401
+    from jax.experimental import pallas as pl
 
-    mags = mags_ref[:]  # [Bt, nv]
     pole = scalars_ref[0, 0]
     delta_y_recip = scalars_ref[0, 1]
     clip_db = scalars_ref[0, 2]
@@ -119,28 +127,26 @@ def _kernel(
     # is applied after the sum — matches the reference's |interp(complex)|
     # up to the documented magnitude-interp convention)
     interp = jnp.abs(
-        jnp.dot(mags, interp_w_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(mags_ref[:], interp_w_ref[:], preferred_element_type=jnp.float32)
     )  # [Bt, Pt]
 
-    # bin-max: streamed masked max over bin chunks
-    bt = mags.shape[0]
+    # bin-max: streamed masked max over bin chunks (ref slices use pl.ds —
+    # pallas TPU cannot lower dynamic_slice on materialized values).
+    # n_values is pre-padded to a multiple of v_chunk; padded rows carry
+    # mags 0 / mask -inf so they never win the max.
+    bt = out_ref.shape[0]
     pt = out_ref.shape[1]
     num_chunks = n_values // v_chunk
 
     def chunk_body(c, acc):
-        m = jax.lax.dynamic_slice(mags, (0, c * v_chunk), (bt, v_chunk))
-        mask = jax.lax.dynamic_slice(seg_mask_ref[:], (c * v_chunk, 0), (v_chunk, pt))
+        m = mags_ref[:, pl.ds(c * v_chunk, v_chunk)]
+        mask = seg_mask_ref[pl.ds(c * v_chunk, v_chunk), :]
         contrib = jnp.max(m[:, :, None] + mask[None, :, :], axis=1)
         return jnp.maximum(acc, contrib)
 
     segmax = jax.lax.fori_loop(
         0, num_chunks, chunk_body, jnp.full((bt, pt), NEG_INF, jnp.float32)
     )
-    rem = n_values - num_chunks * v_chunk
-    if rem:
-        m = jax.lax.dynamic_slice(mags, (0, num_chunks * v_chunk), (bt, rem))
-        mask = jax.lax.dynamic_slice(seg_mask_ref[:], (num_chunks * v_chunk, 0), (rem, pt))
-        segmax = jnp.maximum(segmax, jnp.max(m[:, :, None] + mask[None, :, :], axis=1))
     binmax = jnp.maximum(segmax, 0.0) * inv_size
 
     sel = select_ref[0, :]
@@ -178,6 +184,20 @@ def fused_display_map(
     p = state.shape[-1]
     assert b % batch_tile == 0, (b, batch_tile)
     assert p % pixel_tile == 0, (p, pixel_tile)
+
+    # pad the bin axis to a multiple of v_chunk (padded rows: mags 0,
+    # interp weight 0, seg mask -inf — inert in both reductions)
+    nv_pad = -(-nv // v_chunk) * v_chunk
+    if nv_pad != nv:
+        pad = nv_pad - nv
+        mags = jnp.pad(mags, ((0, 0), (0, pad)))
+        operands = operands._replace(
+            interp_w=jnp.pad(operands.interp_w, ((0, pad), (0, 0))),
+            seg_mask=jnp.pad(
+                operands.seg_mask, ((0, pad), (0, 0)), constant_values=NEG_INF
+            ),
+        )
+        nv = nv_pad
 
     ln10_over_20 = 0.11512925464970229
     lower = jnp.exp(low_dbs * ln10_over_20)

@@ -115,3 +115,19 @@ def test_engine_all_view_factories():
     cols = sg.pull()
     assert cols.shape[1] == 64
     eng.close()
+
+
+def test_stream_property_changes_rescale_transformatters():
+    """ref: AudioHistoryTransformatter::onStreamPropertiesChanged —
+    changing sample rate / capacity rescales the window knobs."""
+    eng = SignalizerEngine("props")
+    assert eng.spectrum.audio_history_transformatter.sample_rate == 48_000.0
+    eng.realtime_input.initialize_info(
+        lambda info: (setattr(info, "sample_rate", 96_000.0),
+                      setattr(info, "audio_history_capacity", 96_000))
+    )
+    assert eng.spectrum.audio_history_transformatter.sample_rate == 96_000.0
+    assert eng.spectrum.audio_history_transformatter.capacity == 96_000
+    assert eng.oscilloscope.window_transformatter.sample_rate == 96_000.0
+    assert eng.config.sample_rate == 96_000.0
+    eng.close()
