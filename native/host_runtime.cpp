@@ -138,6 +138,30 @@ int64_t sz_frame_gather(const SzRing* r, int64_t first_frame, int64_t num_frames
     return emitted;
 }
 
+// Advance the monotonic clock to `clock`, zero-filling the gap (places a
+// stream's ring on its own steady-clock timeline).
+void sz_ring_seek(SzRing* r, int64_t clock) {
+    const int64_t written = r->written.load(std::memory_order_relaxed);
+    if (clock <= written) return;
+    const int64_t gap = clock - written;
+    if (gap >= r->capacity) {
+        std::fill(r->data.begin(), r->data.end(), 0.0f);
+        r->head = 0;
+        r->written.store(clock, std::memory_order_release);
+        return;
+    }
+    // zero-fill the gap in ring space
+    for (int64_t c = 0; c < r->channels; ++c) {
+        int64_t pos = r->head;
+        for (int64_t i = 0; i < gap; ++i) {
+            r->data[c * r->capacity + pos] = 0.0f;
+            pos = (pos + 1) % r->capacity;
+        }
+    }
+    r->head = (r->head + gap) % r->capacity;
+    r->written.fetch_add(gap, std::memory_order_release);
+}
+
 // Mix gather: accumulate one channel of a source ring at end_clock into a
 // destination row (the mix graph's port gather). Out-of-range channels
 // contribute silence (returns -3) — never an out-of-bounds read.

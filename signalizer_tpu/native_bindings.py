@@ -74,6 +74,7 @@ def _load():
         lib.sz_ring_capacity.restype = c_i64
         lib.sz_ring_capacity.argtypes = [ctypes.c_void_p]
         lib.sz_ring_clear.argtypes = [ctypes.c_void_p]
+        lib.sz_ring_seek.argtypes = [ctypes.c_void_p, c_i64]
         lib.sz_ring_write.argtypes = [ctypes.c_void_p, c_fp, c_i64]
         lib.sz_ring_read_at.restype = ctypes.c_int
         lib.sz_ring_read_at.argtypes = [ctypes.c_void_p, c_i64, c_fp, c_i64]
@@ -132,6 +133,9 @@ class NativeRingBuffer:
 
     def clear(self) -> None:
         self._lib.sz_ring_clear(self._handle)
+
+    def seek_to(self, clock: int) -> None:
+        self._lib.sz_ring_seek(self._handle, int(clock))
 
     def write(self, block: np.ndarray) -> None:
         block = np.ascontiguousarray(block, np.float32)

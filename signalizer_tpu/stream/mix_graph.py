@@ -171,10 +171,25 @@ class MixGraph:
                     )
 
     # --- ingest ------------------------------------------------------------
+    @staticmethod
+    def _ingest_aligned(st: _SourceState, block: np.ndarray, start_clock: int) -> None:
+        """Write a block at its steady-clock position: the ring's monotonic
+        clock IS the source's steady clock (gaps zero-filled, overlapped
+        prefixes dropped), so all alignment math lives in one coordinate
+        system."""
+        cur = st.ring.sample_clock
+        if start_clock > cur:
+            st.ring.seek_to(start_clock)
+        elif start_clock < cur:
+            overlap = int(cur - start_clock)
+            if overlap >= block.shape[1]:
+                return
+            block = block[:, overlap:]
+        st.ring.write(np.ascontiguousarray(block))
+        st.clock = st.ring.sample_clock
+
     def _on_source_audio(self, st: _SourceState, block: np.ndarray, playhead: Playhead) -> None:
-        end_clock = playhead.steady_clock + block.shape[1]
-        st.ring.write(block)
-        st.clock = end_clock
+        self._ingest_aligned(st, block, playhead.steady_clock)
 
     def _on_self_audio(self, block: np.ndarray, playhead: Playhead) -> None:
         n = block.shape[1]
@@ -197,8 +212,7 @@ class MixGraph:
         self_state = self._sources.get(self.graph.node_id)
         if self_state is not None:
             # the forwarder for self doesn't write (we do it here, once)
-            self_state.ring.write(block)
-            self_state.clock = self._self_clock
+            self._ingest_aligned(self_state, block, playhead.steady_clock)
             if self_state.offset is None:
                 self_state.offset = 0
 
@@ -207,21 +221,32 @@ class MixGraph:
         emit_end = emit_target
         synced = True
         for st in self._sources.values():
+            if st.clock == 0:
+                # nothing delivered yet: don't estimate an offset from a
+                # phantom head, don't gate the mix on this source
+                st.offset = None
+                continue
             if st.offset is None:
-                # first contact: align the source's head to "now"
+                # first real contact: align the source's head to "now"
                 st.offset = self._self_clock - st.clock
             aligned_head = st.clock + st.offset
             lag = emit_target - aligned_head
-            if lag > self.maximum_latency:
-                # persistent lag / discontinuity: re-anchor and count it
+            # re-anchor on staleness in EITHER direction: persistent lag
+            # (source starved / discontinuity) or a stale-ahead offset
+            # (estimated before the source's clock was meaningful)
+            if lag > self.maximum_latency or -lag > 8 * self.maximum_latency:
                 st.offset = self._self_clock - st.clock
                 self.perf.discontinuities += 1
-                self.perf.silence_inserted += int(lag)
+                if lag > 0:
+                    self.perf.silence_inserted += int(lag)
                 synced = False
                 aligned_head = st.clock + st.offset
             emit_end = min(emit_end, aligned_head)
 
         emit_start = max(self._emitted_up_to, emit_target - self.maximum_latency)
+        if emit_start > self._emitted_up_to and self._emitted_up_to > 0:
+            # bounded-latency flow control skipped old audio
+            self.perf.samples_dropped += int(emit_start - self._emitted_up_to)
         if emit_end <= emit_start:
             self.perf.synchronized = False
             return
@@ -232,6 +257,8 @@ class MixGraph:
         channels = self.presentation_input._stream.info.channels
         matrix = np.zeros((channels, count), np.float32)
         for st in self._sources.values():
+            if st.offset is None:
+                continue  # never delivered: contributes silence
             src_end = emit_end - st.offset
             try:
                 data = st.ring.read_at(int(src_end), count)

@@ -88,6 +88,19 @@ class RingBuffer:
             out[:, n - rest :] = self._data[:, :rest]
         return out
 
+    def seek_to(self, clock: int) -> None:
+        """Advance the monotonic clock to ``clock``, zero-filling the gap
+        (used to place a stream's ring on its own steady-clock timeline)."""
+        if clock <= self._written:
+            return
+        gap = clock - self._written
+        if gap >= self.capacity:
+            self._data[:] = 0
+            self._head = 0
+            self._written = clock
+        else:
+            self.write(np.zeros((self.channels, int(gap)), self._data.dtype))
+
     def read_at(self, clock: int, n: int) -> np.ndarray:
         """Window [channels, n] ending at absolute sample ``clock`` (on the
         monotonic clock). Raises if the region has been overwritten."""
