@@ -98,7 +98,7 @@ def lissajous_vertices(frames: jax.Array, *, rotation: float = 0.0, gain=1.0) ->
     return jnp.stack([gain * x, gain * y, fade], axis=-1)
 
 
-def polar_vertices(frames: jax.Array, *, gain=1.0) -> jax.Array:
+def polar_vertices(frames: jax.Array, *, gain=1.0, scale_to_fill: bool = False) -> jax.Array:
     """Polar ("half-moon") point cloud: frames [..., 2, W] -> [..., W, 3]
     (ref: drawPolarPlot, VectorscopeRendering.cpp:563-604).
 
@@ -116,9 +116,15 @@ def polar_vertices(frames: jax.Array, *, gain=1.0) -> jax.Array:
     angle = jnp.where(both_zero, 0.0, angle)
     x = jnp.sin(angle) * length
     y = jnp.cos(angle) * length
+    x = x * gain
+    y = y * gain
+    if scale_to_fill:
+        # stretch the [0, 1] half-circle to fill [-1, 1] vertically
+        # (ref: Conditional01To11HeightTransform / scalePolarModeToFill)
+        y = y * 2.0 - 1.0
     fade = jnp.linspace(-1.0, 0.0, w, dtype=frames.dtype)
     fade = jnp.broadcast_to(fade, x.shape)
-    return jnp.stack([gain * x, gain * y, fade], axis=-1)
+    return jnp.stack([x, y, fade], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -211,3 +217,14 @@ def peak_autogain_update(
     g = 1.0 / jnp.sqrt(jnp.maximum(new_env[..., 0], new_env[..., 1]))
     gain = jnp.where(jnp.isfinite(g) & (g > 0), g, 1.0)
     return new_env, gain
+
+
+def apply_transform(vertices: jax.Array, matrix, translation=None) -> jax.Array:
+    """Apply a 3x3 transform (+ optional translation) to [..., N, 3] vertex
+    clouds (ref: ParameterTransformValue / MatrixModification usage —
+    the reference applies these on the GL matrix stack)."""
+    m = jnp.asarray(matrix, vertices.dtype)
+    out = jnp.einsum("ij,...nj->...ni", m, vertices)
+    if translation is not None:
+        out = out + jnp.asarray(translation, vertices.dtype)
+    return out

@@ -99,3 +99,25 @@ def time_axis(
         lines.append(AxisLine(v / span if span else 0.0, v, f"{v:g} {unit}"))
         v += step
     return lines
+
+
+def cursor_readout(
+    y_value: float,
+    time_fraction: float,
+    window_seconds: float,
+    sample_rate: float,
+) -> dict:
+    """Oscilloscope cursor tracker readout (ref: cursor text box,
+    OscilloscopeRendering.cpp:157-235): amplitude, dB, time in ms and
+    samples at the cursor position."""
+    import math
+
+    dbs = 20.0 * math.log10(abs(y_value)) if y_value != 0 else float("-inf")
+    t = time_fraction * window_seconds
+    return {
+        "amplitude": y_value,
+        "dbs": dbs,
+        "time_ms": t * 1e3,
+        "samples": t * sample_rate,
+        "text": f"y: {y_value:+.4f} ({dbs:+.1f} dB)  t: {t*1e3:.2f} ms ({t*sample_rate:.0f} smps)",
+    }

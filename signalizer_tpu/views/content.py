@@ -164,6 +164,16 @@ class SpectrumContent(SerializableObject):
         self.slope = ps.register_bundle(PowerSlopeValue("Slope"))
         ps.seal()
 
+    def available_windows(self):
+        """Window list by algorithm (ref: SpectrumController.cpp:136-169 —
+        the resonator's windowed readout only supports finite-cosine-sum
+        windows)."""
+        from signalizer_tpu.core.windows import FINITE_DFT_WINDOWS, WindowType
+
+        if int(self.algorithm.get_transformed()) == int(TransformAlgorithm.RESONATOR):
+            return tuple(FINITE_DFT_WINDOWS)
+        return tuple(WindowType)
+
     # --- bridge to kernels ---------------------------------------------------
     def make_constant(self, *, axis_points: int, sample_rate: float = 48_000.0,
                       frames_per_second: float = 60.0) -> SpectrumConstant:
@@ -319,6 +329,7 @@ class OscilloscopeContent(SerializableObject):
             key_colour=tuple(self.primary_colour.get_rgb()),
             colour_blend=1.0 - self.frequency_colouring_blend.get_transformed(),
             manual_gain=10.0 ** (self.input_gain.get_transformed() / 20.0),
+            trigger_channel=int(self.triggering_channel.get_transformed()),
         )
 
     VERSION = 1
@@ -392,6 +403,7 @@ class VectorScopeContent(SerializableObject):
             stereo_window=self.stereo_window.get_normalized(),
             rotation=self.wave_z_rotation.get_transformed() / 360.0,
             user_gain=10.0 ** (self.input_gain.get_transformed() / 20.0),
+            scale_to_fill=self.scale_polar_mode_to_fill.get_transformed() > 0.5,
         )
 
     VERSION = 1

@@ -139,6 +139,7 @@ class OscilloscopeProcessor:
         key_colour=(1.0, 1.0, 1.0),
         colour_blend: float = 1.0,
         manual_gain: float = 1.0,
+        trigger_channel: int = 0,
     ):
         self.pairs = pairs
         self.sample_rate = sample_rate
@@ -161,6 +162,7 @@ class OscilloscopeProcessor:
         self.key_colour = np.asarray(key_colour, np.float32)
         self.colour_blend = float(colour_blend)
         self.manual_gain = float(manual_gain)
+        self.trigger_channel = int(trigger_channel)
         self.rows = 2 if self.channel_mode in (OscChannels.SEPARATE, OscChannels.MIDSIDE) else 1
         self._state = self._init_state()
 
@@ -206,6 +208,7 @@ class OscilloscopeProcessor:
             key_colour=tuple(self.key_colour.tolist()),
             colour_blend=self.colour_blend,
             manual_gain=self.manual_gain,
+            trigger_channel=self.trigger_channel,
         )
         return frame
 
@@ -230,6 +233,7 @@ class OscilloscopeProcessor:
         "key_colour",
         "colour_blend",
         "manual_gain",
+        "trigger_channel",
     ),
 )
 def _osc_step(
@@ -255,10 +259,13 @@ def _osc_step(
     key_colour,
     colour_blend: float,
     manual_gain: float,
+    trigger_channel: int = 0,
 ) -> Tuple[OscilloscopeFrame, OscilloscopeState]:
     pairs, _, h = history.shape
     rows = _pack_rows(history, channel_mode)  # [pairs, rows, H]
-    trig_src = rows[:, 0, :]  # trigger channel = first row
+    # trigger channel selection (ref: calculateTriggerIndices,
+    # OscilloscopeParameters.h:491-505)
+    trig_src = rows[:, trigger_channel % rows.shape[1], :]
     hf = jnp.asarray(float(h), jnp.float32)
     window = jnp.minimum(window, hf)
 

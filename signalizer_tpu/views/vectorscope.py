@@ -51,7 +51,7 @@ class VectorscopeFrame(NamedTuple):
     gain: jax.Array  # [...] applied gain
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "autogain", "rotation"))
+@functools.partial(jax.jit, static_argnames=("mode", "autogain", "rotation", "scale_to_fill"))
 def _vs_step(
     state: VectorscopeMeterState,
     peak_env: jax.Array,
@@ -64,6 +64,7 @@ def _vs_step(
     mode: OperationalMode,
     autogain: AutoGain,
     rotation: float,
+    scale_to_fill: bool,
 ):
     new_state = update_meters(
         state, frames, envelope_pole=envelope_pole, stereo_pole=stereo_pole
@@ -79,7 +80,7 @@ def _vs_step(
         new_peak_env = peak_env
     gain_b = gain[..., None]  # broadcast over the sample axis
     if mode == OperationalMode.POLAR:
-        verts = polar_vertices(frames, gain=gain_b)
+        verts = polar_vertices(frames, gain=gain_b, scale_to_fill=scale_to_fill)
     else:
         verts = lissajous_vertices(frames, rotation=rotation, gain=gain_b)
     bars = meter_readout(new_state)
@@ -105,6 +106,7 @@ class VectorscopeProcessor:
         rotation: float = 0.0,  # turns (ref: waveZRotation)
         user_gain: float = 1.0,
         frame_rate: float = 60.0,
+        scale_to_fill: bool = False,
     ):
         self.pairs = pairs
         self.sample_rate = sample_rate
@@ -112,6 +114,7 @@ class VectorscopeProcessor:
         self.autogain = AutoGain(autogain)
         self.rotation = float(rotation)
         self.user_gain = float(user_gain)
+        self.scale_to_fill = bool(scale_to_fill)
         self.frame_rate = frame_rate
         self.envelope_pole = filter_coefficient(envelope_window, sample_rate)
         self.stereo_pole = filter_coefficient(stereo_window, sample_rate)
@@ -143,5 +146,6 @@ class VectorscopeProcessor:
             mode=self.mode,
             autogain=self.autogain,
             rotation=self.rotation,
+            scale_to_fill=self.scale_to_fill,
         )
         return frame

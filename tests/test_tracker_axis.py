@@ -126,3 +126,74 @@ def test_legend():
     assert len(lg.entries) == 4
     assert lg.entries[0].colour == lg.entries[1].colour  # same pair
     assert lg.entries[0].colour != lg.entries[2].colour  # next pair rotated
+
+
+def test_cursor_readout():
+    from signalizer_tpu.utils.axis import cursor_readout
+
+    r = cursor_readout(0.5, 0.25, 0.010, 48_000.0)
+    assert abs(r["dbs"] + 6.02) < 0.01
+    assert abs(r["time_ms"] - 2.5) < 1e-9
+    assert abs(r["samples"] - 120.0) < 1e-9
+    assert "smps" in r["text"]
+
+
+def test_polar_scale_to_fill():
+    import jax.numpy as jnp
+
+    from signalizer_tpu.kernels.vectorscope import polar_vertices
+
+    x = np.abs(np.random.default_rng(0).standard_normal((2, 64))).astype(np.float32)
+    v = np.asarray(polar_vertices(jnp.asarray(x), scale_to_fill=True))
+    assert v[:, 1].min() < -0.5  # stretched down into [-1, 1]
+
+
+def test_apply_transform():
+    import jax.numpy as jnp
+
+    from signalizer_tpu.kernels.vectorscope import apply_transform
+    from signalizer_tpu.params.values import TransformValue
+
+    t = TransformValue("t")
+    for s in t.scale:
+        s.set_transformed(2.0)
+    verts = jnp.asarray(np.random.default_rng(1).standard_normal((5, 3)).astype(np.float32))
+    out = np.asarray(apply_transform(verts, t.matrix(), t.translation()))
+    np.testing.assert_allclose(out, np.asarray(verts) * 2.0 + t.translation(), rtol=1e-5, atol=1e-6)
+
+
+def test_available_windows_by_algorithm():
+    from signalizer_tpu.core.windows import FINITE_DFT_WINDOWS, WindowType
+    from signalizer_tpu.views.content import SpectrumContent
+
+    sc = SpectrumContent()
+    sc.algorithm.set_transformed(0)  # FFT
+    assert len(sc.available_windows()) == len(WindowType)
+    sc.algorithm.set_transformed(1)  # resonator
+    assert sc.available_windows() == tuple(FINITE_DFT_WINDOWS)
+
+
+def test_trigger_channel_selection():
+    """Triggering on the right channel must center that channel's crossing."""
+    import jax.numpy as jnp
+
+    from signalizer_tpu.core.config import OscChannels
+    from signalizer_tpu.views.oscilloscope import (
+        OscilloscopeProcessor,
+        TriggerMode,
+    )
+
+    fs = 48_000.0
+    t = np.arange(16384)
+    left = np.sin(2 * np.pi * 440.0 * t / fs + 1.3).astype(np.float32)
+    right = np.sin(2 * np.pi * 440.0 * t / fs).astype(np.float32)
+    hist = np.stack([left, right])[None]
+    proc = OscilloscopeProcessor(
+        pairs=1, channel_mode=OscChannels.SEPARATE,
+        trigger_mode=TriggerMode.ZERO_CROSSING, trigger_threshold=0.1,
+        window_samples=1001.0, pixels=1001, trigger_channel=1,
+    )
+    frame = proc.process(hist)
+    wave_r = np.asarray(frame.waveform)[0, 1]
+    c = len(wave_r) // 2
+    assert abs(wave_r[c]) < 0.06 and wave_r[c + 5] > wave_r[c - 5]
