@@ -1,0 +1,55 @@
+"""End-to-end demo: feed a synthetic mix through one engine and render all
+four views to PNG (CPU-friendly; run with JAX_PLATFORMS=cpu for speed)."""
+
+import pathlib
+
+import numpy as np
+
+from signalizer_tpu.engine import SignalizerEngine
+from signalizer_tpu.views.render import (
+    render_oscilloscope,
+    render_spectrogram,
+    render_spectrum,
+    render_vectorscope,
+)
+
+
+def main(out_dir="demo_out"):
+    out = pathlib.Path(out_dir)
+    out.mkdir(exist_ok=True)
+    fs = 48_000.0
+    eng = SignalizerEngine("demo")
+
+    t = np.arange(int(2 * fs)) / fs
+    rng = np.random.default_rng(0)
+    melody = 0.5 * np.sin(2 * np.pi * 440 * t) * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))
+    high = 0.15 * np.sin(2 * np.pi * 2500 * t)
+    noise = 0.02 * rng.standard_normal(len(t))
+    left = (melody + high + noise).astype(np.float32)
+    right = np.roll(left, 9) * 0.8
+    eng.process_block(np.stack([left, right]))
+
+    sp = eng.make_spectrum_processor(axis_points=800)
+    res = sp.process(eng.get_presentation_history(sp.constant.window_size)[None])
+    render_spectrum(
+        np.asarray(res)[0, 0, 0],
+        np.asarray(sp.constant.mapped_frequencies),
+        path=out / "spectrum.png",
+    )
+
+    osc = eng.make_oscilloscope_processor(pixels=800)
+    render_oscilloscope(osc.process(eng.get_presentation_history(16384)[None]), path=out / "oscilloscope.png")
+
+    vs = eng.make_vectorscope_processor()
+    render_vectorscope(vs.process(eng.get_presentation_history(4096)[None]), path=out / "vectorscope.png")
+
+    sg = eng.make_spectrogram_processor(axis_points=160, image_width=180)
+    sg.push(np.stack([left, right]))
+    sg.pull()
+    render_spectrogram(sg.image, path=out / "spectrogram.png")
+    print(f"wrote 4 renders to {out}/")
+    eng.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -172,3 +172,31 @@ class SpectrogramImage:
     def snapshot(self) -> np.ndarray:
         """Time-ordered image [width, height, 4], oldest column first."""
         return np.roll(self._img, -self._cursor, axis=0)
+
+
+class ColumnPacer:
+    """Render-rate smoothing for spectrogram columns
+    (ref: framesPerUpdate EMA in renderColourSpectrum,
+    SpectrumRendering.cpp:671-749): smooths how many DSP columns each
+    render tick consumes so the scroll speed doesn't jitter with audio
+    block boundaries."""
+
+    def __init__(self, smoothing: float = 0.9):
+        self.smoothing = float(smoothing)
+        self._per_update = 0.0
+        self._debt = 0.0
+
+    def columns_for_tick(self, available: int) -> int:
+        """How many of ``available`` pending columns to consume this tick."""
+        self._per_update = (
+            self.smoothing * self._per_update + (1.0 - self.smoothing) * available
+        )
+        want = self._per_update + self._debt
+        take = int(want)
+        take = max(0, min(take, available))
+        self._debt = want - take
+        # never fall behind more than one tick's worth
+        if available - take > self._per_update * 2:
+            take = available
+            self._debt = 0.0
+        return take

@@ -275,3 +275,23 @@ def test_spectrogram_image_scroll():
     img.push_columns(cols + 100)  # wraps
     snap = img.snapshot()
     np.testing.assert_array_equal(snap[3], cols[2] + 100)
+
+
+def test_column_pacer_smooths_consumption():
+    from signalizer_tpu.views.spectrogram import ColumnPacer
+
+    pacer = ColumnPacer(smoothing=0.8)
+    # bursty availability: 0,0,9,0,0,9,... should smooth toward 3/tick
+    takes = []
+    backlog = 0
+    for i in range(60):
+        arriving = 9 if i % 3 == 2 else 0
+        backlog += arriving
+        take = pacer.columns_for_tick(backlog)
+        assert 0 <= take <= backlog
+        backlog -= take
+        takes.append(take)
+    # consumed everything eventually and without giant spikes at the end
+    assert sum(takes) == 9 * 20 - backlog
+    assert max(takes[30:]) <= 9
+    assert np.mean(takes[30:]) > 1.5
