@@ -5,38 +5,32 @@ frames/sec/chip at 48 kHz (target >= 1000) and p50 frame latency
 (target < 1 ms). Prints exactly ONE JSON line with the headline plus the
 other configs' numbers as extra keys.
 
-Configs (BASELINE.json.configs):
-  1. mono 48 kHz 1024-pt Hann FFT spectrum, linear frequency (CPU-runnable)
-  2. stereo vectorscope: Lissajous + polar + correlation on 4096 frames
-  3. oscilloscope: zero-crossing trigger + 8x sinc resample + min-max
-     decimation, stereo 96 kHz
-  4. streaming spectrogram: 16384-pt FFT, log remap, dB colour map, 50%
-     overlap, peak-hold over 1000 frames
-  5. 8-channel 192 kHz full pipeline: spectrum + oscilloscope + vectorscope
-     fused per frame on one batch
-
-Latency methodology: single-frame steps with donated state; includes
-host->device transfer of the frame and device->host of the display row.
-NOTE: on this rig the TPU is reached through a network tunnel; we also
-measure a no-op device round trip ("rtt_floor_ms") so compute latency is
-distinguishable from transport.
+Measurement notes for this rig:
+* the TPU is reached through a network tunnel with ~25 ms no-op RTT
+  (reported as ``rtt_floor_ms``); throughput is measured with chained
+  async dispatches per synchronization so the RTT amortizes out;
+* the tunnel develops dispatch backpressure under sustained load that
+  contaminates later measurements in a process, so every config runs in
+  its own subprocess (the persistent compilation cache in .jax_cache/
+  makes that cheap after the first run).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
+CONFIG_NAMES = ("headline", "cfg1", "cfg2", "cfg3", "cfg4", "cfg5")
+
 
 def _timeit(fn, *args, reps=10, warmup=2, chain=8):
-    """Median seconds per call at steady state.
-
-    Dispatches ``chain`` async calls per synchronization so the tunnel
-    round trip (rtt_floor_ms, ~28 ms on this rig) is amortized out of the
-    *throughput* numbers; inputs must already live on device.
-    """
+    """Median seconds per call at steady state (chained async dispatch)."""
     import jax
 
     for _ in range(warmup):
@@ -52,12 +46,12 @@ def _timeit(fn, *args, reps=10, warmup=2, chain=8):
     return float(np.median(times))
 
 
-def main() -> None:
+def main(only: str = None) -> None:
     import jax
 
-    # persistent compilation cache: compiles through the remote-TPU tunnel
-    # cost minutes; cache them across bench runs
-    jax.config.update("jax_compilation_cache_dir", str(__import__("pathlib").Path(__file__).parent / ".jax_cache"))
+    jax.config.update(
+        "jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache")
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
@@ -68,222 +62,247 @@ def main() -> None:
         ViewScaling,
     )
     from signalizer_tpu.core.constant import make_spectrum_constant
-    from signalizer_tpu.kernels.spectrum import analyze_frames, init_line_graph_state
     from signalizer_tpu.kernels.peak_decay import peak_decay_scan
+    from signalizer_tpu.kernels.spectrum import analyze_frames, init_line_graph_state
+
+    def want(name: str) -> bool:
+        return only is None or only == name
 
     rng = np.random.default_rng(0)
-    extras = {}
+    out = {}
 
-    # ---- config 3: oscilloscope @96k (measured first: the remote tunnel
-    # develops dispatch backpressure after sustained load, which penalizes
-    # python-wrapper dispatch paths; fresh-context numbers reflect the chip) ---------------------------------------
-    from signalizer_tpu.views.oscilloscope import (
-        OscilloscopeProcessor,
-        SubSampleInterpolation,
-        TriggerMode,
-    )
+    if want("headline"):
+        constant = make_spectrum_constant(
+            axis_points=1024,
+            window_size=4096,
+            sample_rate=48_000.0,
+            configuration=SpectrumChannels.SEPARATE,
+            bin_interpolation=BinInterpolation.LINEAR,
+            view_scaling=ViewScaling.LOGARITHMIC,
+        )
 
-    osc = OscilloscopeProcessor(
-        pairs=16,
-        sample_rate=96_000.0,
-        channel_mode=OscChannels.SEPARATE,
-        trigger_mode=TriggerMode.ZERO_CROSSING,
-        interpolation=SubSampleInterpolation.LANCZOS,
-        window_samples=1024.0,  # 8x upsample to 8192 pixels
-        pixels=8192,
-        lookahead=8192,
-        trigger_threshold=0.1,
-        autogain=True,
-    )
-    t = np.arange(16384)
-    hist = np.sin(2 * np.pi * 440.0 * t / 96_000.0).astype(np.float32)
-    hist_dev = jnp.asarray(np.broadcast_to(hist, (16, 2, 16384)).copy())
-    osc.process(hist_dev)  # warmup/compile
+        @jax.jit
+        def spectrum_batch(state, frames):
+            r = analyze_frames(constant, state, frames)
+            return r.results, r.state
 
-    def osc_step():
-        return osc.process(hist_dev).waveform
+        pairs, t_steps = 8, 128
+        frames = jnp.asarray(rng.standard_normal((pairs, t_steps, 2, 4096)).astype(np.float32))
+        state = init_line_graph_state(constant, (pairs,))
+        results, state = spectrum_batch(state, frames)
+        jax.block_until_ready(results)
+        dt = _timeit(lambda f: spectrum_batch(state, f)[0], frames)
+        throughput = pairs * t_steps / dt
+        out.update(
+            metric="spectrum_frames_per_sec_per_chip_4096pt_stereo",
+            value=round(throughput, 1),
+            unit="frames/s",
+            vs_baseline=round(throughput / 1000.0, 3),
+            device=str(jax.devices()[0]),
+        )
 
-    dt = _timeit(lambda: osc_step(), reps=10)
-    extras["cfg3_oscilloscope_frames_per_sec"] = round(16 / dt, 1)
+        # latency: single-frame host->device->host round trip
+        @jax.jit
+        def spectrum_single(state, frame):
+            r = analyze_frames(constant, state, frame)
+            return r.results[:, 0, 0], r.state
 
-
-
-    # ---- headline: stereo 4096-pt spectrum throughput + latency -----------
-    constant = make_spectrum_constant(
-        axis_points=1024,
-        window_size=4096,
-        sample_rate=48_000.0,
-        configuration=SpectrumChannels.SEPARATE,
-        bin_interpolation=BinInterpolation.LINEAR,
-        view_scaling=ViewScaling.LOGARITHMIC,
-    )
-
-    @jax.jit
-    def spectrum_batch(state, frames):
-        r = analyze_frames(constant, state, frames)
-        return r.results, r.state
-
-    pairs, t_steps = 8, 128
-    frames = jnp.asarray(rng.standard_normal((pairs, t_steps, 2, 4096)).astype(np.float32))
-    state = init_line_graph_state(constant, (pairs,))
-    results, state = spectrum_batch(state, frames)
-    jax.block_until_ready(results)
-    dt = _timeit(lambda f: spectrum_batch(state, f)[0], frames)
-    throughput = pairs * t_steps / dt
-
-    # latency: single frame round trip
-    @jax.jit
-    def spectrum_single(state, frame):
-        r = analyze_frames(constant, state, frame)
-        return r.results[:, 0, 0], r.state
-
-    lat_state = init_line_graph_state(constant, (1,))
-    host_frame = rng.standard_normal((1, 1, 2, 4096)).astype(np.float32)
-    row, lat_state = spectrum_single(lat_state, jnp.asarray(host_frame))
-    np.asarray(row)
-    lats = []
-    for _ in range(200):
-        t0 = time.perf_counter()
+        lat_state = init_line_graph_state(constant, (1,))
+        host_frame = rng.standard_normal((1, 1, 2, 4096)).astype(np.float32)
         row, lat_state = spectrum_single(lat_state, jnp.asarray(host_frame))
         np.asarray(row)
-        lats.append(time.perf_counter() - t0)
-    extras["p50_latency_ms"] = round(float(np.percentile(lats, 50) * 1e3), 4)
-    extras["p99_latency_ms"] = round(float(np.percentile(lats, 99) * 1e3), 4)
+        lats = []
+        for _ in range(200):
+            t0 = time.perf_counter()
+            row, lat_state = spectrum_single(lat_state, jnp.asarray(host_frame))
+            np.asarray(row)
+            lats.append(time.perf_counter() - t0)
+        out["p50_latency_ms"] = round(float(np.percentile(lats, 50) * 1e3), 4)
+        out["p99_latency_ms"] = round(float(np.percentile(lats, 99) * 1e3), 4)
 
-    # transport floor: no-op round trip (tiny identity through device)
-    tiny = jnp.zeros(8, jnp.float32)
-    noop = jax.jit(lambda x: x + 1.0)
-    np.asarray(noop(tiny))
-    floors = []
-    for _ in range(100):
-        t0 = time.perf_counter()
+        # transport floor: no-op round trip
+        tiny = jnp.zeros(8, jnp.float32)
+        noop = jax.jit(lambda x: x + 1.0)
         np.asarray(noop(tiny))
-        floors.append(time.perf_counter() - t0)
-    extras["rtt_floor_ms"] = round(float(np.percentile(floors, 50) * 1e3), 4)
+        floors = []
+        for _ in range(100):
+            t0 = time.perf_counter()
+            np.asarray(noop(tiny))
+            floors.append(time.perf_counter() - t0)
+        out["rtt_floor_ms"] = round(float(np.percentile(floors, 50) * 1e3), 4)
 
-    # ---- config 1: mono 1024-pt Hann, linear axis -------------------------
-    c1 = make_spectrum_constant(
-        axis_points=513,
-        window_size=1024,
-        sample_rate=48_000.0,
-        configuration=SpectrumChannels.LEFT,
-        bin_interpolation=BinInterpolation.LINEAR,
-        view_scaling=ViewScaling.LINEAR,
-    )
-
-    @jax.jit
-    def mono_batch(state, frames):
-        r = analyze_frames(c1, state, frames)
-        return r.results, r.state
-
-    f1 = jnp.asarray(rng.standard_normal((8, 256, 2, 1024)).astype(np.float32))
-    s1 = init_line_graph_state(c1, (8,))
-    dt = _timeit(lambda f: mono_batch(s1, f)[0], f1)
-    extras["cfg1_mono1024_frames_per_sec"] = round(8 * 256 / dt, 1)
-
-    # ---- config 2: vectorscope -----------------------------------------------
-    from signalizer_tpu.kernels.vectorscope import (
-        init_meter_state,
-        lissajous_vertices,
-        meter_readout,
-        polar_vertices,
-        update_meters,
-    )
-
-    @jax.jit
-    def vs_step(state, frames):
-        new_state = update_meters(state, frames, envelope_pole=0.999, stereo_pole=0.99)
-        liss = lissajous_vertices(frames)
-        pol = polar_vertices(frames)
-        bars = meter_readout(new_state)
-        return liss, pol, bars["balance"], new_state
-
-    vf = jnp.asarray(rng.standard_normal((64, 2, 4096)).astype(np.float32))
-    vstate = init_meter_state((64,))
-    dt = _timeit(lambda f: vs_step(vstate, f)[0], vf)
-    extras["cfg2_vectorscope_frames_per_sec"] = round(64 / dt, 1)
-
-    # ---- config 4: 16384-pt 50%-overlap spectrogram + 1000-frame peak hold --
-    c4 = make_spectrum_constant(
-        axis_points=1024,
-        window_size=16384,
-        sample_rate=48_000.0,
-        configuration=SpectrumChannels.LEFT,
-        bin_interpolation=BinInterpolation.LINEAR,
-        view_scaling=ViewScaling.LOGARITHMIC,
-        display_mode=1,
-    )
-    from signalizer_tpu.kernels.colormap import normalize_ratios, spectrogram_columns
-    from signalizer_tpu.views.spectrogram import DEFAULT_GRADIENT, DEFAULT_RATIOS
-
-    colours = jnp.asarray(DEFAULT_GRADIENT[None])
-    ratios = jnp.asarray(normalize_ratios(DEFAULT_RATIOS), jnp.float32)
-
-    @jax.jit
-    def sg_step(state, frames, hold):
-        r = analyze_frames(c4, state, frames)
-        intensity = r.results[:, :, 0, 0, :]
-        cols = spectrogram_columns(intensity, colours, ratios)
-        # 1000-frame peak hold: running max across the time axis
-        held, new_hold = peak_decay_scan(hold, intensity[0], 1.0, time_axis=0)
-        return cols, held, r.state, new_hold
-
-    t4 = 64  # frames per dispatch (50% overlap of 16384 = hop 8192)
-    f4 = jnp.asarray(rng.standard_normal((1, t4, 2, 16384)).astype(np.float32))
-    s4 = init_line_graph_state(c4, (1,))
-    hold = jnp.zeros((1024,), jnp.float32)
-    out = sg_step(s4, f4, hold)
-    jax.block_until_ready(out)
-    dt = _timeit(lambda f: sg_step(s4, f, hold)[0], f4)
-    extras["cfg4_spectrogram16k_frames_per_sec"] = round(t4 / dt, 1)
-
-    # ---- config 5: 8-channel 192 kHz fused pipeline -------------------------
-    c5 = make_spectrum_constant(
-        axis_points=1024,
-        window_size=4096,
-        sample_rate=192_000.0,
-        configuration=SpectrumChannels.SEPARATE,
-        bin_interpolation=BinInterpolation.LINEAR,
-        view_scaling=ViewScaling.LOGARITHMIC,
-    )
-    from signalizer_tpu.kernels.oscilloscope import minmax_decimate, sinc_resample
-    from signalizer_tpu.kernels.vectorscope import correlation
-
-    @jax.jit
-    def fused_step(state, vstate, frames):
-        # frames [4 pairs, T, 2, 4096] (8 channels)
-        r = analyze_frames(c5, state, frames)
-        corr = correlation(frames)
-        wave = sinc_resample(
-            frames[..., 0, :], jnp.zeros(frames.shape[:2]),
-            jnp.full(frames.shape[:2], 4096.0 / 1024), 1024
+    if want("cfg1"):
+        c1 = make_spectrum_constant(
+            axis_points=513,
+            window_size=1024,
+            sample_rate=48_000.0,
+            configuration=SpectrumChannels.LEFT,
+            bin_interpolation=BinInterpolation.LINEAR,
+            view_scaling=ViewScaling.LINEAR,
         )
-        mins, maxs = minmax_decimate(frames[..., 0, :], 1024)
-        vnew = update_meters(vstate, frames[:, -1], envelope_pole=0.999, stereo_pole=0.99)
-        return r.results, wave, mins, maxs, corr, r.state, vnew
 
-    f5 = jnp.asarray(rng.standard_normal((4, 32, 2, 4096)).astype(np.float32))
-    s5 = init_line_graph_state(c5, (4,))
-    v5 = init_meter_state((4,))
-    out = fused_step(s5, v5, f5)
-    jax.block_until_ready(out)
-    dt = _timeit(lambda f: fused_step(s5, v5, f)[0], f5)
-    extras["cfg5_fused8ch192k_frames_per_sec"] = round(4 * 32 / dt, 1)
+        @jax.jit
+        def mono_batch(state, frames):
+            r = analyze_frames(c1, state, frames)
+            return r.results, r.state
 
-    target = 1000.0
-    print(
-        json.dumps(
-            {
-                "metric": "spectrum_frames_per_sec_per_chip_4096pt_stereo",
-                "value": round(throughput, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(throughput / target, 3),
-                "device": str(jax.devices()[0]),
-                **extras,
-            }
+        f1 = jnp.asarray(rng.standard_normal((8, 256, 2, 1024)).astype(np.float32))
+        s1 = init_line_graph_state(c1, (8,))
+        dt = _timeit(lambda f: mono_batch(s1, f)[0], f1)
+        out["cfg1_mono1024_frames_per_sec"] = round(8 * 256 / dt, 1)
+
+    if want("cfg2"):
+        from signalizer_tpu.kernels.vectorscope import (
+            init_meter_state,
+            lissajous_vertices,
+            meter_readout,
+            polar_vertices,
+            update_meters,
         )
-    )
+
+        @jax.jit
+        def vs_step(state, frames):
+            new_state = update_meters(state, frames, envelope_pole=0.999, stereo_pole=0.99)
+            liss = lissajous_vertices(frames)
+            pol = polar_vertices(frames)
+            bars = meter_readout(new_state)
+            return liss, pol, bars["balance"], new_state
+
+        vf = jnp.asarray(rng.standard_normal((64, 2, 4096)).astype(np.float32))
+        vstate = init_meter_state((64,))
+        dt = _timeit(lambda f: vs_step(vstate, f)[0], vf)
+        out["cfg2_vectorscope_frames_per_sec"] = round(64 / dt, 1)
+
+    if want("cfg3"):
+        from signalizer_tpu.views.oscilloscope import (
+            OscilloscopeProcessor,
+            SubSampleInterpolation,
+            TriggerMode,
+        )
+
+        osc = OscilloscopeProcessor(
+            pairs=16,
+            sample_rate=96_000.0,
+            channel_mode=OscChannels.SEPARATE,
+            trigger_mode=TriggerMode.ZERO_CROSSING,
+            interpolation=SubSampleInterpolation.LANCZOS,
+            window_samples=1024.0,  # 8x upsample to 8192 pixels
+            pixels=8192,
+            lookahead=8192,
+            trigger_threshold=0.1,
+            autogain=True,
+        )
+        t = np.arange(16384)
+        hist = np.sin(2 * np.pi * 440.0 * t / 96_000.0).astype(np.float32)
+        hist_dev = jnp.asarray(np.broadcast_to(hist, (16, 2, 16384)).copy())
+        osc.process(hist_dev)
+        dt = _timeit(lambda: osc.process(hist_dev).waveform, reps=10)
+        out["cfg3_oscilloscope_frames_per_sec"] = round(16 / dt, 1)
+
+    if want("cfg4"):
+        c4 = make_spectrum_constant(
+            axis_points=1024,
+            window_size=16384,
+            sample_rate=48_000.0,
+            configuration=SpectrumChannels.LEFT,
+            bin_interpolation=BinInterpolation.LINEAR,
+            view_scaling=ViewScaling.LOGARITHMIC,
+            display_mode=1,
+        )
+        from signalizer_tpu.kernels.colormap import normalize_ratios, spectrogram_columns
+        from signalizer_tpu.views.spectrogram import DEFAULT_GRADIENT, DEFAULT_RATIOS
+
+        colours = jnp.asarray(DEFAULT_GRADIENT[None])
+        ratios = jnp.asarray(normalize_ratios(DEFAULT_RATIOS), jnp.float32)
+
+        @jax.jit
+        def sg_step(state, frames, hold):
+            r = analyze_frames(c4, state, frames)
+            intensity = r.results[:, :, 0, 0, :]
+            cols = spectrogram_columns(intensity, colours, ratios)
+            # 1000-frame peak hold: running max across the time axis
+            held, new_hold = peak_decay_scan(hold, intensity[0], 1.0, time_axis=0)
+            return cols, held, r.state, new_hold
+
+        t4 = 64  # frames per dispatch (50% overlap of 16384 = hop 8192)
+        f4 = jnp.asarray(rng.standard_normal((1, t4, 2, 16384)).astype(np.float32))
+        s4 = init_line_graph_state(c4, (1,))
+        hold = jnp.zeros((1024,), jnp.float32)
+        res = sg_step(s4, f4, hold)
+        jax.block_until_ready(res)
+        dt = _timeit(lambda f: sg_step(s4, f, hold)[0], f4)
+        out["cfg4_spectrogram16k_frames_per_sec"] = round(t4 / dt, 1)
+
+    if want("cfg5"):
+        c5 = make_spectrum_constant(
+            axis_points=1024,
+            window_size=4096,
+            sample_rate=192_000.0,
+            configuration=SpectrumChannels.SEPARATE,
+            bin_interpolation=BinInterpolation.LINEAR,
+            view_scaling=ViewScaling.LOGARITHMIC,
+        )
+        from signalizer_tpu.kernels.oscilloscope import minmax_decimate, sinc_resample
+        from signalizer_tpu.kernels.vectorscope import (
+            correlation,
+            init_meter_state,
+            update_meters,
+        )
+
+        @jax.jit
+        def fused_step(state, vstate, frames):
+            # frames [4 pairs, T, 2, 4096] (8 channels)
+            r = analyze_frames(c5, state, frames)
+            corr = correlation(frames)
+            wave = sinc_resample(
+                frames[..., 0, :],
+                jnp.zeros(frames.shape[:2]),
+                jnp.full(frames.shape[:2], 4096.0 / 1024),
+                1024,
+            )
+            mins, maxs = minmax_decimate(frames[..., 0, :], 1024)
+            vnew = update_meters(vstate, frames[:, -1], envelope_pole=0.999, stereo_pole=0.99)
+            return r.results, wave, mins, maxs, corr, r.state, vnew
+
+        f5 = jnp.asarray(rng.standard_normal((4, 32, 2, 4096)).astype(np.float32))
+        s5 = init_line_graph_state(c5, (4,))
+        v5 = init_meter_state((4,))
+        res = fused_step(s5, v5, f5)
+        jax.block_until_ready(res)
+        dt = _timeit(lambda f: fused_step(s5, v5, f)[0], f5)
+        out["cfg5_fused8ch192k_frames_per_sec"] = round(4 * 32 / dt, 1)
+
+    print(json.dumps(out))
+
+
+def _run_isolated() -> None:
+    """Run every config in its own subprocess so the tunnel's dispatch
+    backpressure cannot contaminate per-config numbers."""
+    parts = {}
+    for cfg in CONFIG_NAMES:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--only", cfg],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+        try:
+            parts.update(json.loads(line))
+        except json.JSONDecodeError:
+            sys.stderr.write(f"config {cfg} failed: {proc.stderr[-500:]}\n")
+    if "value" not in parts:
+        raise SystemExit("headline config failed")
+    print(json.dumps(parts))
 
 
 if __name__ == "__main__":
-    main()
+    if "--only" in sys.argv:
+        main(sys.argv[sys.argv.index("--only") + 1])
+    elif os.environ.get("SZ_BENCH_INLINE"):
+        main()
+    else:
+        try:
+            _run_isolated()
+        except Exception:
+            main()  # fall back to the single-process run

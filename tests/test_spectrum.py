@@ -179,3 +179,37 @@ def test_db_map_clips_at_zero_magnitude():
     state = init_line_graph_state(constant)
     result = analyze_frames(constant, state, jnp.asarray(frames)[None])
     np.testing.assert_allclose(np.asarray(result.results), float(constant.clip_db))
+
+
+def test_view_zoom_changes_mapping():
+    """viewLeft/viewRight zoom (ref: remapFrequencies against the view
+    rect, TransformConstant.h:125-180): zooming into [0.25, 0.5] of a log
+    axis narrows the frequency span and the pipeline still validates."""
+    full = make_spectrum_constant(
+        axis_points=128, window_size=1024, sample_rate=FS,
+        configuration=SpectrumChannels.LEFT,
+        bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LOGARITHMIC, min_freq=20.0,
+    )
+    zoom = make_spectrum_constant(
+        axis_points=128, window_size=1024, sample_rate=FS,
+        configuration=SpectrumChannels.LEFT,
+        bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LOGARITHMIC, min_freq=20.0,
+        view_left=0.25, view_right=0.5,
+    )
+    f_full = np.asarray(full.mapped_frequencies)
+    f_zoom = np.asarray(zoom.mapped_frequencies)
+    assert f_zoom[0] > f_full[0] and f_zoom[-1] < f_full[-1]
+    np.testing.assert_allclose(f_zoom[0], f_full[32], rtol=0.02)  # 0.25 in
+    # zoomed pipeline still matches the oracle
+    frames = _rand_frames(seed=5)
+    got = np.asarray(spectrum_values(zoom, jnp.asarray(frames)))
+    want = _oracle_vals(zoom, frames, SpectrumChannels.LEFT, BinInterpolation.LINEAR)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_api_facade_imports():
+    import signalizer_tpu.api as api
+
+    assert api.SpectrumProcessor and api.SignalizerEngine and api.Archive
