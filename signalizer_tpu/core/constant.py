@@ -37,7 +37,7 @@ from signalizer_tpu.core.config import (
     ViewScaling,
     next_pow2,
 )
-from signalizer_tpu.core.scaling import db_to_fraction, peak_decay_pole
+from signalizer_tpu.core.scaling import peak_decay_pole
 from signalizer_tpu.core.windows import WindowType, generate_window
 
 # ref: SpectrumParameters.h:48-51 — LineMain + LineSecond.

@@ -22,7 +22,7 @@ from signalizer_tpu.params.parameters import ParameterMap
 from signalizer_tpu.state.presets import PresetManager
 from signalizer_tpu.state.serialize import Archive, SerializableObject
 from signalizer_tpu.stream.audio_stream import AudioStream, AudioStreamInfo, Playhead
-from signalizer_tpu.stream.host_graph import HostGraph, PortPair, SerializationControl
+from signalizer_tpu.stream.host_graph import HostGraph
 from signalizer_tpu.stream.mix_graph import MixGraph
 from signalizer_tpu.utils.diagnostics import Diagnostics, SharedBehaviour
 from signalizer_tpu.views.content import (

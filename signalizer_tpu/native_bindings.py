@@ -10,7 +10,6 @@ implementations when no compiler is available (``native_available()``).
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

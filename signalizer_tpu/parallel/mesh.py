@@ -17,8 +17,7 @@ over streams/pixels), so the scaling layout is:
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

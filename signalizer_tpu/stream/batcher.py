@@ -14,7 +14,7 @@ from typing import Optional
 
 import numpy as np
 
-from signalizer_tpu.stream.ring_buffer import RingBuffer, make_ring_buffer
+from signalizer_tpu.stream.ring_buffer import make_ring_buffer
 
 
 class FrameBatcher:

@@ -17,10 +17,6 @@ Each Content exposes:
 
 from __future__ import annotations
 
-from typing import List, Optional
-
-import numpy as np
-
 from signalizer_tpu.core.config import (
     BinInterpolation,
     DisplayMode,

@@ -10,11 +10,10 @@ from __future__ import annotations
 
 import enum
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from signalizer_tpu.kernels.vectorscope import (
     VectorscopeMeterState,
