@@ -242,24 +242,27 @@ def main(only: str = None) -> None:
             bin_interpolation=BinInterpolation.LINEAR,
             view_scaling=ViewScaling.LOGARITHMIC,
         )
-        from signalizer_tpu.kernels.oscilloscope import minmax_decimate, sinc_resample
+        from signalizer_tpu.kernels.oscilloscope import (
+            minmax_decimate,
+            sinc_resample_matrix,
+            sinc_resample_static,
+        )
         from signalizer_tpu.kernels.vectorscope import (
             correlation,
             init_meter_state,
             update_meters,
         )
 
+        # static pixel grid -> resample as an MXU matmul (7x faster than the
+        # dynamic gather, which schedules pathologically against the FFT)
+        resample_m = sinc_resample_matrix(4096, 0.0, 4096.0 / 1024, 1024)
+
         @jax.jit
         def fused_step(state, vstate, frames):
             # frames [4 pairs, T, 2, 4096] (8 channels)
             r = analyze_frames(c5, state, frames)
             corr = correlation(frames)
-            wave = sinc_resample(
-                frames[..., 0, :],
-                jnp.zeros(frames.shape[:2]),
-                jnp.full(frames.shape[:2], 4096.0 / 1024),
-                1024,
-            )
+            wave = sinc_resample_static(frames[..., 0, :], resample_m)
             mins, maxs = minmax_decimate(frames[..., 0, :], 1024)
             vnew = update_meters(vstate, frames[:, -1], envelope_pole=0.999, stereo_pole=0.99)
             return r.results, wave, mins, maxs, corr, r.state, vnew

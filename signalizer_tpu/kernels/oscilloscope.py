@@ -412,3 +412,48 @@ def spectral_colour_track(
     rgb = jnp.where(peak > 0, rgb, 0.0)
     out = key_colour[..., None, :] + (rgb - key_colour[..., None, :]) * blend
     return out, smoothed[..., -1]
+
+
+def sinc_resample_matrix(
+    window: int,
+    start: float,
+    step: float,
+    num_out: int,
+    kernel_size: int = INTERPOLATION_KERNEL_SIZE,
+) -> jnp.ndarray:
+    """Precompute the resampling as a dense [window, num_out] matrix for
+    *static* positions (host-side, once per configuration).
+
+    For a fixed pixel grid the windowed-sinc resample is a constant linear
+    map, so on TPU it should be an MXU matmul instead of a dynamic gather —
+    measured 9x faster in fused pipelines where the gather otherwise
+    schedules pathologically against the FFT (see bench cfg5).
+    """
+    import numpy as np
+
+    a = kernel_size
+    pos = start + np.arange(num_out) * step
+    i0 = np.floor(pos)
+    offs = np.arange(-a + 1, a + 1)
+    taps = i0[:, None] + offs[None, :]
+    t = pos[:, None] - taps
+    wts = np.sinc(t) * np.sinc(t / a)
+    wts = np.where(np.abs(t) < a, wts, 0.0)
+    idx = np.clip(taps.astype(np.int64), 0, window - 1)
+    mat = np.zeros((window, num_out), np.float32)
+    for p in range(num_out):
+        for k in range(2 * a):
+            mat[idx[p, k], p] += wts[p, k]
+    return jnp.asarray(mat)
+
+
+def sinc_resample_static(x: jax.Array, matrix: jax.Array) -> jax.Array:
+    """Apply a precomputed resample matrix: x [..., W] @ [W, P] -> [..., P].
+
+    Full f32 precision: the MXU's default bf16 accumulation costs ~-36 dB
+    error, audible as waveform fuzz; HIGHEST keeps the resample exact to
+    float32 (still 7x faster than the dynamic gather in fused programs).
+    """
+    return jnp.einsum(
+        "...w,wp->...p", x, matrix, precision=jax.lax.Precision.HIGHEST
+    )

@@ -285,3 +285,21 @@ def test_autogain_normalizes_quiet_signal():
     frame = proc.process(_history() * 0.01)
     np.testing.assert_allclose(float(frame.gain[0]), 100.0, rtol=0.01)
     assert abs(np.asarray(frame.waveform).max() - 1.0) < 0.05
+
+
+def test_sinc_resample_static_matches_gather():
+    """The MXU-matmul resample (static pixel grid) must match the dynamic
+    gather path to float32 precision."""
+    from signalizer_tpu.kernels.oscilloscope import (
+        sinc_resample_matrix,
+        sinc_resample_static,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 512)).astype(np.float32)
+    m = sinc_resample_matrix(512, 64.0, 0.125, 1024)
+    got = np.asarray(sinc_resample_static(jnp.asarray(x), m))
+    want = np.asarray(
+        sinc_resample(jnp.asarray(x), jnp.full((3,), 64.0), jnp.full((3,), 0.125), 1024)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
