@@ -93,3 +93,28 @@ class Diagnostics:
     def snapshot(self) -> Dict[str, float]:
         out = {"fps": self.fps, **self.latency_percentiles(), **self.counters}
         return out
+
+
+class profile_trace:
+    """Context manager wrapping jax.profiler for on-demand traces
+    (SURVEY.md §5.1: the rebuild's tracer is jax.profiler + the
+    Diagnostics counters). Usage::
+
+        with profile_trace("/tmp/trace"):
+            processor.process(frames)
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        return False

@@ -295,3 +295,26 @@ def test_column_pacer_smooths_consumption():
     assert sum(takes) == 9 * 20 - backlog
     assert max(takes[30:]) <= 9
     assert np.mean(takes[30:]) > 1.5
+
+
+def test_spectrogram_multi_pair_blending():
+    """Two pairs: the blended column must contain both pairs' energy with
+    hue-rotated palettes (ref: generateSpectrogramColourRotation +
+    GL_ONE_MINUS_SRC_COLOR accumulation)."""
+    fs = 48_000.0
+    proc = SpectrogramProcessor(
+        pairs=2, blob_ms=10.0, axis_points=128, window_size=1024, sample_rate=fs,
+        configuration=SpectrumChannels.LEFT, view_scaling=ViewScaling.LINEAR,
+        bin_interpolation=BinInterpolation.LINEAR,
+    )
+    t = np.arange(4800)
+    tone_a = 0.9 * np.sin(2 * np.pi * 3000.0 * t / fs)  # pixel ~16
+    tone_b = 0.9 * np.sin(2 * np.pi * 9000.0 * t / fs)  # pixel ~48
+    block = np.stack([tone_a, np.zeros_like(t), tone_b, np.zeros_like(t)]).astype(np.float32)
+    proc.push(block)
+    cols = proc.pull()
+    assert cols.shape[0] > 0
+    last = cols[-1].astype(np.int32)[..., :3].sum(-1)
+    peaks = np.argsort(last)[-8:]
+    assert any(abs(int(p) - 16) <= 1 for p in peaks), "pair A tone missing"
+    assert any(abs(int(p) - 48) <= 1 for p in peaks), "pair B tone missing"
