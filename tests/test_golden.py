@@ -44,6 +44,13 @@ CASES = {
         bin_interpolation=BinInterpolation.NONE,
         view_scaling=ViewScaling.LOGARITHMIC,
     ),
+    "spectrum_complex_linear": dict(
+        axis_points=160,
+        window_size=1024,
+        configuration=SpectrumChannels.COMPLEX,
+        bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LINEAR,
+    ),
 }
 
 
@@ -70,6 +77,35 @@ def test_golden(name):
 
     GOLDEN_DIR.mkdir(exist_ok=True)
     path = GOLDEN_DIR / f"{name}.npz"
+    if not path.exists():
+        np.savez_compressed(path, results=got)
+        pytest.skip(f"golden regenerated: {path}")
+    want = np.load(path)["results"]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_golden_resonator():
+    """Lock the resonator bank's readout for a fixed two-tone input."""
+    from signalizer_tpu.kernels.resonator import (
+        init_resonator_state,
+        make_resonator_constant,
+        resonate_block,
+        resonator_readout,
+    )
+
+    freqs = np.linspace(100.0, 12_000.0, 96)
+    constant = make_resonator_constant(freqs, 48_000.0, window_size=1024)
+    t = np.arange(4096)
+    x = (
+        0.7 * np.sin(2 * np.pi * freqs[24] * t / 48_000.0)
+        + 0.2 * np.sin(2 * np.pi * freqs[72] * t / 48_000.0)
+    ).astype(np.float32)
+    state = init_resonator_state(constant)
+    state = resonate_block(constant, state, jnp.asarray(x))
+    got = np.asarray(resonator_readout(constant, state)).astype(np.float32)
+
+    GOLDEN_DIR.mkdir(exist_ok=True)
+    path = GOLDEN_DIR / "resonator_two_tone.npz"
     if not path.exists():
         np.savez_compressed(path, results=got)
         pytest.skip(f"golden regenerated: {path}")
