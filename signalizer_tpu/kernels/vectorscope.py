@@ -48,10 +48,12 @@ def init_meter_state(batch_shape: Tuple[int, ...] = ()) -> VectorscopeMeterState
     )
 
 
-def filter_coefficient(window_normalized, sample_rate):
+def filter_coefficient(window_normalized, sample_rate) -> float:
     """One-pole coefficient from the normalized window parameter
-    (ref: Vectorscope.cpp:201-202: exp(-1 / (norm * fs)))."""
-    return jnp.exp(-1.0 / (window_normalized * sample_rate))
+    (ref: Vectorscope.cpp:201-202: exp(-1 / (norm * fs))). Host-side scalar
+    math — an eager jnp op here would cost a remote dispatch per processor
+    construction on tunneled devices."""
+    return math.exp(-1.0 / (window_normalized * sample_rate))
 
 
 # ---------------------------------------------------------------------------
