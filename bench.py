@@ -26,6 +26,9 @@ from pathlib import Path
 
 import numpy as np
 
+# make the package importable regardless of the invoking cwd
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
 CONFIG_NAMES = ("headline", "cfg1", "cfg2", "cfg3", "cfg4", "cfg5")
 
 

@@ -189,13 +189,21 @@ class SignalizerEngine(SerializableObject):
         constant = self.spectrum.make_constant(
             axis_points=axis_points, sample_rate=self.config.sample_rate
         )
-        return SpectrogramProcessor(
+        proc = SpectrogramProcessor(
             constant,
             pairs=pairs,
             blob_ms=self.spectrum.blob_size.get_transformed(),
             overlap=overlap,
             image_width=image_width,
         )
+        # render pacing follows the FrameSmoothing knob
+        # (ref: frameUpdateSmoothing, SpectrumParameters.h:47-50)
+        from signalizer_tpu.views.spectrogram import ColumnPacer
+
+        proc.pacer = ColumnPacer(
+            smoothing=self.spectrum.frame_update_smoothing.get_transformed()
+        )
+        return proc
 
     # --- session state (ref: serialize/deserialize, PluginProcessor.cpp) ---
     def serialize(self, archive: Archive) -> None:
