@@ -1,7 +1,15 @@
 """End-to-end demo: feed a synthetic mix through one engine and render all
-four views to PNG (CPU-friendly; run with JAX_PLATFORMS=cpu for speed)."""
+four views to PNG.
+
+Usage: python examples/demo.py [out_dir] [--cpu]
+
+--cpu forces the CPU backend via jax.config (note: on rigs whose JAX is
+pinned to a remote accelerator plugin, the JAX_PLATFORMS env var may be
+ignored — the config call is authoritative).
+"""
 
 import pathlib
+import sys
 
 import numpy as np
 
@@ -52,4 +60,10 @@ def main(out_dir="demo_out"):
 
 
 if __name__ == "__main__":
-    main()
+    args = [a for a in sys.argv[1:]]
+    if "--cpu" in args:
+        args.remove("--cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    main(*args[:1])
