@@ -11,6 +11,9 @@ ignored — the config call is authoritative).
 import pathlib
 import sys
 
+# runnable from anywhere: put the repo root on the path
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 from signalizer_tpu.engine import SignalizerEngine
