@@ -25,6 +25,13 @@ spectrum gather reflected *magnitudes* where the reference incidentally
 read raw complex mirror-half values (TransformDSP.inl:591-604), and
 Phase/Separate DC/Nyquist fixups are applied per channel instead of the
 reference's overlapping packed-slot updates (TransformDSP.inl:648-652).
+Phase-mode smoothing targets ``cancel * mag`` for *every* line graph,
+where the reference's ``phase *= mag`` inside the k loop
+(TransformDSP.inl:1412) gives graph k the target ``cancel * mag^(k+1)`` —
+i.e. secondary graphs' phase displays fade with the magnitude raised to
+the graph index, an accumulation quirk we treat as unintended (it makes
+LineSecond's cancellation trace vanish for quiet signals) and do not
+replicate.
 """
 
 from __future__ import annotations
@@ -126,8 +133,11 @@ def _segment_reduce(data: jax.Array, constant: SpectrumConstant, op: str) -> jax
     p = constant.axis_points
     batch_shape = data.shape[:-1]
     flat = data.reshape((-1, data.shape[-1])).T  # [n_values, B]
+    # segment_ids are NOT sorted: interpolation-region bins keep the
+    # sentinel id P ahead of smaller bin-max pixel ids, so asserting
+    # sortedness would be undefined behavior on TPU.
     fn = jax.ops.segment_max if op == "max" else jax.ops.segment_min
-    seg = fn(flat, constant.segment_ids, num_segments=p + 1, indices_are_sorted=True)
+    seg = fn(flat, constant.segment_ids, num_segments=p + 1, indices_are_sorted=False)
     return seg[:p].T.reshape(batch_shape + (p,))
 
 

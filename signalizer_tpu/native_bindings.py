@@ -145,7 +145,14 @@ class NativeRingBuffer:
     def latest(self, n: int, out: Optional[np.ndarray] = None) -> np.ndarray:
         if n > self.capacity:
             raise ValueError(f"window {n} exceeds capacity {self.capacity}")
-        if out is None or not out.flags.c_contiguous:
+        # a caller-supplied out buffer of the wrong shape/dtype would hand
+        # the native writer an undersized raw pointer — heap corruption
+        if (
+            out is None
+            or not out.flags.c_contiguous
+            or out.shape != (self.channels, n)
+            or out.dtype != np.float32
+        ):
             out = np.empty((self.channels, n), np.float32)
         self._lib.sz_ring_latest(self._handle, _fp(out), n)
         return out

@@ -34,9 +34,21 @@ from signalizer_tpu.kernels.spectrum import (
 
 
 def make_analysis_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
-    """1-D device mesh over the batch axis."""
+    """1-D device mesh over the batch axis.
+
+    Fails fast when fewer than ``n_devices`` devices exist — silently
+    truncating would build a smaller mesh and defer the failure to a
+    shape assert deep inside the first sharded step.
+    """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"make_analysis_mesh: requested {n_devices} devices but the "
+                f"{devices[0].platform} backend has only {len(devices)}. "
+                "For CPU testing set jax.config.update('jax_num_cpu_devices', n) "
+                "before any jax op (see tests/conftest.py)."
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 

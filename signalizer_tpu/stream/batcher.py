@@ -52,9 +52,23 @@ class FrameBatcher:
         self.ring.write(block)
 
     def frames_ready(self) -> int:
-        """Number of complete, not-yet-emitted frames."""
+        """Number of complete, not-yet-emitted frames.
+
+        Readiness must use the *same* rounded end-clock as the read path
+        (``int(k*hop + 0.5) + window <= clock``, round-half-up exactly as the
+        native ``sz_frame_gather``): with fractional hop the exact
+        product can undershoot the rounded end by <0.5 samples, and a frame
+        counted ready off the exact product would read as "future" and be
+        lost even though its data arrives on the next push.
+        """
         clock = self.ring.sample_clock
-        total = int(np.floor((clock - self.window) / self.hop)) + 1 if clock >= self.window else 0
+        if clock < self.window:
+            return 0
+        total = int(np.floor((clock - self.window) / self.hop)) + 1
+        # the rounded end clock of the last candidate may exceed the exact
+        # product by up to 0.5 — walk back until it is truly readable
+        while total > 0 and int((total - 1) * self.hop + 0.5) + self.window > clock:
+            total -= 1
         return max(0, total - self._next_frame)
 
     def pull(self, max_frames: Optional[int] = None) -> np.ndarray:
@@ -76,14 +90,21 @@ class FrameBatcher:
             return out
         out = np.zeros((t, self.ring.channels, self.window), np.float32)
         emitted = 0
+        advanced = 0
         for k in range(self._next_frame, self._next_frame + t):
-            end_clock = int(round(k * self.hop)) + self.window
+            end_clock = int(k * self.hop + 0.5) + self.window  # round-half-up, matches sz_frame_gather
             try:
                 out[emitted] = self.ring.read_at(end_clock, self.window)
                 emitted += 1
-            except ValueError:
+                advanced += 1
+            except ValueError as e:
+                if "future" in str(e):
+                    # defensive: never advance past a not-yet-complete frame —
+                    # retry it on the next pull instead of dropping it
+                    break
                 self.dropped_frames += 1
-        self._next_frame += t
+                advanced += 1
+        self._next_frame += advanced
         if emitted < t:
             out = out[:emitted]
         return out

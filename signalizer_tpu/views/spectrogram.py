@@ -105,6 +105,9 @@ class SpectrogramProcessor:
             normalize_ratios(ratios if ratios is not None else DEFAULT_RATIOS), jnp.float32
         )
         self.image = SpectrogramImage(image_width, constant.axis_points)
+        # render pacing (FrameSmoothing knob): when set, un-capped pull()s
+        # consume columns through the pacer's EMA instead of all at once
+        self.pacer: Optional["ColumnPacer"] = None
 
     @staticmethod
     def _rotate(colours: np.ndarray, pair: int, pairs: int) -> np.ndarray:
@@ -126,7 +129,15 @@ class SpectrogramProcessor:
         self.batcher.push(block)
 
     def pull(self, max_frames: Optional[int] = None) -> np.ndarray:
-        """Process pending blobs -> RGBA8 columns [T, P, 4]."""
+        """Process pending blobs -> RGBA8 columns [T, P, 4].
+
+        With a ``pacer`` attached (engine wiring of the FrameSmoothing
+        knob) and no explicit ``max_frames``, each call is one render tick:
+        the pacer's EMA decides how many pending columns to consume so the
+        scroll speed doesn't jitter with audio block boundaries.
+        """
+        if max_frames is None and self.pacer is not None:
+            max_frames = self.pacer.columns_for_tick(self.batcher.frames_ready())
         frames = self.batcher.pull(max_frames)
         t = frames.shape[0]
         if t == 0:

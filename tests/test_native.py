@@ -78,3 +78,21 @@ def test_native_oversized_write():
     nat = NativeRingBuffer(1, 4)
     nat.write(np.arange(10, dtype=np.float32)[None])
     np.testing.assert_array_equal(nat.latest(4)[0], [6, 7, 8, 9])
+
+
+def test_native_latest_rejects_bad_out_buffer():
+    """A wrong-shape/dtype caller buffer must not reach the native writer
+    (regression: heap corruption via undersized raw pointer)."""
+    ring = NativeRingBuffer(2, 32)
+    ring.write(np.arange(64, dtype=np.float32).reshape(2, 32))
+    small = np.zeros((2, 4), np.float32)  # undersized
+    out = ring.latest(16, out=small)
+    assert out.shape == (2, 16)
+    assert out is not small
+    f64 = np.zeros((2, 16), np.float64)  # wrong dtype
+    out2 = ring.latest(16, out=f64)
+    assert out2.dtype == np.float32 and out2 is not f64
+    good = np.zeros((2, 16), np.float32)
+    out3 = ring.latest(16, out=good)
+    assert out3 is good
+    np.testing.assert_array_equal(out, out3)

@@ -97,6 +97,29 @@ def test_batcher_fractional_hop():
     assert frames.shape[0] == fb._next_frame
 
 
+def test_batcher_fractional_hop_never_loses_ready_frames():
+    """Readiness and the read path must agree on the rounded end clock:
+    with ample capacity and incremental pushes, no frame is ever dropped
+    or skipped, whatever the fractional hop (regression: frames_ready used
+    the exact product while pull read at round(k*hop)+window)."""
+    rng = np.random.default_rng(7)
+    for hop in (2.5, 2.6, 1.1, 0.7, 3.9999, 5.5):
+        fb = FrameBatcher(1, window=8, hop=hop, capacity=4096)
+        clock = 0
+        emitted = []
+        for _ in range(50):
+            n = int(rng.integers(1, 12))
+            fb.push(np.arange(clock, clock + n, dtype=np.float32)[None])
+            clock += n
+            frames = fb.pull()
+            emitted.extend(frames[:, 0, :])
+        assert fb.dropped_frames == 0
+        # every emitted frame k must be exactly samples [round(k*hop), +8)
+        for k, frame in enumerate(emitted):
+            start = int(k * hop + 0.5)  # round-half-up, the native convention
+            np.testing.assert_array_equal(frame, np.arange(start, start + 8), err_msg=f"hop={hop} k={k}")
+
+
 def test_batcher_drops_overwritten_frames():
     fb = FrameBatcher(1, window=4, hop=2.5)  # tiny default capacity (16)
     fb.push(np.arange(20, dtype=np.float32)[None])
