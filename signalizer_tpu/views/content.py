@@ -301,20 +301,26 @@ class OscilloscopeContent(SerializableObject):
             return max(128.0, v * max(cycle_samples, 1.0) + 1.0)
         return max(128.0, sample_rate * 60.0 / (bpm * max(v, 1e-9)))
 
-    def make_processor_kwargs(self, sample_rate: float = 48_000.0) -> dict:
-        from signalizer_tpu.views.oscilloscope import SubSampleInterpolation, TriggerMode
+    def make_processor_kwargs(self, sample_rate: float = 48_000.0, *,
+                              bpm: float = 120.0, cycle_samples: float = 0.0) -> dict:
+        from signalizer_tpu.views.oscilloscope import (
+            AutoGain,
+            SubSampleInterpolation,
+            TriggerMode,
+        )
 
         return dict(
             sample_rate=sample_rate,
             channel_mode=OscChannels(int(self.channel_configuration.get_transformed())),
             trigger_mode=TriggerMode(int(self.trigger_mode.get_transformed())),
             interpolation=SubSampleInterpolation(int(self.sub_sample_interpolation.get_transformed())),
-            window_samples=self.effective_window_samples(sample_rate),
+            window_samples=self.effective_window_samples(sample_rate, bpm, cycle_samples),
             lookahead=self.LOOKAHEAD_SIZE,
             trigger_threshold=self.trigger_threshold.get_transformed(),
             trigger_hysteresis=self.trigger_hysteresis.get_transformed(),
             trigger_phase_degrees=self.trigger_phase_offset.get_transformed(),
-            autogain=int(self.auto_gain.get_transformed()) != 0,
+            autogain=AutoGain(int(self.auto_gain.get_transformed())),
+            envelope_window_ms=self.envelope_window.get_transformed(),
             colour_enabled=int(self.channel_colouring.get_transformed()) == 1,
             colour_smooth_ms=self.colour_smoothing.get_transformed(),
             band_colours=(
@@ -323,9 +329,12 @@ class OscilloscopeContent(SerializableObject):
                 tuple(self.high_colour.get_rgb()),
             ),
             key_colour=tuple(self.primary_colour.get_rgb()),
+            secondary_colour=tuple(self.secondary_colour.get_rgb()),
             colour_blend=1.0 - self.frequency_colouring_blend.get_transformed(),
             manual_gain=10.0 ** (self.input_gain.get_transformed() / 20.0),
             trigger_channel=int(self.triggering_channel.get_transformed()),
+            custom_trigger=self.trigger_on_custom_frequency.get_transformed() > 0.5,
+            custom_trigger_frequency=self.custom_trigger_frequency.get_transformed(),
         )
 
     VERSION = 1

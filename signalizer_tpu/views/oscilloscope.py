@@ -5,21 +5,36 @@ trigger analysis + drawWavePlot (ref: Source/Oscilloscope/Oscilloscope.cpp,
 OscilloscopeDSP.inl, OscilloscopeRendering.cpp:560-891). Rendering is out
 of scope; outputs are render-ready pixel-space arrays.
 
-Design difference from the reference (deliberate): the reference's
-EnvelopeHold/ZeroCrossing modes chop the *stream* with a double-buffer swap
-state machine (StreamPreprocessing.h:78-206) that has known concurrency
-bugs (reference Source/Notes/Bugs.txt). Here the processor reads windows
-out of a continuous history tensor and *centers the display window on the
-latest detected trigger* — same observable behavior (a trigger-locked,
-hold-style display), no buffer swaps, no races, and it batches across
-channel pairs.
+Design differences from the reference (deliberate):
+
+* The reference's EnvelopeHold/ZeroCrossing modes chop the *stream* with a
+  double-buffer swap state machine (StreamPreprocessing.h:78-206) that has
+  known concurrency bugs (reference Source/Notes/Bugs.txt). Here the
+  processor reads windows out of a continuous history tensor and *centers
+  the display window on the latest detected trigger* — same observable
+  behavior (a trigger-locked, hold-style display), no buffer swaps, no
+  races, and it batches across channel pairs.
+* All per-configuration scalars live in one frozen
+  :class:`OscilloscopeConstant` pytree (pattern:
+  ``core/constant.py`` SpectrumConstant). Only fields that change control
+  flow or shapes are static jit keys; thresholds, colours, gains etc. are
+  device leaves, so dragging those knobs neither recompiles nor re-hashes
+  a long static-kwargs tuple per dispatch.
+* The RMS autogain envelope (ref: OscilloscopeDSP.inl:505-698 — per-sample
+  one-pole over the squared channel-mode signal) is a closed-form block
+  update: ``env' = c^n env + (1-c) * sum_k c^(n-1-k) x_k^2`` evaluated as
+  one masked weighted reduction over the history, instead of a sequential
+  scan. MidSide parity note: the reference smooths ``0.5*(l±r)^2``
+  (OscilloscopeDSP.inl:573-580) where the display rows are ``0.5*(l±r)``,
+  so the squared rows are scaled by 2 in that mode to match.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import enum
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -66,10 +81,121 @@ class SubSampleInterpolation(enum.IntEnum):
     LANCZOS = 3
 
 
+class AutoGain(enum.IntEnum):
+    """ref: OscilloscopeParameters.h:424 autoGain {None, RMS, Peak decay}."""
+
+    NONE = 0
+    RMS = 1
+    PEAK_DECAY = 2
+
+
+def _static():
+    return dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class OscilloscopeConstant:
+    """Immutable oscilloscope configuration pytree.
+
+    The oscilloscope analogue of :class:`SpectrumConstant`
+    (ref: the flag-guarded members of Oscilloscope::StreamState,
+    Oscilloscope.cpp:236-308). Static fields change compiled control flow
+    or shapes; array leaves retune without recompiling.
+    """
+
+    # --- static (jit key) ---------------------------------------------------
+    channel_mode: OscChannels = _static()
+    trigger_mode: TriggerMode = _static()
+    interpolation: SubSampleInterpolation = _static()
+    pixels: int = _static()
+    lookahead: int = _static()
+    sample_rate: float = _static()
+    autogain: AutoGain = _static()
+    colour_enabled: bool = _static()
+    custom_trigger: bool = _static()  # ref: OscilloscopeDSP.inl:69-78
+    trigger_channel: int = _static()
+
+    # --- array leaves ---------------------------------------------------------
+    threshold: jax.Array  # scalar f32
+    hysteresis: jax.Array  # scalar f32
+    phase_degrees: jax.Array  # scalar f32
+    envelope_ln_pole: jax.Array  # scalar f32: ln c, c = exp(-1/(win_s*fs))
+    colour_pole: jax.Array  # scalar f32
+    band_colours: jax.Array  # [3, 3] low/mid/high rgb
+    key_colours: jax.Array  # [2, 3] primary/secondary rgb per row
+    colour_blend: jax.Array  # scalar f32
+    manual_gain: jax.Array  # scalar f32
+    custom_trigger_frequency: jax.Array  # scalar f32 Hz
+
+    @property
+    def rows(self) -> int:
+        return 2 if self.channel_mode in (OscChannels.SEPARATE, OscChannels.MIDSIDE) else 1
+
+
+def make_oscilloscope_constant(
+    *,
+    sample_rate: float = 48_000.0,
+    channel_mode: OscChannels = OscChannels.SEPARATE,
+    trigger_mode: TriggerMode = TriggerMode.NONE,
+    interpolation: SubSampleInterpolation = SubSampleInterpolation.LANCZOS,
+    pixels: int = 1024,
+    lookahead: int = 8192,
+    trigger_threshold: float = 0.0,
+    trigger_hysteresis: float = 0.0,
+    trigger_phase_degrees: float = 0.0,
+    autogain: Union[AutoGain, bool, int] = AutoGain.NONE,
+    envelope_window_ms: float = 1000.0,
+    colour_enabled: bool = False,
+    colour_smooth_ms: float = 10.0,
+    band_colours=((1.0, 0.1, 0.1), (0.1, 1.0, 0.1), (0.1, 0.1, 1.0)),
+    key_colour=(1.0, 1.0, 1.0),
+    secondary_colour=None,
+    colour_blend: float = 1.0,
+    manual_gain: float = 1.0,
+    trigger_channel: int = 0,
+    custom_trigger: bool = False,
+    custom_trigger_frequency: float = 440.0,
+) -> OscilloscopeConstant:
+    if isinstance(autogain, bool):
+        autogain = AutoGain.PEAK_DECAY if autogain else AutoGain.NONE
+    # ref: SmoothedParameterState-designed pole over colour_smooth_ms
+    n = max(colour_smooth_ms * 1e-3 * sample_rate, 1.0)
+    colour_pole = float(np.exp(-1.0 / n))
+    # envelope one-pole (ref: OscilloscopeDSP.inl:448/:747 envelopeCoeff)
+    env_n = max(envelope_window_ms * 1e-3 * sample_rate, 1.0)
+    key = np.asarray(key_colour, np.float32)
+    second = np.asarray(
+        secondary_colour if secondary_colour is not None else key_colour, np.float32
+    )
+    return OscilloscopeConstant(
+        channel_mode=OscChannels(channel_mode),
+        trigger_mode=TriggerMode(trigger_mode),
+        interpolation=SubSampleInterpolation(interpolation),
+        pixels=int(pixels),
+        lookahead=int(lookahead),
+        sample_rate=float(sample_rate),
+        autogain=AutoGain(autogain),
+        colour_enabled=bool(colour_enabled),
+        custom_trigger=bool(custom_trigger),
+        trigger_channel=int(trigger_channel),
+        threshold=jnp.asarray(trigger_threshold, jnp.float32),
+        hysteresis=jnp.asarray(trigger_hysteresis, jnp.float32),
+        phase_degrees=jnp.asarray(trigger_phase_degrees, jnp.float32),
+        envelope_ln_pole=jnp.asarray(-1.0 / env_n, jnp.float32),
+        colour_pole=jnp.asarray(colour_pole, jnp.float32),
+        band_colours=jnp.asarray(band_colours, jnp.float32),
+        key_colours=jnp.stack([jnp.asarray(key, jnp.float32), jnp.asarray(second, jnp.float32)]),
+        colour_blend=jnp.asarray(colour_blend, jnp.float32),
+        manual_gain=jnp.asarray(manual_gain, jnp.float32),
+        custom_trigger_frequency=jnp.asarray(custom_trigger_frequency, jnp.float32),
+    )
+
+
 class OscilloscopeState(NamedTuple):
     """Carried device state."""
 
-    peak_env: jax.Array  # [pairs, rows] autogain peak envelope
+    peak_env: jax.Array  # [pairs, rows] autogain envelope (peak^2 or RMS)
     peak_hold_state: jax.Array  # [pairs] envelope-hold tracker
     peak_holding: jax.Array  # [pairs] bool
     median_history: jax.Array  # [pairs, 8] past fundamental omegas
@@ -118,58 +244,52 @@ class OscilloscopeProcessor:
 
     def __init__(
         self,
+        constant: Optional[OscilloscopeConstant] = None,
         *,
         pairs: int = 1,
-        sample_rate: float = 48_000.0,
-        channel_mode: OscChannels = OscChannels.SEPARATE,
-        trigger_mode: TriggerMode = TriggerMode.NONE,
-        interpolation: SubSampleInterpolation = SubSampleInterpolation.LANCZOS,
         window_samples: float = 1024.0,  # effectiveWindowSize
-        pixels: int = 1024,
-        lookahead: int = 8192,  # spectral transform size
-        trigger_threshold: float = 0.0,
-        trigger_hysteresis: float = 0.0,
-        trigger_phase_degrees: float = 0.0,
-        autogain: bool = False,
-        autogain_decay_pole: float = 0.9999,
-        colour_enabled: bool = False,
-        colour_smooth_ms: float = 10.0,
-        band_colours=((1.0, 0.1, 0.1), (0.1, 1.0, 0.1), (0.1, 0.1, 1.0)),
-        key_colour=(1.0, 1.0, 1.0),
-        colour_blend: float = 1.0,
-        manual_gain: float = 1.0,
-        trigger_channel: int = 0,
+        **constant_kwargs,
     ):
+        if constant is None:
+            constant = make_oscilloscope_constant(**constant_kwargs)
+        elif constant_kwargs:
+            raise ValueError("pass either a constant or kwargs, not both")
+        self.constant = constant
         self.pairs = pairs
-        self.sample_rate = sample_rate
-        self.channel_mode = OscChannels(channel_mode)
-        self.trigger_mode = TriggerMode(trigger_mode)
-        self.interpolation = SubSampleInterpolation(interpolation)
         self.window_samples = float(window_samples)
-        self.pixels = pixels
-        self.lookahead = lookahead
-        self.trigger_threshold = float(trigger_threshold)
-        self.trigger_hysteresis = float(trigger_hysteresis)
-        self.trigger_phase_degrees = float(trigger_phase_degrees)
-        self.autogain = autogain
-        self.autogain_decay_pole = float(autogain_decay_pole)
-        self.colour_enabled = colour_enabled
-        # ref: SmoothedParameterState-designed pole over colour_smooth_ms
-        n = max(colour_smooth_ms * 1e-3 * sample_rate, 1.0)
-        self.colour_smooth_pole = float(np.exp(-1.0 / n))
-        self.band_colours = np.asarray(band_colours, np.float32)
-        self.key_colour = np.asarray(key_colour, np.float32)
-        self.colour_blend = float(colour_blend)
-        self.manual_gain = float(manual_gain)
-        self.trigger_channel = int(trigger_channel)
-        self.rows = 2 if self.channel_mode in (OscChannels.SEPARATE, OscChannels.MIDSIDE) else 1
+        # per-call scalar args are cached on device: re-uploading three tiny
+        # scalars every dispatch costs more than the compute on a remote-TPU
+        # link (one host->device transfer each)
+        self._scalar_cache: dict = {}
         self._state = self._init_state()
 
+    # legacy attribute views (round-1 public surface)
+    @property
+    def sample_rate(self) -> float:
+        return self.constant.sample_rate
+
+    @property
+    def pixels(self) -> int:
+        return self.constant.pixels
+
+    @property
+    def channel_mode(self) -> OscChannels:
+        return self.constant.channel_mode
+
+    @property
+    def trigger_mode(self) -> TriggerMode:
+        return self.constant.trigger_mode
+
+    @property
+    def rows(self) -> int:
+        return self.constant.rows
+
     def _init_state(self) -> OscilloscopeState:
-        pairs, rows = self.pairs, self.rows
+        pairs, rows = self.pairs, self.constant.rows
+        thr2 = float(self.constant.threshold) ** 2
         return OscilloscopeState(
             peak_env=jnp.zeros((pairs, rows), jnp.float32),
-            peak_hold_state=jnp.full((pairs,), self.trigger_threshold**2, jnp.float32),
+            peak_hold_state=jnp.full((pairs,), thr2, jnp.float32),
             peak_holding=jnp.zeros((pairs,), bool),
             median_history=jnp.full((pairs, MEDIAN_FILTER_SIZE), -1.0, jnp.float32),
             crossover=init_crossover_state((pairs, rows)),
@@ -183,88 +303,102 @@ class OscilloscopeProcessor:
     def reset(self) -> None:
         self._state = self._init_state()
 
-    def process(self, history, transport_position: float = 0.0) -> OscilloscopeFrame:
-        history = jnp.asarray(history, jnp.float32)
-        frame, self._state = _osc_step(
-            self._state,
-            history,
-            jnp.asarray(self.window_samples, jnp.float32),
-            jnp.asarray(transport_position, jnp.float32),
-            channel_mode=self.channel_mode,
-            trigger_mode=self.trigger_mode,
-            interpolation=self.interpolation,
-            pixels=self.pixels,
-            lookahead=self.lookahead,
-            sample_rate=self.sample_rate,
-            threshold=self.trigger_threshold,
-            hysteresis=self.trigger_hysteresis,
-            phase_degrees=self.trigger_phase_degrees,
-            autogain=self.autogain,
-            autogain_pole=self.autogain_decay_pole,
-            colour_enabled=self.colour_enabled,
-            colour_pole=self.colour_smooth_pole,
-            band_colours=tuple(map(tuple, self.band_colours.tolist())),
-            key_colour=tuple(self.key_colour.tolist()),
-            colour_blend=self.colour_blend,
-            manual_gain=self.manual_gain,
-            trigger_channel=self.trigger_channel,
-        )
+    def reconfigure(self, constant: OscilloscopeConstant) -> None:
+        """Swap configuration; resets state when shapes change
+        (ref: handleFlagUpdates' deferred resets, Oscilloscope.cpp:236-308)."""
+        old_rows = self.constant.rows
+        self.constant = constant
+        if constant.rows != old_rows:
+            self._state = self._init_state()
+
+    def process(
+        self,
+        history,
+        transport_position: float = 0.0,
+        new_samples: Optional[int] = None,
+    ) -> OscilloscopeFrame:
+        """Analyze one history snapshot.
+
+        ``new_samples``: how many trailing samples arrived since the last
+        call — drives the autogain envelope advance (RMS one-pole / peak
+        decay). Defaults to the full history (every call sees fresh data).
+        """
+        if not isinstance(history, jax.Array):
+            history = jnp.asarray(history, jnp.float32)
+        if new_samples is None:
+            new_samples = history.shape[-1]
+        key = (self.window_samples, float(transport_position), int(new_samples))
+        scalars = self._scalar_cache.get(key)
+        if scalars is None:
+            if len(self._scalar_cache) > 64:
+                self._scalar_cache.clear()
+            scalars = (
+                jnp.asarray(key[0], jnp.float32),
+                jnp.asarray(key[1], jnp.float32),
+                jnp.asarray(key[2], jnp.float32),
+            )
+            self._scalar_cache[key] = scalars
+        frame, self._state = _osc_step(self.constant, self._state, history, *scalars)
         return frame
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "channel_mode",
-        "trigger_mode",
-        "interpolation",
-        "pixels",
-        "lookahead",
-        "sample_rate",
-        "threshold",
-        "hysteresis",
-        "phase_degrees",
-        "autogain",
-        "autogain_pole",
-        "colour_enabled",
-        "colour_pole",
-        "band_colours",
-        "key_colour",
-        "colour_blend",
-        "manual_gain",
-        "trigger_channel",
-    ),
-)
+def _autogain_update(
+    constant: OscilloscopeConstant,
+    env: jax.Array,
+    rows: jax.Array,
+    new_samples: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Advance the autogain envelope and derive the display gain.
+
+    Peak decay (ref: runPeakFilter, OscilloscopeDSP.inl:712-886):
+    ``env' = max(env * c^n, peak^2)``, gain ``1/sqrt(max_c env')``.
+
+    RMS (ref: OscilloscopeDSP.inl:505-698): the per-sample one-pole
+    ``env = x^2 + c (env - x^2)`` over the n new samples, in closed form:
+    ``env' = c^n env + (1-c) sum_k c^(n-1-k) x_k^2``.
+    """
+    pairs = rows.shape[0]
+    ln_c = constant.envelope_ln_pole
+    if constant.autogain == AutoGain.PEAK_DECAY:
+        peaks = jnp.max(jnp.abs(rows), axis=-1)  # [pairs, rows]
+        pole = jnp.exp(ln_c * new_samples)
+        new_env = jnp.maximum(env * pole, peaks**2)
+    elif constant.autogain == AutoGain.RMS:
+        sq = rows * rows
+        if constant.channel_mode == OscChannels.MIDSIDE:
+            sq = sq * 2.0  # ref smooths 0.5(l±r)^2; rows are 0.5(l±r)
+        h = rows.shape[-1]
+        k = jnp.arange(h, dtype=jnp.float32)
+        age = (h - 1.0) - k
+        # (1-c) c^age, zeroed for samples older than the new block
+        w = jnp.exp(ln_c * age) * -jnp.expm1(ln_c)
+        w = jnp.where(k >= h - new_samples, w, 0.0)
+        contrib = jnp.einsum("prh,h->pr", sq, w)
+        new_env = jnp.exp(ln_c * new_samples) * env + contrib
+    else:
+        g = jnp.ones((pairs,), jnp.float32) * constant.manual_gain
+        return env, g
+    g = 1.0 / jnp.sqrt(jnp.max(new_env, axis=-1))
+    gain = jnp.where(jnp.isfinite(g) & (g > 0), g, 1.0) * constant.manual_gain
+    return new_env, gain
+
+
+@functools.partial(jax.jit, donate_argnums=(1,))
 def _osc_step(
+    constant: OscilloscopeConstant,
     state: OscilloscopeState,
     history: jax.Array,
     window: jax.Array,
     transport_position: jax.Array,
-    *,
-    channel_mode: OscChannels,
-    trigger_mode: TriggerMode,
-    interpolation: SubSampleInterpolation,
-    pixels: int,
-    lookahead: int,
-    sample_rate: float,
-    threshold: float,
-    hysteresis: float,
-    phase_degrees: float,
-    autogain: bool,
-    autogain_pole: float,
-    colour_enabled: bool,
-    colour_pole: float,
-    band_colours,
-    key_colour,
-    colour_blend: float,
-    manual_gain: float,
-    trigger_channel: int = 0,
+    new_samples: jax.Array,
 ) -> Tuple[OscilloscopeFrame, OscilloscopeState]:
     pairs, _, h = history.shape
-    rows = _pack_rows(history, channel_mode)  # [pairs, rows, H]
+    pixels = constant.pixels
+    sample_rate = constant.sample_rate
+    rows = _pack_rows(history, constant.channel_mode)  # [pairs, rows, H]
     # trigger channel selection (ref: calculateTriggerIndices,
     # OscilloscopeParameters.h:491-505)
-    trig_src = rows[:, trigger_channel % rows.shape[1], :]
+    trig_src = rows[:, constant.trigger_channel % rows.shape[1], :]
     hf = jnp.asarray(float(h), jnp.float32)
     window = jnp.minimum(window, hf)
 
@@ -274,15 +408,17 @@ def _osc_step(
     new_ph_state = state.peak_hold_state
     new_holding = state.peak_holding
 
+    trigger_mode = constant.trigger_mode
+    threshold = constant.threshold
     # --- trigger: fractional sample offset from the end of history --------
     if trigger_mode == TriggerMode.ZERO_CROSSING or trigger_mode == TriggerMode.ENVELOPE_HOLD:
-        la = min(lookahead, h)
+        la = min(constant.lookahead, h)
         region = trig_src[..., h - la :]
         if trigger_mode == TriggerMode.ZERO_CROSSING:
             fires = zero_crossing_triggers(region, threshold)
         else:
             fires, new_ph_state, new_holding = peak_hold_triggers(
-                region, threshold, hysteresis, state.peak_hold_state, state.peak_holding
+                region, threshold, constant.hysteresis, state.peak_hold_state, state.peak_holding
             )
         # take the most recent trigger that still has a full half-window of
         # samples after it (the reference swaps buffers only once the half
@@ -297,14 +433,30 @@ def _osc_step(
         start = jnp.clip(start, 0.0, hf - window)
         start = jnp.where(found, start, hf - window)
     elif trigger_mode == TriggerMode.SPECTRAL:
-        la = min(lookahead, h)
+        la = min(constant.lookahead, h)
         region = trig_src[..., h - la :]
-        fundamental, cycles, record = spectral_fundamental(
-            region, sample_rate, threshold=threshold, hysteresis=hysteresis
-        )
-        new_median, record, _ = median_record_filter(state.median_history, record)
-        fundamental = sample_rate * jnp.maximum(record.omega(), 5.0 * la / sample_rate) / la
-        cycles = sample_rate / fundamental
+        if constant.custom_trigger:
+            # user frequency short-circuits the fundamental search
+            # (ref: OscilloscopeDSP.inl:69-78 — BinRecord{0, 1, f/fs * N};
+            # the full omega lands in the offset field, whose tau-multiple
+            # phase correction is mod-tau equivalent to its fraction)
+            omega = constant.custom_trigger_frequency / sample_rate * la
+            record = BinRecord(
+                index=jnp.zeros((pairs,), jnp.int32),
+                value=jnp.ones((pairs,), jnp.float32),
+                offset=jnp.broadcast_to(omega, (pairs,)).astype(jnp.float32),
+            )
+            fundamental = jnp.broadcast_to(
+                constant.custom_trigger_frequency, (pairs,)
+            ).astype(jnp.float32)
+            cycles = sample_rate / fundamental
+        else:
+            fundamental, cycles, record = spectral_fundamental(
+                region, sample_rate, threshold=threshold, hysteresis=constant.hysteresis
+            )
+            new_median, record, _ = median_record_filter(state.median_history, record)
+            fundamental = sample_rate * jnp.maximum(record.omega(), 5.0 * la / sample_rate) / la
+            cycles = sample_rate / fundamental
         sample_offset = trigger_phase_offset(
             region,
             record.omega(),
@@ -313,7 +465,7 @@ def _osc_step(
             sample_rate,
             fundamental,
             record.offset,
-            phase_degrees,
+            constant.phase_degrees,
         )
         # anchor one cycle before the window end, then advance by the
         # phase-derived offset so x=0 lands on a fixed waveform phase
@@ -336,9 +488,9 @@ def _osc_step(
     # --- resample rows to pixel space --------------------------------------
     start_r = start[:, None]
     step_r = step[:, None]
-    if interpolation == SubSampleInterpolation.LANCZOS:
+    if constant.interpolation == SubSampleInterpolation.LANCZOS:
         wave = sinc_resample(rows, start_r, step_r, pixels, INTERPOLATION_KERNEL_SIZE)
-    elif interpolation == SubSampleInterpolation.LINEAR:
+    elif constant.interpolation == SubSampleInterpolation.LINEAR:
         wave = linear_resample(rows, start_r, step_r, pixels)
     else:  # NONE / RECTANGULAR: nearest sample
         p = jnp.arange(pixels, dtype=jnp.float32)
@@ -349,27 +501,23 @@ def _osc_step(
 
     env_min, env_max = minmax_decimate(rows, pixels)
 
-    # --- autogain (ref: runPeakFilter, OscilloscopeDSP.inl:712-886) --------
-    if autogain:
-        peaks = jnp.max(jnp.abs(rows), axis=-1)  # [pairs, rows]
-        new_peak_env = jnp.maximum(state.peak_env * autogain_pole, peaks**2)
-        g = 1.0 / jnp.sqrt(jnp.max(new_peak_env, axis=-1))
-        gain = jnp.where(jnp.isfinite(g) & (g > 0), g, 1.0) * manual_gain
-    else:
-        new_peak_env = state.peak_env
-        gain = jnp.full((pairs,), manual_gain, jnp.float32)
-
+    # --- autogain (ref: analyseAndSetupState, OscilloscopeDSP.inl:44-59) ---
+    new_peak_env, gain = _autogain_update(constant, state.peak_env, rows, new_samples)
     wave = wave * gain[:, None, None]
 
+    # per-row key colours (ref: primaryColour/secondaryColour,
+    # OscilloscopeParameters.h; ChannelData.h:58-66 aux colour buffers)
+    key = constant.key_colours[: rows.shape[1]]  # [rows, 3]
+
     # --- colouring ----------------------------------------------------------
-    if colour_enabled:
+    if constant.colour_enabled:
         bands, new_xover = three_band_split(rows, sample_rate, state=state.crossover)
         colours, new_smooth = spectral_colour_track(
             bands,
-            colour_pole,
-            jnp.asarray(band_colours, jnp.float32),
-            jnp.asarray(key_colour, jnp.float32),
-            colour_blend,
+            constant.colour_pole,
+            constant.band_colours,
+            key,
+            constant.colour_blend,
             state.colour_smooth,
         )  # [pairs, rows, H, 3]
         # resample colour track to pixels (nearest)
@@ -382,8 +530,7 @@ def _osc_step(
         new_xover = state.crossover
         new_smooth = state.colour_smooth
         pix_colours = jnp.broadcast_to(
-            jnp.asarray(key_colour, jnp.float32),
-            (pairs, rows.shape[1], pixels, 3),
+            key[None, :, None, :], (pairs, rows.shape[1], pixels, 3)
         )
 
     frame = OscilloscopeFrame(

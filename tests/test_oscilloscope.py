@@ -303,3 +303,129 @@ def test_sinc_resample_static_matches_gather():
         sinc_resample(jnp.asarray(x), jnp.full((3,), 64.0), jnp.full((3,), 0.125), 1024)
     )
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# custom trigger frequency + RMS autogain (round-2 wiring)
+# ---------------------------------------------------------------------------
+
+
+def test_custom_trigger_locks_to_user_frequency():
+    """With CustomTrigger on, the phase lock must follow the *user*
+    frequency even when another partial dominates the spectrum
+    (ref: OscilloscopeDSP.inl:69-78 short-circuits the search)."""
+    from signalizer_tpu.views.oscilloscope import AutoGain
+
+    f_user = 441.3
+    f_loud = 997.0
+    windows = []
+    for phase in (0.0, 1.3, 2.7):
+        t = np.arange(16384)
+        # the user tone is 20 dB below the dominant one, and both move
+        # together in phase so a correct lock shows identical windows
+        x = (0.1 * np.sin(2 * np.pi * f_user * t / FS + phase)
+             + 1.0 * np.sin(2 * np.pi * f_loud * t / FS + phase * f_loud / f_user)).astype(np.float32)
+        hist = np.broadcast_to(x, (1, 2, 16384)).copy()
+        proc = OscilloscopeProcessor(
+            pairs=1,
+            trigger_mode=TriggerMode.SPECTRAL,
+            channel_mode=OscChannels.LEFT,
+            window_samples=1000.0,
+            pixels=500,
+            custom_trigger=True,
+            custom_trigger_frequency=f_user,
+        )
+        frame = proc.process(hist)
+        assert float(frame.fundamental[0]) == pytest.approx(f_user)
+        windows.append(np.asarray(frame.waveform)[0, 0])
+    for w in windows[1:]:
+        np.testing.assert_allclose(w[16:-16], windows[0][16:-16], atol=0.05)
+
+
+def test_rms_and_peak_autogain_diverge():
+    """RMS gain ~ sqrt(2)/A for a steady sine; peak gain ~ 1/A
+    (ref: OscilloscopeDSP.inl:684-698 vs runPeakFilter :712-886)."""
+    from signalizer_tpu.views.oscilloscope import AutoGain
+
+    amp = 0.25
+    hist = _history() * amp
+
+    def gain_for(mode):
+        proc = OscilloscopeProcessor(
+            pairs=1, autogain=mode, channel_mode=OscChannels.LEFT,
+            window_samples=2048.0, pixels=64, envelope_window_ms=20.0,
+        )
+        # run a few blocks so the RMS one-pole converges
+        for _ in range(4):
+            frame = proc.process(hist)
+        return float(frame.gain[0])
+
+    g_peak = gain_for(AutoGain.PEAK_DECAY)
+    g_rms = gain_for(AutoGain.RMS)
+    assert g_peak == pytest.approx(1.0 / amp, rel=0.01)
+    assert g_rms == pytest.approx(np.sqrt(2.0) / amp, rel=0.02)
+    assert g_rms > g_peak * 1.3
+
+
+def test_rms_block_update_matches_per_sample_oracle():
+    """Closed-form block one-pole == the reference's per-sample recurrence."""
+    from signalizer_tpu.views.oscilloscope import AutoGain
+
+    rng = np.random.default_rng(3)
+    h = 2048
+    x = rng.standard_normal(h).astype(np.float32) * 0.5
+    hist = np.broadcast_to(x, (1, 2, h)).copy()
+    win_ms = 5.0
+    proc = OscilloscopeProcessor(
+        pairs=1, autogain=AutoGain.RMS, channel_mode=OscChannels.LEFT,
+        window_samples=512.0, pixels=32, envelope_window_ms=win_ms,
+    )
+    # two calls: first sees all h samples new, second sees 300 new ones
+    proc.process(hist)
+    hist2 = np.roll(hist, -300, axis=-1)
+    frame = proc.process(hist2, new_samples=300)
+
+    c = np.exp(-1.0 / (win_ms * 1e-3 * FS))
+    env = 0.0
+    for s in x:
+        env = s * s + c * (env - s * s)
+    for s in hist2[0, 0, -300:]:
+        env = s * s + c * (env - s * s)
+    np.testing.assert_allclose(float(frame.gain[0]), 1.0 / np.sqrt(env), rtol=1e-3)
+
+
+def test_envelope_window_controls_peak_decay_rate():
+    """The EnvelopeWindow knob must change how fast peak autogain recovers
+    after a transient (it was a dead knob in round 1)."""
+    from signalizer_tpu.views.oscilloscope import AutoGain
+
+    loud = _history() * 1.0
+    quiet = _history() * 0.01
+
+    def gain_after(win_ms):
+        proc = OscilloscopeProcessor(
+            pairs=1, autogain=AutoGain.PEAK_DECAY, channel_mode=OscChannels.LEFT,
+            window_samples=2048.0, pixels=64, envelope_window_ms=win_ms,
+        )
+        proc.process(loud, new_samples=16384)
+        frame = proc.process(quiet, new_samples=4096)
+        return float(frame.gain[0])
+
+    fast = gain_after(1.0)     # short window: envelope decays fast -> big gain
+    slow = gain_after(5000.0)  # long window: still remembers the loud peak
+    assert fast > slow * 5.0
+    assert slow == pytest.approx(np.exp(-4096 / (5.0 * FS)), rel=0.05)
+
+
+def test_separate_mode_per_row_key_colours():
+    """SEPARATE mode colours left/right with primary/secondary
+    (ref: OscilloscopeParameters.h primaryColour/secondaryColour)."""
+    proc = OscilloscopeProcessor(
+        pairs=1, channel_mode=OscChannels.SEPARATE, pixels=16,
+        window_samples=256.0,
+        key_colour=(1.0, 0.0, 0.0), secondary_colour=(0.0, 0.0, 1.0),
+    )
+    frame = proc.process(_history())
+    cols = np.asarray(frame.colours)  # [1, 2, 16, 3]
+    np.testing.assert_array_equal(cols[0, 0, 0], [1.0, 0.0, 0.0])
+    np.testing.assert_array_equal(cols[0, 1, 0], [0.0, 0.0, 1.0])
