@@ -100,6 +100,168 @@ def global_peak_level(results: jax.Array) -> jax.Array:
     return jnp.max(results)
 
 
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        from jax import shard_map  # jax >= 0.5
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+def sharded_oscilloscope_step(constant, mesh: Mesh, axis: str = "data"):
+    """Multi-chip oscilloscope step, data-parallel over channel pairs
+    (the reference parallelizes all views over pairs —
+    ref: SpectrumDSP.cpp:83 parallel_for / CHANGELOG 0.4.0).
+
+    Returns ``step(state, history, window, transport, new_samples) ->
+    (frame, new_state, global_level)`` with state/history/frame sharded on
+    their leading pairs axis (state stays chip-resident across steps) and
+    a ``pmax`` level diagnostic riding ICI.
+    """
+    from signalizer_tpu.views.oscilloscope import osc_step_impl
+
+    spec_b = P(axis)
+
+    def shard_fn(state, history, window, transport, new_samples):
+        frame, new_state = osc_step_impl(
+            constant, state, history, window, transport, new_samples
+        )
+        level = jax.lax.pmax(jnp.max(jnp.abs(history)), axis)
+        return frame, new_state, level
+
+    mapped = _shard_map(
+        shard_fn,
+        mesh,
+        in_specs=(spec_b, spec_b, P(), P(), P()),
+        out_specs=(spec_b, spec_b, P()),
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def sharded_vectorscope_step(mesh: Mesh, axis: str = "data", **static_kwargs):
+    """Multi-chip vectorscope step (pairs-parallel).
+
+    ``static_kwargs``: mode/autogain/rotation/scale_to_fill, as accepted by
+    the single-chip ``_vs_step``. Returns ``step(state, peak_env, frames,
+    envelope_pole, stereo_pole, user_gain, peak_coeff) ->
+    (frame, new_state, new_peak_env, global_level)``.
+    """
+    from signalizer_tpu.views.vectorscope import vs_step_impl
+
+    spec_b = P(axis)
+
+    def shard_fn(state, peak_env, frames, envelope_pole, stereo_pole, user_gain, peak_coeff):
+        frame, new_state, new_peak = vs_step_impl(
+            state, peak_env, frames, envelope_pole, stereo_pole, user_gain,
+            peak_coeff, **static_kwargs,
+        )
+        level = jax.lax.pmax(jnp.max(jnp.abs(frames)), axis)
+        return frame, new_state, new_peak, level
+
+    mapped = _shard_map(
+        shard_fn,
+        mesh,
+        in_specs=(spec_b, spec_b, spec_b, P(), P(), P(), P()),
+        out_specs=(spec_b, spec_b, spec_b, P()),
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1))
+
+
+def sharded_spectrogram_step(constant: SpectrumConstant, mesh: Mesh, axis: str = "data"):
+    """Multi-chip spectrogram step: per-pair colour columns stay sharded;
+    the cross-pair blend is the one collective (psum of premultiplied
+    colour, the associative ONE_MINUS_SRC_COLOR composite is order-free in
+    its additive premultiplied form — the per-chip partials multiply).
+
+    Returns ``step(state, frames, colours, ratios) ->
+    (columns [T, P, 4] u8 replicated, new_state sharded)``.
+    """
+    from signalizer_tpu.kernels.colormap import gradient_map, quantize_rgba8
+
+    spec_b = P(axis)
+
+    def shard_fn(state: LineGraphState, frames, colours, ratios):
+        result = analyze_frames(constant, state, frames)
+        intensity = result.results[:, :, 0, 0, :]  # [local_pairs, T, P]
+        rgb = jax.vmap(lambda inten, cols: gradient_map(inten, cols, ratios))(
+            intensity, colours
+        )  # [local_pairs, T, P, 3]
+        # blend_pairs computes 1 - prod(1 - c) over pairs; the product over
+        # all pairs factors into per-chip partial products + one psum-style
+        # all-reduce (log-domain sum or direct product via all_gather —
+        # prod reduces over ICI as exp(psum(log))); use the numerically
+        # safe direct form: psum of log1p(-c) with clamping.
+        one_minus = jnp.clip(1.0 - rgb, 1e-7, 1.0)
+        local_log = jnp.sum(jnp.log(one_minus), axis=0)  # [T, P, 3]
+        total_log = jax.lax.psum(local_log, axis)
+        blended = 1.0 - jnp.exp(total_log)
+        cols = quantize_rgba8(blended)
+        return cols, result.state
+
+    mapped = _shard_map(
+        shard_fn,
+        mesh,
+        in_specs=(
+            LineGraphState(magnitude=spec_b, phase=spec_b),
+            spec_b,
+            spec_b,
+            P(),
+        ),
+        out_specs=(P(), LineGraphState(magnitude=spec_b, phase=spec_b)),
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def sharded_fused_step(
+    constant: SpectrumConstant,
+    resample_matrix: jax.Array,
+    mesh: Mesh,
+    axis: str = "data",
+    *,
+    pixels: int = 1024,
+    envelope_pole: float = 0.999,
+    stereo_pole: float = 0.99,
+):
+    """The fused all-views pipeline (bench cfg5) over a device mesh:
+    spectrum + waveform resample + min-max envelopes + stereo meters per
+    pair shard, with a single cross-chip pmax diagnostic.
+
+    Returns ``step(state, vstate, frames) -> (results, wave, mins, maxs,
+    corr, new_state, new_vstate, global_peak)``.
+    """
+    from signalizer_tpu.kernels.oscilloscope import minmax_decimate, sinc_resample_static
+    from signalizer_tpu.kernels.vectorscope import correlation, update_meters
+
+    spec_b = P(axis)
+
+    def shard_fn(state: LineGraphState, vstate, frames):
+        r = analyze_frames(constant, state, frames)
+        corr = correlation(frames)
+        wave = sinc_resample_static(frames[..., 0, :], resample_matrix)
+        mins, maxs = minmax_decimate(frames[..., 0, :], pixels)
+        vnew = update_meters(
+            vstate, frames[:, -1], envelope_pole=envelope_pole, stereo_pole=stereo_pole
+        )
+        peak = jax.lax.pmax(jnp.max(r.results), axis)
+        return r.results, wave, mins, maxs, corr, r.state, vnew, peak
+
+    mapped = _shard_map(
+        shard_fn,
+        mesh,
+        in_specs=(
+            LineGraphState(magnitude=spec_b, phase=spec_b),
+            spec_b,
+            spec_b,
+        ),
+        out_specs=(
+            spec_b, spec_b, spec_b, spec_b, spec_b,
+            LineGraphState(magnitude=spec_b, phase=spec_b),
+            spec_b, P(),
+        ),
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1))
+
+
 def init_sharded_state(
     constant: SpectrumConstant, pairs: int, mesh: Mesh, axis: str = "data"
 ) -> LineGraphState:

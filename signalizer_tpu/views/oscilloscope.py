@@ -383,8 +383,7 @@ def _autogain_update(
     return new_env, gain
 
 
-@functools.partial(jax.jit, donate_argnums=(1,))
-def _osc_step(
+def osc_step_impl(
     constant: OscilloscopeConstant,
     state: OscilloscopeState,
     history: jax.Array,
@@ -392,6 +391,8 @@ def _osc_step(
     transport_position: jax.Array,
     new_samples: jax.Array,
 ) -> Tuple[OscilloscopeFrame, OscilloscopeState]:
+    """Pure (unjitted) oscilloscope step — shard_map-able over the pairs
+    axis (see :mod:`signalizer_tpu.parallel.mesh`)."""
     pairs, _, h = history.shape
     pixels = constant.pixels
     sample_rate = constant.sample_rate
@@ -551,3 +552,6 @@ def _osc_step(
         colour_smooth=new_smooth,
     )
     return frame, new_state
+
+
+_osc_step = jax.jit(osc_step_impl, donate_argnums=(1,))

@@ -50,8 +50,7 @@ class VectorscopeFrame(NamedTuple):
     gain: jax.Array  # [...] applied gain
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "autogain", "rotation", "scale_to_fill"))
-def _vs_step(
+def vs_step_impl(
     state: VectorscopeMeterState,
     peak_env: jax.Array,
     frames: jax.Array,
@@ -84,6 +83,11 @@ def _vs_step(
         verts = lissajous_vertices(frames, rotation=rotation, gain=gain_b)
     bars = meter_readout(new_state)
     return VectorscopeFrame(verts, bars["balance"], bars["correlation"], gain), new_state, new_peak_env
+
+
+_vs_step = functools.partial(
+    jax.jit, static_argnames=("mode", "autogain", "rotation", "scale_to_fill")
+)(vs_step_impl)
 
 
 class VectorscopeProcessor:

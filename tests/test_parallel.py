@@ -1,0 +1,241 @@
+"""Multi-chip sharding for every view (8 virtual CPU devices via conftest).
+
+Each test asserts (a) oracle equality with the single-device path and
+(b) output sharding — state stays resident on its chip across steps, so
+the hot loop runs with zero resharding collectives (the only cross-chip
+traffic is the explicit diagnostic reduction). Matches the reference's
+pairs-parallel design (ref: SpectrumDSP.cpp:83 parallel_for; CHANGELOG
+0.4.0 'parallelized all views over channel pairs')."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from signalizer_tpu.core.config import (
+    BinInterpolation,
+    OscChannels,
+    SpectrumChannels,
+    ViewScaling,
+)
+from signalizer_tpu.core.constant import make_spectrum_constant
+from signalizer_tpu.parallel.mesh import (
+    make_analysis_mesh,
+    shard_batch,
+    sharded_fused_step,
+    sharded_oscilloscope_step,
+    sharded_spectrogram_step,
+    sharded_vectorscope_step,
+)
+
+PAIRS = 16  # 2 per chip
+
+
+def _mesh():
+    return make_analysis_mesh(8)
+
+
+def _frames(pairs, t, c, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((pairs, t, c, w)).astype(np.float32)
+
+
+def test_make_analysis_mesh_fails_fast_on_short_device_list():
+    with pytest.raises(RuntimeError, match="requested 9"):
+        make_analysis_mesh(9)
+
+
+def test_sharded_oscilloscope_matches_single_device():
+    from signalizer_tpu.views.oscilloscope import (
+        AutoGain,
+        OscilloscopeProcessor,
+        TriggerMode,
+        make_oscilloscope_constant,
+    )
+
+    constant = make_oscilloscope_constant(
+        channel_mode=OscChannels.SEPARATE,
+        trigger_mode=TriggerMode.ZERO_CROSSING,
+        pixels=128,
+        lookahead=512,
+        trigger_threshold=0.1,
+        autogain=AutoGain.PEAK_DECAY,
+        colour_enabled=True,
+    )
+    h = 2048
+    hist_host = np.sin(
+        2 * np.pi * 440.0 * np.arange(h) / 48_000.0
+        + np.arange(PAIRS)[:, None, None] * 0.3
+    ).astype(np.float32) * np.ones((PAIRS, 2, h), np.float32)
+
+    # single-device reference path
+    ref = OscilloscopeProcessor(constant, pairs=PAIRS, window_samples=500.0)
+    ref_frame1 = ref.process(hist_host)
+    ref_frame2 = ref.process(hist_host)
+
+    mesh = _mesh()
+    step = sharded_oscilloscope_step(constant, mesh)
+    sharded = OscilloscopeProcessor(constant, pairs=PAIRS, window_samples=500.0)
+    state = shard_batch(sharded._state, mesh)
+    hist = shard_batch(jnp.asarray(hist_host), mesh)
+    w = jnp.asarray(500.0, jnp.float32)
+    z = jnp.asarray(0.0, jnp.float32)
+    n = jnp.asarray(float(h), jnp.float32)
+
+    frame1, state, level = step(state, hist, w, z, n)
+    frame2, state2, _ = step(state, hist, w, z, n)
+
+    assert len(frame1.waveform.sharding.device_set) == 8
+    # state residency: the carried state keeps the same sharding layout
+    assert state2.peak_env.sharding == state.peak_env.sharding
+    np.testing.assert_allclose(
+        np.asarray(frame1.waveform), np.asarray(ref_frame1.waveform), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(frame2.waveform), np.asarray(ref_frame2.waveform), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(frame2.colours), np.asarray(ref_frame2.colours), atol=1e-5
+    )
+    assert float(level) == pytest.approx(float(np.abs(hist_host).max()), rel=1e-6)
+
+
+def test_sharded_vectorscope_matches_single_device():
+    from signalizer_tpu.kernels.vectorscope import init_meter_state
+    from signalizer_tpu.views.vectorscope import (
+        AutoGain,
+        OperationalMode,
+        VectorscopeProcessor,
+    )
+
+    frames_host = _frames(PAIRS, 2, 1, 256, seed=1)[:, 0]  # [pairs, 2, W] stereo
+    frames_host = _frames(PAIRS, 1, 2, 256, seed=1)[:, 0]
+
+    ref = VectorscopeProcessor(pairs=PAIRS, autogain=AutoGain.PEAK_DECAY,
+                               mode=OperationalMode.LISSAJOUS)
+    ref_f1 = ref.process(frames_host)
+    ref_f2 = ref.process(frames_host)
+
+    mesh = _mesh()
+    step = sharded_vectorscope_step(
+        mesh,
+        mode=OperationalMode.LISSAJOUS,
+        autogain=AutoGain.PEAK_DECAY,
+        rotation=0.0,
+        scale_to_fill=False,
+    )
+    state = shard_batch(init_meter_state((PAIRS,)), mesh)
+    peak_env = shard_batch(jnp.zeros((PAIRS, 2), jnp.float32), mesh)
+    frames = shard_batch(jnp.asarray(frames_host), mesh)
+    ep = jnp.asarray(ref.envelope_pole, jnp.float32)
+    sp = jnp.asarray(ref.stereo_pole, jnp.float32)
+    ug = jnp.asarray(1.0, jnp.float32)
+    pc = ep ** (256 / 60.0)
+
+    f1, state, peak_env, level = step(state, peak_env, frames, ep, sp, ug, pc)
+    f2, state2, peak_env2, _ = step(state, peak_env, frames, ep, sp, ug, pc)
+
+    assert len(f1.vertices.sharding.device_set) == 8
+    assert state2.envelope.sharding == state.envelope.sharding
+    np.testing.assert_allclose(np.asarray(f1.vertices), np.asarray(ref_f1.vertices), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f2.balance), np.asarray(ref_f2.balance), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(f2.correlation_bars), np.asarray(ref_f2.correlation_bars), atol=1e-5
+    )
+    assert float(level) == pytest.approx(float(np.abs(frames_host).max()), rel=1e-6)
+
+
+def test_sharded_spectrogram_matches_single_device():
+    from signalizer_tpu.kernels.colormap import normalize_ratios, spectrogram_columns
+    from signalizer_tpu.kernels.spectrum import analyze_frames, init_line_graph_state
+    from signalizer_tpu.views.spectrogram import DEFAULT_GRADIENT, DEFAULT_RATIOS
+
+    constant = make_spectrum_constant(
+        axis_points=64,
+        window_size=256,
+        configuration=SpectrumChannels.LEFT,
+        bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LOGARITHMIC,
+    )
+    t = 3
+    frames_host = _frames(PAIRS, t, 2, 256, seed=2) * 0.5
+    colours_host = np.broadcast_to(DEFAULT_GRADIENT, (PAIRS, 6, 3)).copy()
+    ratios = jnp.asarray(normalize_ratios(DEFAULT_RATIOS), jnp.float32)
+
+    # single-device reference
+    s0 = init_line_graph_state(constant, (PAIRS,))
+    r = analyze_frames(constant, s0, jnp.asarray(frames_host))
+    ref_cols = np.asarray(
+        spectrogram_columns(r.results[:, :, 0, 0, :], jnp.asarray(colours_host), ratios)
+    )
+
+    mesh = _mesh()
+    step = sharded_spectrogram_step(constant, mesh)
+    state = shard_batch(init_line_graph_state(constant, (PAIRS,)), mesh)
+    frames = shard_batch(jnp.asarray(frames_host), mesh)
+    colours = shard_batch(jnp.asarray(colours_host), mesh)
+
+    cols, state2 = step(state, frames, colours, ratios)
+    assert state2.magnitude.sharding == state.magnitude.sharding
+    got = np.asarray(cols)
+    assert got.shape == ref_cols.shape == (t, 64, 4)
+    # blend runs in the log domain across chips: equal after quantization
+    # up to one 8-bit step
+    assert np.max(np.abs(got.astype(int) - ref_cols.astype(int))) <= 1
+
+
+def test_sharded_fused_pipeline_matches_single_device():
+    from signalizer_tpu.kernels.oscilloscope import (
+        minmax_decimate,
+        sinc_resample_matrix,
+        sinc_resample_static,
+    )
+    from signalizer_tpu.kernels.spectrum import analyze_frames, init_line_graph_state
+    from signalizer_tpu.kernels.vectorscope import (
+        correlation,
+        init_meter_state,
+        update_meters,
+    )
+
+    constant = make_spectrum_constant(
+        axis_points=64,
+        window_size=256,
+        configuration=SpectrumChannels.SEPARATE,
+        bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LOGARITHMIC,
+    )
+    t = 2
+    pixels = 32
+    frames_host = _frames(PAIRS, t, 2, 256, seed=3)
+    m = sinc_resample_matrix(256, 0.0, 256.0 / pixels, pixels)
+
+    # single-device reference
+    s0 = init_line_graph_state(constant, (PAIRS,))
+    v0 = init_meter_state((PAIRS,))
+    fj = jnp.asarray(frames_host)
+    r = analyze_frames(constant, s0, fj)
+    ref_wave = np.asarray(sinc_resample_static(fj[..., 0, :], m))
+    ref_mins, ref_maxs = minmax_decimate(fj[..., 0, :], pixels)
+    ref_corr = np.asarray(correlation(fj))
+    ref_v = update_meters(v0, fj[:, -1], envelope_pole=0.999, stereo_pole=0.99)
+
+    mesh = _mesh()
+    step = sharded_fused_step(constant, m, mesh, pixels=pixels)
+    state = shard_batch(init_line_graph_state(constant, (PAIRS,)), mesh)
+    vstate = shard_batch(init_meter_state((PAIRS,)), mesh)
+    frames = shard_batch(fj, mesh)
+
+    results, wave, mins, maxs, corr, state2, vstate2, peak = step(state, vstate, frames)
+    assert len(results.sharding.device_set) == 8
+    assert state2.magnitude.sharding == state.magnitude.sharding
+    assert vstate2.envelope.sharding == vstate.envelope.sharding
+    np.testing.assert_allclose(np.asarray(results), np.asarray(r.results), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(wave), ref_wave, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mins), np.asarray(ref_mins), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(maxs), np.asarray(ref_maxs), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(corr), ref_corr, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(vstate2.envelope), np.asarray(ref_v.envelope), atol=1e-5
+    )
+    assert float(peak) == pytest.approx(float(np.asarray(r.results).max()), rel=1e-6)
