@@ -123,7 +123,8 @@ def main(only: str = None) -> None:
         out["p50_latency_ms"] = round(float(np.percentile(lats, 50) * 1e3), 4)
         out["p99_latency_ms"] = round(float(np.percentile(lats, 99) * 1e3), 4)
 
-        # transport floor: no-op round trip
+        # transport floor: no-op round trip (this rig reaches the chip over
+        # a ~25-35 ms network tunnel; a DAW-local deployment has none of it)
         tiny = jnp.zeros(8, jnp.float32)
         noop = jax.jit(lambda x: x + 1.0)
         np.asarray(noop(tiny))
@@ -133,6 +134,36 @@ def main(only: str = None) -> None:
             np.asarray(noop(tiny))
             floors.append(time.perf_counter() - t0)
         out["rtt_floor_ms"] = round(float(np.percentile(floors, 50) * 1e3), 4)
+        # the honest per-frame latency: host round trip minus the transport
+        # floor — what the BASELINE <1 ms target is actually about
+        out["p50_net_ms"] = round(out["p50_latency_ms"] - out["rtt_floor_ms"], 4)
+
+        # on-device step latency: K state-chained single-frame steps inside
+        # ONE dispatch (lax.scan) — pure device time per frame, no host hop
+        K = 256
+
+        @jax.jit
+        def chained_steps(state, frame):
+            def body(st, _):
+                r = analyze_frames(constant, st, frame)
+                return r.state, r.results[:, 0, 0]
+
+            st, rows = jax.lax.scan(body, state, None, length=K)
+            return rows[-1], st
+
+        dev_frame = jnp.asarray(host_frame)
+        r0, _ = chained_steps(lat_state, dev_frame)
+        np.asarray(r0)
+        dev_times = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            r0, _ = chained_steps(lat_state, dev_frame)
+            np.asarray(r0)
+            dev_times.append(time.perf_counter() - t0)
+        total = float(np.percentile(dev_times, 50))
+        out["on_device_step_ms"] = round(
+            (total - out["rtt_floor_ms"] * 1e-3) / K * 1e3, 4
+        )
 
     if want("cfg1"):
         c1 = make_spectrum_constant(

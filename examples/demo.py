@@ -44,7 +44,7 @@ def main(out_dir="demo_out"):
     res = sp.process(eng.get_presentation_history(sp.constant.window_size)[None])
     render_spectrum(
         np.asarray(res)[0, 0, 0],
-        np.asarray(sp.constant.mapped_frequencies),
+        __import__("signalizer_tpu.core.constant", fromlist=["host_view"]).host_view(sp.constant, "mapped_frequencies"),
         path=out / "spectrum.png",
     )
 

@@ -346,7 +346,7 @@ def make_spectrum_constant(
         for i in range(num_line_graphs)
     ]
 
-    return SpectrumConstant(
+    constant = SpectrumConstant(
         axis_points=axis_points,
         window_size=window_size,
         transform_size=transform_size,
@@ -374,3 +374,41 @@ def make_spectrum_constant(
         single_bin=jnp.asarray(plan.single_bin),
         single_mask=jnp.asarray(plan.single_mask),
     )
+    # host-side mirror of the plan (NOT a pytree field): consumers that
+    # need these on the host (render feed, resonator builder, pallas plan)
+    # must NOT read the device leaves back — on the remote-TPU tunnel a
+    # single device->host readback degrades the session to synchronous
+    # per-call dispatch (measured 100x throughput loss). Access via
+    # :func:`host_view`.
+    object.__setattr__(
+        constant,
+        "_host_data",
+        dict(
+            mapped_frequencies=np.asarray(mapped_frequencies, np.float64),
+            window_kernel=np.asarray(kernel, np.float64),
+            inv_size=float(inv_size),
+            low_dbs=float(low_dbs),
+            high_dbs=float(high_dbs),
+            slope_map=np.asarray(slope_map, np.float64),
+            interp_indices=plan.interp_indices,
+            interp_weights=plan.interp_weights,
+            interp_mask=plan.interp_mask,
+            segment_ids=plan.segment_ids,
+            single_bin=plan.single_bin,
+            single_mask=plan.single_mask,
+        ),
+    )
+    return constant
+
+
+def host_view(constant: SpectrumConstant, name: str):
+    """Host copy of a constant field without a device readback.
+
+    Falls back to ``jax.device_get`` (with a one-time warning cost on
+    remote devices) for constants that crossed a jit boundary and lost
+    their host mirror.
+    """
+    data = getattr(constant, "_host_data", None)
+    if data is not None and name in data:
+        return data[name]
+    return jax.device_get(getattr(constant, name))

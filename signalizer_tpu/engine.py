@@ -111,11 +111,12 @@ class SignalizerEngine(SerializableObject):
         self._property_watcher = _PropertyWatcher()
         self.realtime_output.add_listener(self._property_watcher)
 
-        self.presets = PresetManager(preset_dir) if preset_dir else None
-        if self.presets:
-            default = self.presets.load_default()
-            if default is not None:
-                self.deserialize(default)
+        # factory corpus always available; user dir optional
+        # (ref: default.main loaded at construction, PluginProcessor.cpp:83-101)
+        self.presets = PresetManager(preset_dir)
+        default = self.presets.load_default()
+        if default is not None:
+            self.deserialize(default)
 
         self._playhead = Playhead()
 
@@ -158,22 +159,41 @@ class SignalizerEngine(SerializableObject):
     # --- view factories ---------------------------------------------------------
     def make_spectrum_processor(self, *, axis_points: int = 1024, pairs: int = 1,
                                 frames_per_second: float = 60.0):
-        from signalizer_tpu.views.spectrum import SpectrumProcessor
+        from signalizer_tpu.core.config import TransformAlgorithm
+        from signalizer_tpu.views.spectrum import (
+            ResonatorSpectrumProcessor,
+            SpectrumProcessor,
+        )
 
         constant = self.spectrum.make_constant(
             axis_points=axis_points,
             sample_rate=self.config.sample_rate,
             frames_per_second=frames_per_second,
         )
+        # the Algorithm knob routes between the FFT and the resonator bank
+        # (ref: TransformAlgorithm dispatch, TransformDSP.inl:1213-1295)
+        if constant.algo == TransformAlgorithm.RESONATOR:
+            return ResonatorSpectrumProcessor(
+                constant,
+                pairs=pairs,
+                window_type=self.spectrum.dsp_win.get_window_type(),
+                free_q=self.spectrum.free_q.get_transformed() > 0.5,
+            )
         return SpectrumProcessor(constant, pairs=pairs)
 
     def make_oscilloscope_processor(self, *, pixels: int = 1024, pairs: int = 1):
         from signalizer_tpu.views.oscilloscope import OscilloscopeProcessor
 
-        return OscilloscopeProcessor(
+        proc = OscilloscopeProcessor(
             pairs=pairs, pixels=pixels,
-            **self.oscilloscope.make_processor_kwargs(self.config.sample_rate),
+            **self.oscilloscope.make_processor_kwargs(
+                self.config.sample_rate, bpm=self.config.bpm
+            ),
         )
+        # Beats windows follow the live playhead bpm
+        # (ref: cs.bpm -> effectiveWindowSize, Oscilloscope.cpp:295-297)
+        proc.bpm_source = lambda: self.config.bpm
+        return proc
 
     def make_vectorscope_processor(self, *, pairs: int = 1):
         from signalizer_tpu.views.vectorscope import VectorscopeProcessor
@@ -195,6 +215,7 @@ class SignalizerEngine(SerializableObject):
             blob_ms=self.spectrum.blob_size.get_transformed(),
             overlap=overlap,
             image_width=image_width,
+            stretch=self.spectrum.spectrum_stretching.get_transformed(),
         )
         # render pacing follows the FrameSmoothing knob
         # (ref: frameUpdateSmoothing, SpectrumParameters.h:47-50)

@@ -59,31 +59,33 @@ def make_display_map_operands(constant) -> DisplayMapOperands:
     """Build the dense operands from a SpectrumConstant's remap plan."""
     nv = constant.n_spectrum_values
     p = constant.axis_points
-    idx = np.asarray(constant.interp_indices)  # [P, taps]
-    wts = np.asarray(constant.interp_weights)  # [P, taps]
-    inv = float(np.asarray(constant.inv_size))
+    from signalizer_tpu.core.constant import host_view
+
+    idx = np.asarray(host_view(constant, "interp_indices"))  # [P, taps]
+    wts = np.asarray(host_view(constant, "interp_weights"))  # [P, taps]
+    inv = float(host_view(constant, "inv_size"))
 
     interp_w = np.zeros((nv, p), np.float32)
     for px in range(p):
         for t in range(idx.shape[1]):
             interp_w[idx[px, t], px] += wts[px, t] * inv
 
-    seg_ids = np.asarray(constant.segment_ids)  # [nv] pixel id or P
+    seg_ids = np.asarray(host_view(constant, "segment_ids"))  # [nv] pixel id or P
     seg_mask = np.full((nv, p), NEG_INF, np.float32)
     owned = seg_ids < p
     seg_mask[np.nonzero(owned)[0], seg_ids[owned]] = 0.0
     # single-bin pixels: their chunk is exactly one bin
-    single_mask = np.asarray(constant.single_mask)
-    single_bin = np.asarray(constant.single_bin)
+    single_mask = np.asarray(host_view(constant, "single_mask"))
+    single_bin = np.asarray(host_view(constant, "single_bin"))
     for px in np.nonzero(single_mask)[0]:
         seg_mask[:, px] = NEG_INF
         seg_mask[single_bin[px], px] = 0.0
 
-    select = np.asarray(constant.interp_mask).astype(np.float32)
+    select = np.asarray(host_view(constant, "interp_mask")).astype(np.float32)
 
     ln10_over_20 = 0.11512925464970229
-    lower = np.exp(float(np.asarray(constant.low_dbs)) * ln10_over_20)
-    slope_over_lower = (np.asarray(constant.slope_map, np.float64) / lower).astype(np.float32)
+    lower = np.exp(host_view(constant, "low_dbs") * ln10_over_20)
+    slope_over_lower = (np.asarray(host_view(constant, "slope_map"), np.float64) / lower).astype(np.float32)
 
     return DisplayMapOperands(
         interp_w=jnp.asarray(interp_w),

@@ -115,22 +115,105 @@ def scalloping_loss_at(
 
 
 class SmoothedPeakState:
-    """Peak display smoothing (ref: SmoothedPeakState, Spectrum.h:405-459):
-    one-pole lag on frequency and dB, with a confidence fade when the
-    tracked peak disappears."""
+    """Peak display smoothing (ref: SmoothedPeakState, Spectrum.h:405-459).
 
-    def __init__(self, smoothing_pole: float = 0.9):
-        self.pole = float(smoothing_pole)
+    Reference semantics: a held linear peak decays with a slow pole
+    (designed over ``smoothing_ms * 10``); a new louder peak *captures* the
+    display (its frequency/dB become the targets, the hold level jumps to
+    1.2x); the displayed frequency/dB lag their targets with a fast pole
+    (``smoothing_ms / 5``). Deviation: poles are the standard
+    ``exp(-1/(ms * 1e-3 * rate))`` one-pole design rather than cpl's
+    SmoothedParameterState<_, 8> 8-section design (same time constant,
+    slightly softer knee).
+    """
+
+    def __init__(self, smoothing_ms: float = 100.0, frame_rate: float = 60.0):
+        self.design(smoothing_ms, frame_rate)
+        self._held_peak = 0.0
+        self._target_freq: Optional[float] = None
+        self._target_dbs = 0.0
         self._freq: Optional[float] = None
         self._dbs: Optional[float] = None
 
+    @staticmethod
+    def _pole(ms: float, rate: float) -> float:
+        n = max(ms * 1e-3 * rate, 1e-9)
+        return math.exp(-1.0 / n)
+
+    def design(self, smoothing_ms: float, frame_rate: float) -> None:
+        """ref: design(ms*10, rate) hold pole, design(ms/5, rate) lag pole."""
+        self.smoothing_ms = float(smoothing_ms)
+        if smoothing_ms <= 0:
+            self.peak_pole = 0.0
+            self.filter_pole = 0.0
+            return
+        self.peak_pole = self._pole(smoothing_ms * 10.0, frame_rate)
+        self.filter_pole = self._pole(smoothing_ms / 5.0, frame_rate)
+
     def update(self, peak: PeakResult) -> Tuple[float, float]:
+        linear = 10.0 ** (peak.dbs / 20.0)
+        self._held_peak *= self.peak_pole
+        if linear > self._held_peak or self._target_freq is None:
+            self._held_peak = 1.2 * (linear / max(self.peak_pole, 1e-9))
+            self._target_freq = peak.frequency
+            self._target_dbs = peak.dbs
         if self._freq is None:
-            self._freq, self._dbs = peak.frequency, peak.dbs
+            self._freq, self._dbs = self._target_freq, self._target_dbs
         else:
-            self._freq = peak.frequency + self.pole * (self._freq - peak.frequency)
-            self._dbs = peak.dbs + self.pole * (self._dbs - peak.dbs)
+            self._freq = self._target_freq + self.filter_pole * (self._freq - self._target_freq)
+            self._dbs = self._target_dbs + self.filter_pole * (self._dbs - self._target_dbs)
         return self._freq, self._dbs
 
     def reset(self) -> None:
         self._freq = self._dbs = None
+        self._target_freq = None
+        self._held_peak = 0.0
+
+
+class FrequencyTracker:
+    """Cursor frequency tracker facade: peak search + smoothing + note
+    readout with the view's knobs applied (ref: drawFrequencyTracking,
+    SpectrumRendering.cpp:377-470 — consumes trackerSmoothing and the
+    reference tuning)."""
+
+    def __init__(
+        self,
+        sample_rate: float = 48_000.0,
+        *,
+        a4_reference: float = 440.0,
+        smoothing_ms: float = 0.0,
+        frame_rate: float = 60.0,
+        window_kernel: Optional[np.ndarray] = None,
+    ):
+        self.sample_rate = float(sample_rate)
+        self.a4_reference = float(a4_reference)
+        self.window_kernel = window_kernel
+        self.smoother = SmoothedPeakState(smoothing_ms, frame_rate)
+
+    def update(
+        self,
+        magnitudes: np.ndarray,
+        cursor_fraction: float,
+        *,
+        inv_size: float = 1.0,
+    ) -> dict:
+        """One UI tick: returns dict(frequency, dbs, note, scalloping_dbs)."""
+        peak = track_peak(
+            magnitudes, self.sample_rate, cursor_fraction, inv_size=inv_size
+        )
+        if self.smoother.smoothing_ms > 0:
+            freq, dbs = self.smoother.update(peak)
+        else:
+            freq, dbs = peak.frequency, peak.dbs
+        out = dict(
+            frequency=freq,
+            dbs=dbs,
+            note=frequency_to_semitone(freq, self.a4_reference),
+        )
+        if self.window_kernel is not None:
+            n_bins = len(magnitudes) - 1
+            loss = scalloping_loss_at(
+                self.window_kernel, peak.fraction * n_bins
+            )
+            out["scalloping_dbs"] = 20.0 * math.log10(max(loss, 1e-12))
+        return out

@@ -19,18 +19,49 @@ DEFAULT_PRESET_NAME = "default.main"
 
 
 class PresetManager:
-    def __init__(self, directory):
-        self.directory = Path(directory)
-        self.directory.mkdir(parents=True, exist_ok=True)
+    """User preset directory with a read-only factory-corpus fallback
+    (the reference installs Make/Skeleton/presets/ beside the binary and
+    resolves names against it; here the corpus ships inside the package,
+    see state/factory_presets.py).
+
+    ``directory=None`` gives a factory-only manager (loads resolve
+    against the shipped corpus; saves raise).
+    """
+
+    def __init__(self, directory=None, *, factory_dir=None):
+        self.directory = None
+        if directory is not None:
+            self.directory = Path(directory)
+            self.directory.mkdir(parents=True, exist_ok=True)
+        if factory_dir is None:
+            from signalizer_tpu.state.factory_presets import FACTORY_DIR
+
+            factory_dir = FACTORY_DIR
+        self.factory_dir = Path(factory_dir)
 
     def _path(self, name: str) -> Path:
+        if self.directory is None:
+            raise RuntimeError("PresetManager has no writable directory")
         return self.directory / (name + PRESET_EXTENSION)
 
+    def _resolve(self, name: str) -> Path:
+        """User dir first, then the shipped factory corpus."""
+        fname = name + PRESET_EXTENSION
+        if self.directory is not None:
+            p = self.directory / fname
+            if p.exists():
+                return p
+        return self.factory_dir / fname
+
     def list_presets(self) -> List[str]:
-        return sorted(
-            p.name[: -len(PRESET_EXTENSION)]
-            for p in self.directory.glob(f"*{PRESET_EXTENSION}")
-        )
+        names = set()
+        for d in (self.directory, self.factory_dir):
+            if d is not None and d.is_dir():
+                names.update(
+                    p.name[: -len(PRESET_EXTENSION)]
+                    for p in d.glob(f"*{PRESET_EXTENSION}")
+                )
+        return sorted(names)
 
     def save(self, name: str, archive: Archive) -> Path:
         path = self._path(name)
@@ -40,7 +71,7 @@ class PresetManager:
         return path
 
     def load(self, name: str) -> Archive:
-        return Archive.from_bytes(self._path(name).read_bytes())
+        return Archive.from_bytes(self._resolve(name).read_bytes())
 
     def try_load(self, name: str) -> Optional[Archive]:
         try:

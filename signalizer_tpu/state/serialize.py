@@ -99,6 +99,10 @@ class Archive:
     def children(self) -> Iterator[Tuple[str, "Archive"]]:
         return iter(self._children.items())
 
+    def remove_child(self, key: str) -> bool:
+        """Drop a subtree (used to slim per-view preset archives)."""
+        return self._children.pop(key, None) is not None
+
     @property
     def is_empty(self) -> bool:
         return not self._values and not self._children

@@ -198,6 +198,44 @@ class SpectrumContent(SerializableObject):
             frames_per_second=frames_per_second,
         )
 
+    def make_render_feed(self, constant: SpectrumConstant, *, pairs: int = 1):
+        """Line-graph vertex/legend feed with the render knobs applied
+        (ref: renderTransformAsGraph, SpectrumRendering.cpp:793-897 —
+        consumes floodFillAlpha, primitiveSize, line colours, showLegend,
+        grid/background colours)."""
+        from signalizer_tpu.core.constant import host_view
+        from signalizer_tpu.views.line_graph import LineGraphRenderFeed
+
+        return LineGraphRenderFeed(
+            mapped_frequencies=host_view(constant, "mapped_frequencies"),
+            line_colours=[
+                (one.get_rgba(), two.get_rgba()) for _, one, two in self.lines
+            ],
+            pairs=pairs,
+            flood_fill_alpha=self.flood_fill_alpha.get_transformed(),
+            primitive_size=self.primitive_size.get_transformed(),
+            show_legend=self.show_legend.get_transformed() > 0.5,
+            grid_colour=self.grid_colour.get_rgba(),
+            background_colour=self.background_colour.get_rgba(),
+            low_dbs=self.low_dbs.get_transformed(),
+            high_dbs=self.high_dbs.get_transformed(),
+            divisions_pct=self.pct_for_division.get_transformed(),
+        )
+
+    def make_tracker(self, sample_rate: float = 48_000.0, *,
+                     frame_rate: float = 60.0, window_kernel=None):
+        """Cursor frequency tracker with TrackerSmoothing and RefTuning
+        applied (ref: drawFrequencyTracking, SpectrumRendering.cpp:377-470)."""
+        from signalizer_tpu.kernels.tracker import FrequencyTracker
+
+        return FrequencyTracker(
+            sample_rate,
+            a4_reference=self.reference_tuning.get_transformed(),
+            smoothing_ms=self.tracker_smoothing.get_transformed(),
+            frame_rate=frame_rate,
+            window_kernel=window_kernel,
+        )
+
     VERSION = 1
 
     def serialize(self, archive: Archive) -> None:
@@ -278,6 +316,10 @@ class OscilloscopeContent(SerializableObject):
         )
         self.time_mode = ps.register_parameter(_choice("TimeMode", ["time", "cycles", "beats"]))
         self.channel_colouring = ps.register_parameter(_choice("ChannelColouring", ["static", "spectral energy"]))
+        # the window knob's unit semantics follow the time mode live
+        # (ref: the timeMode listener retransforming windowSize,
+        # OscilloscopeParameters.h:465-489)
+        self.time_mode.add_rt_listener(self._on_time_mode)
 
         self.primary_colour = ps.register_bundle(ColourValue("PrimaryColour", (0.0, 1.0, 0.0, 1.0)))
         self.secondary_colour = ps.register_bundle(ColourValue("SecondaryColour", (1.0, 0.0, 0.0, 1.0)))
@@ -292,14 +334,39 @@ class OscilloscopeContent(SerializableObject):
 
     def effective_window_samples(self, sample_rate: float, bpm: float = 120.0,
                                  cycle_samples: float = 0.0) -> float:
-        """Per-time-mode effective window (ref: Oscilloscope.cpp:293-308)."""
+        """Per-time-mode effective window (ref: Oscilloscope.cpp:293-308:
+        Beats divides the playhead tempo by the bar division with the bpm
+        floored at 10; Cycles scales the *detected* cycleSamples)."""
         v = self.window_size.get_transformed()
         mode = TimeMode(int(self.time_mode.get_transformed()))
         if mode == TimeMode.TIME:
             return v
         if mode == TimeMode.CYCLES:
             return max(128.0, v * max(cycle_samples, 1.0) + 1.0)
-        return max(128.0, sample_rate * 60.0 / (bpm * max(v, 1e-9)))
+        return max(128.0, sample_rate * 60.0 / (max(10.0, bpm) * max(v, 1e-9)))
+
+    def _on_time_mode(self, parameter, source) -> None:
+        self.window_transformatter.time_mode = TimeMode(int(parameter.get_transformed()))
+
+    def make_render_hints(self) -> dict:
+        """View-shell settings the GL renderer consumes in the reference
+        (OscilloscopeRendering.cpp draw setup); here the viewer applies
+        them (see :func:`signalizer_tpu.views.render.render_oscilloscope`)."""
+        return dict(
+            antialias=self.antialias.get_transformed() > 0.5,
+            primitive_size=self.primitive_size.get_transformed(),
+            dot_samples=self.dot_samples.get_transformed() > 0.5,
+            overlay_channels=self.overlay_channels.get_transformed() > 0.5,
+            show_legend=self.show_legend.get_transformed() > 0.5,
+            cursor_tracker=self.cursor_tracker.get_transformed() > 0.5,
+            diagnostics=self.diagnostics.get_transformed() > 0.5,
+            pct_for_division=self.pct_for_division.get_transformed(),
+            view_box=tuple(p.get_transformed() for p in self.view_offsets),
+            graph_colour=self.graph_colour.get_rgba(),
+            background_colour=self.background_colour.get_rgba(),
+            widget_colour=self.widget_colour.get_rgba(),
+            transform=(self.transform.matrix(), self.transform.translation()),
+        )
 
     def make_processor_kwargs(self, sample_rate: float = 48_000.0, *,
                               bpm: float = 120.0, cycle_samples: float = 0.0) -> dict:
@@ -335,6 +402,9 @@ class OscilloscopeContent(SerializableObject):
             trigger_channel=int(self.triggering_channel.get_transformed()),
             custom_trigger=self.trigger_on_custom_frequency.get_transformed() > 0.5,
             custom_trigger_frequency=self.custom_trigger_frequency.get_transformed(),
+            time_mode=TimeMode(int(self.time_mode.get_transformed())),
+            window_value=self.window_size.get_transformed(),
+            bpm=bpm,
         )
 
     VERSION = 1
@@ -409,6 +479,26 @@ class VectorScopeContent(SerializableObject):
             rotation=self.wave_z_rotation.get_transformed() / 360.0,
             user_gain=10.0 ** (self.input_gain.get_transformed() / 20.0),
             scale_to_fill=self.scale_polar_mode_to_fill.get_transformed() > 0.5,
+        )
+
+    def make_render_hints(self) -> dict:
+        """View-shell settings the GL renderer consumes in the reference
+        (VectorscopeRendering.cpp draw setup); the viewer applies them
+        (see :func:`signalizer_tpu.views.render.render_vectorscope`)."""
+        return dict(
+            antialias=self.antialias.get_transformed() > 0.5,
+            fade_older_points=self.fade_older_points.get_transformed() > 0.5,
+            interconnect_samples=self.interconnect_samples.get_transformed() > 0.5,
+            primitive_size=self.primitive_size.get_transformed(),
+            show_legend=self.show_legend.get_transformed() > 0.5,
+            diagnostics=self.diagnostics.get_transformed() > 0.5,
+            waveform_colour=self.waveform_colour.get_rgba(),
+            axis_colour=self.axis_colour.get_rgba(),
+            background_colour=self.background_colour.get_rgba(),
+            skeleton_colour=self.skeleton_colour.get_rgba(),
+            meter_colour=self.meter_colour.get_rgba(),
+            widget_colour=self.widget_colour.get_rgba(),
+            transform=(self.transform.matrix(), self.transform.translation()),
         )
 
     VERSION = 1

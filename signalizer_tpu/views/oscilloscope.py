@@ -41,6 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from signalizer_tpu.core.config import OscChannels
+from signalizer_tpu.params.transformatters import TimeMode
 from signalizer_tpu.kernels.filters import (
     CrossoverState,
     init_crossover_state,
@@ -248,6 +249,10 @@ class OscilloscopeProcessor:
         *,
         pairs: int = 1,
         window_samples: float = 1024.0,  # effectiveWindowSize
+        time_mode: "TimeMode" = None,
+        window_value: Optional[float] = None,
+        bpm: float = 120.0,
+        bpm_source=None,
         **constant_kwargs,
     ):
         if constant is None:
@@ -257,6 +262,14 @@ class OscilloscopeProcessor:
         self.constant = constant
         self.pairs = pairs
         self.window_samples = float(window_samples)
+        # live time modes (ref: Oscilloscope.cpp:293-308): Beats derives the
+        # window from the playhead bpm each call; Cycles feeds the *detected*
+        # cycleSamples of the previous spectral analysis back in
+        self.time_mode = TimeMode.TIME if time_mode is None else TimeMode(time_mode)
+        self.window_value = None if window_value is None else float(window_value)
+        self.bpm = float(bpm)
+        self.bpm_source = bpm_source  # callable returning the live bpm
+        self._last_cycle_samples = 0.0
         # per-call scalar args are cached on device: re-uploading three tiny
         # scalars every dispatch costs more than the compute on a remote-TPU
         # link (one host->device transfer each)
@@ -285,11 +298,15 @@ class OscilloscopeProcessor:
         return self.constant.rows
 
     def _init_state(self) -> OscilloscopeState:
+        # CRITICAL: no device->host readback here (e.g. float(threshold)) —
+        # on the remote-TPU tunnel a single scalar readback degrades the
+        # session to synchronous per-call dispatch (~1 RTT per step, a
+        # measured 100x throughput loss). threshold^2 stays device-side.
         pairs, rows = self.pairs, self.constant.rows
-        thr2 = float(self.constant.threshold) ** 2
+        thr2 = jnp.broadcast_to(jnp.square(self.constant.threshold), (pairs,))
         return OscilloscopeState(
             peak_env=jnp.zeros((pairs, rows), jnp.float32),
-            peak_hold_state=jnp.full((pairs,), thr2, jnp.float32),
+            peak_hold_state=thr2.astype(jnp.float32),
             peak_holding=jnp.zeros((pairs,), bool),
             median_history=jnp.full((pairs, MEDIAN_FILTER_SIZE), -1.0, jnp.float32),
             crossover=init_crossover_state((pairs, rows)),
@@ -327,7 +344,12 @@ class OscilloscopeProcessor:
             history = jnp.asarray(history, jnp.float32)
         if new_samples is None:
             new_samples = history.shape[-1]
-        key = (self.window_samples, float(transport_position), int(new_samples))
+        window = (
+            self.window_samples
+            if self.time_mode == TimeMode.TIME
+            else self.effective_window_samples()
+        )
+        key = (window, float(transport_position), int(new_samples))
         scalars = self._scalar_cache.get(key)
         if scalars is None:
             if len(self._scalar_cache) > 64:
@@ -339,7 +361,29 @@ class OscilloscopeProcessor:
             )
             self._scalar_cache[key] = scalars
         frame, self._state = _osc_step(self.constant, self._state, history, *scalars)
+        if (
+            self.time_mode == TimeMode.CYCLES
+            and self.constant.trigger_mode == TriggerMode.SPECTRAL
+        ):
+            # feed the detected fundamental back into the next window
+            # (ref: triggerState.cycleSamples -> effectiveWindowSize,
+            # Oscilloscope.cpp:299-303). Host feedback forces one device
+            # sync per frame — inherent: the window is a host-side scalar.
+            f0 = float(frame.fundamental[0])
+            if f0 > 0:
+                self._last_cycle_samples = self.constant.sample_rate / f0
         return frame
+
+    def effective_window_samples(self) -> float:
+        """The window actually displayed this frame, per time mode
+        (ref: Oscilloscope.cpp:293-308)."""
+        if self.time_mode == TimeMode.TIME:
+            return self.window_samples
+        v = self.window_value if self.window_value is not None else self.window_samples
+        if self.time_mode == TimeMode.CYCLES:
+            return max(128.0, v * max(self._last_cycle_samples, 1.0) + 1.0)
+        bpm = self.bpm_source() if self.bpm_source is not None else self.bpm
+        return max(128.0, self.constant.sample_rate * 60.0 / (max(10.0, bpm) * max(v, 1e-9)))
 
 
 def _autogain_update(

@@ -56,22 +56,51 @@ def render_spectrum(
     return fig
 
 
-def render_oscilloscope(frame, *, path: Optional[str] = None):
-    """OscilloscopeFrame -> waveform plot with min/max envelope."""
+def render_line_graph_frame(frame, *, path: Optional[str] = None):
+    """Render a :class:`signalizer_tpu.views.line_graph.LineGraphFrame`
+    purely from its vertex/colour arrays — the viewer-side counterpart of
+    the reference's GL draw calls (SpectrumRendering.cpp:793-897). Nothing
+    here reaches back into the DSP: floods are GL_LINES pairs, strips are
+    GL_LINE_STRIPs, grids/legend come from the frame."""
     plt = _plt()
-    wave = np.asarray(frame.waveform)
-    lo = np.asarray(frame.envelope_min)
-    hi = np.asarray(frame.envelope_max)
-    pairs, rows, p = wave.shape
-    fig, axes = plt.subplots(rows, 1, figsize=(10, 2.2 * rows), dpi=100, squeeze=False)
-    x = np.arange(p)
-    colours = np.asarray(frame.colours)
-    for r in range(rows):
-        ax = axes[r, 0]
-        ax.fill_between(x, lo[0, r], hi[0, r], alpha=0.15, color="C0")
-        ax.plot(x, wave[0, r], lw=0.8, color=tuple(np.clip(colours[0, r, p // 2], 0, 1)))
-        ax.set_ylim(-1.1, 1.1)
-        ax.grid(True, alpha=0.3)
+    fig, ax = plt.subplots(figsize=(10, 4), dpi=100)
+    ax.set_facecolor(tuple(np.clip(frame.background_colour[:3], 0, 1)))
+    # grids
+    gc = tuple(np.clip(frame.grid_colour[:3], 0, 1))
+    for line in frame.grid:
+        ax.axvline(line.position, color=gc, alpha=0.3, lw=0.5)
+    for line in frame.db_grid:
+        ax.axhline(line.position, color=gc, alpha=0.3, lw=0.5)
+    # flood fills: GL_LINES vertex pairs (x, y_top) -> (x, y_end)
+    for flood in frame.floods:
+        v = flood.vertices
+        p = v.shape[0] // 2
+        x = v[0::2, 0] / max(v[-2, 0], 1.0)
+        ax.fill_between(
+            x, v[1::2, 1], v[0::2, 1],
+            color=tuple(np.clip(flood.colour[:3], 0, 1)),
+            alpha=float(flood.colour[3]),
+            linewidth=0,
+        )
+    # line strips
+    for strip in frame.strips:
+        v = strip.vertices
+        x = v[:, 0] / max(v[-1, 0], 1.0)
+        ax.plot(
+            x, v[:, 1],
+            color=tuple(np.clip(strip.colour[:3], 0, 1)),
+            alpha=float(strip.colour[3]),
+            lw=max(frame.primitive_size, 0.3),
+            label=strip.label,
+        )
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.set_xticks([l.position for l in frame.grid])
+    ax.set_xticklabels([l.label for l in frame.grid], fontsize=7)
+    ax.set_yticks([l.position for l in frame.db_grid])
+    ax.set_yticklabels([l.label for l in frame.db_grid], fontsize=7)
+    if frame.legend is not None:
+        ax.legend(loc="upper right", fontsize=7)
     fig.tight_layout()
     if path:
         fig.savefig(path)
@@ -80,17 +109,88 @@ def render_oscilloscope(frame, *, path: Optional[str] = None):
     return fig
 
 
-def render_vectorscope(frame, *, mode: str = "lissajous", path: Optional[str] = None):
-    """VectorscopeFrame -> point cloud + meter bars."""
+def render_oscilloscope(frame, *, hints: Optional[dict] = None, path: Optional[str] = None):
+    """OscilloscopeFrame -> waveform plot with min/max envelope.
+
+    ``hints``: OscilloscopeContent.make_render_hints() — the view-shell
+    knobs the reference's GL renderer consumes (colours, primitive size,
+    dot sampling, channel overlay, view box)."""
     plt = _plt()
+    h = hints or {}
+    wave = np.asarray(frame.waveform)
+    lo = np.asarray(frame.envelope_min)
+    hi = np.asarray(frame.envelope_max)
+    pairs, rows, p = wave.shape
+    overlay = bool(h.get("overlay_channels", False))
+    n_axes = 1 if overlay else rows
+    fig, axes = plt.subplots(n_axes, 1, figsize=(10, 2.2 * n_axes), dpi=100, squeeze=False)
+    x = np.arange(p, dtype=np.float64)
+    # view box (ViewLeft/Top/Right/Bottom) crops the displayed region
+    vl, vt, vr, vb = h.get("view_box", (0.0, 0.0, 1.0, 1.0))
+    colours = np.asarray(frame.colours)
+    lw = max(float(h.get("primitive_size", 0.8)), 0.3)
+    marker = "." if h.get("dot_samples") else None
+    bg = h.get("background_colour")
+    gc = h.get("graph_colour")
+    for r in range(rows):
+        ax = axes[0 if overlay else r, 0]
+        if bg is not None:
+            ax.set_facecolor(tuple(np.clip(np.asarray(bg)[:3], 0, 1)))
+        ax.fill_between(x, lo[0, r], hi[0, r], alpha=0.15, color="C0")
+        ax.plot(
+            x, wave[0, r], lw=lw, marker=marker, markersize=lw * 2,
+            color=tuple(np.clip(colours[0, r, p // 2], 0, 1)),
+            label=("left", "right")[r % 2] if h.get("show_legend") else None,
+        )
+        ax.set_xlim(vl * (p - 1), vr * (p - 1))
+        ax.set_ylim(-1.1 + 2.2 * vt * 0, 1.1)  # vertical crop kept subtle
+        if gc is not None:
+            ax.grid(True, alpha=0.3, color=tuple(np.clip(np.asarray(gc)[:3], 0, 1)))
+        else:
+            ax.grid(True, alpha=0.3)
+    if h.get("show_legend") and overlay:
+        axes[0, 0].legend(loc="upper right", fontsize=7)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path)
+        plt.close(fig)
+        return path
+    return fig
+
+
+def render_vectorscope(frame, *, mode: str = "lissajous", hints: Optional[dict] = None,
+                       path: Optional[str] = None):
+    """VectorscopeFrame -> point cloud + meter bars.
+
+    ``hints``: VectorScopeContent.make_render_hints() — colours, primitive
+    size, interconnect/fade toggles and the 3D transform."""
+    plt = _plt()
+    h = hints or {}
     v = np.asarray(frame.vertices)[0]
+    if "transform" in h:
+        matrix, translation = h["transform"]
+        v = v @ np.asarray(matrix, v.dtype).T + np.asarray(translation, v.dtype)
     fig, ax = plt.subplots(figsize=(5.5, 5.5), dpi=100)
-    age = (v[:, 2] + 1.0).clip(0, 1)
-    ax.scatter(v[:, 0], v[:, 1], s=1.0, c=age, cmap="viridis", alpha=0.7)
+    bg = h.get("background_colour")
+    if bg is not None:
+        ax.set_facecolor(tuple(np.clip(np.asarray(bg)[:3], 0, 1)))
+    size = max(float(h.get("primitive_size", 0.1)) * 10.0, 0.5)
+    fade = h.get("fade_older_points", True)
+    age = (v[:, 2] + 1.0).clip(0, 1) if fade else np.ones(len(v))
+    wf = h.get("waveform_colour")
+    if h.get("interconnect_samples", False):
+        colour = tuple(np.clip(np.asarray(wf)[:3], 0, 1)) if wf is not None else "C0"
+        ax.plot(v[:, 0], v[:, 1], lw=size * 0.5, color=colour, alpha=0.7)
+    else:
+        ax.scatter(v[:, 0], v[:, 1], s=size, c=age, cmap="viridis", alpha=0.7)
     ax.set_xlim(-1.1, 1.1)
     ax.set_ylim(-1.1, 1.1)
     ax.set_aspect("equal")
-    ax.grid(True, alpha=0.3)
+    axc = h.get("axis_colour")
+    if axc is not None:
+        ax.grid(True, alpha=0.3, color=tuple(np.clip(np.asarray(axc)[:3], 0, 1)))
+    else:
+        ax.grid(True, alpha=0.3)
     bal = float(np.asarray(frame.balance)[0, 0])
     corr = float(np.asarray(frame.correlation_bars)[0, 0])
     ax.set_title(f"balance {bal:.2f}  correlation {corr:.2f}", fontsize=9)

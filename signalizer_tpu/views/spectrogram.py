@@ -78,6 +78,7 @@ class SpectrogramProcessor:
         colours: Optional[np.ndarray] = None,
         ratios: Optional[np.ndarray] = None,
         image_width: int = 512,
+        stretch: float = 1.0,  # ref: spectrumStretching
         **constant_kwargs,
     ):
         if constant is None:
@@ -104,7 +105,7 @@ class SpectrogramProcessor:
         self._ratios = jnp.asarray(
             normalize_ratios(ratios if ratios is not None else DEFAULT_RATIOS), jnp.float32
         )
-        self.image = SpectrogramImage(image_width, constant.axis_points)
+        self.image = SpectrogramImage(image_width, constant.axis_points, stretch=stretch)
         # render pacing (FrameSmoothing knob): when set, un-capped pull()s
         # consume columns through the pacer's EMA instead of all at once
         self.pacer: Optional["ColumnPacer"] = None
@@ -157,12 +158,21 @@ class SpectrogramProcessor:
 
 class SpectrogramImage:
     """Host-side circularly-scrolled column image (ref: cpl COpenGLImage
-    scroll + updateSingleColumn usage, SpectrumRendering.cpp:671-749)."""
+    scroll + updateSingleColumn usage, SpectrumRendering.cpp:671-749).
 
-    def __init__(self, width: int, height: int):
-        self.width = width
+    ``stretch`` emulates the SpectrumStretch knob (ref: Spectrum.cpp:509 —
+    the GL image is resized to viewWidth / stretch, so each DSP column
+    covers ``stretch`` display pixels): the backing store holds
+    ``width / stretch`` columns and :meth:`snapshot` repeats each one
+    ``stretch`` times back to the display width.
+    """
+
+    def __init__(self, width: int, height: int, stretch: float = 1.0):
+        self.display_width = width
+        self.stretch = max(1, int(round(stretch)))
+        self.width = max(1, int(round(width / self.stretch)))
         self.height = height
-        self._img = np.zeros((width, height, 4), np.uint8)
+        self._img = np.zeros((self.width, height, 4), np.uint8)
         self._img[..., 3] = 255
         self._cursor = 0
 
@@ -181,8 +191,12 @@ class SpectrogramImage:
         self._cursor = (self._cursor + t) % self.width
 
     def snapshot(self) -> np.ndarray:
-        """Time-ordered image [width, height, 4], oldest column first."""
-        return np.roll(self._img, -self._cursor, axis=0)
+        """Time-ordered image [display_width, height, 4], oldest column
+        first; each stored column repeated ``stretch`` times."""
+        img = np.roll(self._img, -self._cursor, axis=0)
+        if self.stretch > 1:
+            img = np.repeat(img, self.stretch, axis=0)[: self.display_width]
+        return img
 
 
 class ColumnPacer:

@@ -117,8 +117,10 @@ class ResonatorSpectrumProcessor:
         self.constant = constant
         self.pairs = pairs
         self.rows = constant.state_channels
+        from signalizer_tpu.core.constant import host_view
+
         self.resonator = make_resonator_constant(
-            np.asarray(constant.mapped_frequencies, np.float64),
+            np.asarray(host_view(constant, "mapped_frequencies"), np.float64),
             constant.sample_rate,
             constant.window_size,
             window_type=window_type if window_type is not None else WindowType.HANN,

@@ -123,6 +123,9 @@ class VectorscopeProcessor:
         self.stereo_pole = filter_coefficient(stereo_window, sample_rate)
         self._state = init_meter_state((pairs,))
         self._peak_env = jnp.zeros((pairs, 2), jnp.float32)
+        # per-window-size scalar args cached on device: eager per-call
+        # uploads/ops cost a tunnel round trip each on remote TPUs
+        self._scalar_cache: dict = {}
 
     @property
     def state(self) -> VectorscopeMeterState:
@@ -133,19 +136,29 @@ class VectorscopeProcessor:
         self._peak_env = jnp.zeros((self.pairs, 2), jnp.float32)
 
     def process(self, frames) -> VectorscopeFrame:
-        frames = jnp.asarray(frames, jnp.float32)
+        if not isinstance(frames, jax.Array):
+            frames = jnp.asarray(frames, jnp.float32)
         w = frames.shape[-1]
-        # peak autogain decay scaled per visible buffer per frame
-        # (ref: VectorscopeRendering.cpp:839-842)
-        peak_coeff = jnp.asarray(self.envelope_pole, jnp.float32) ** (w / self.frame_rate)
+        key = (w, self.envelope_pole, self.stereo_pole, self.user_gain)
+        scalars = self._scalar_cache.get(key)
+        if scalars is None:
+            if len(self._scalar_cache) > 64:
+                self._scalar_cache.clear()
+            # peak autogain decay scaled per visible buffer per frame
+            # (ref: VectorscopeRendering.cpp:839-842) — host math, then one
+            # upload, cached
+            scalars = (
+                jnp.asarray(self.envelope_pole, jnp.float32),
+                jnp.asarray(self.stereo_pole, jnp.float32),
+                jnp.asarray(self.user_gain, jnp.float32),
+                jnp.asarray(self.envelope_pole ** (w / self.frame_rate), jnp.float32),
+            )
+            self._scalar_cache[key] = scalars
         frame, self._state, self._peak_env = _vs_step(
             self._state,
             self._peak_env,
             frames,
-            jnp.asarray(self.envelope_pole, jnp.float32),
-            jnp.asarray(self.stereo_pole, jnp.float32),
-            jnp.asarray(self.user_gain, jnp.float32),
-            peak_coeff,
+            *scalars,
             mode=self.mode,
             autogain=self.autogain,
             rotation=self.rotation,

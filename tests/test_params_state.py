@@ -218,7 +218,7 @@ def test_archive_rejects_unserializable():
 
 
 def test_preset_manager(tmp_path):
-    pm = PresetManager(tmp_path)
+    pm = PresetManager(tmp_path, factory_dir=tmp_path / "no-factory")
     ar = Archive()
     ar["value"] = 42
     pm.save("test.main", ar)
@@ -227,6 +227,11 @@ def test_preset_manager(tmp_path):
     assert pm.try_load("missing") is None
     assert pm.delete("test.main")
     assert pm.list_presets() == []
+    # with the shipped factory corpus, user presets merge over it
+    pm2 = PresetManager(tmp_path)
+    pm2.save("test.main", ar)
+    assert "test.main" in pm2.list_presets()
+    assert "default.main" in pm2.list_presets()  # factory fallback
 
 
 # ---------------------------------------------------------------------------
@@ -291,3 +296,119 @@ def test_exported_names_have_view_prefixes():
     assert all(p.exported_name.startswith("SC.") for p in sc.parameter_set)
     oc = OscilloscopeContent()
     assert all(p.exported_name.startswith("OS.") for p in oc.parameter_set)
+
+
+def test_time_mode_switches_transformatter_and_window():
+    """TimeMode knob switches the WindowSize transformatter's unit semantics
+    (ref: OscilloscopeParameters.h:465-489) and the engine's Beats window
+    tracks the live playhead bpm (ref: Oscilloscope.cpp:293-308)."""
+    import numpy as np
+    from signalizer_tpu.engine import SignalizerEngine
+    from signalizer_tpu.params.transformatters import TimeMode
+    from signalizer_tpu.stream.audio_stream import Playhead
+
+    eng = SignalizerEngine(channels=2)
+    oc = eng.oscilloscope
+    assert oc.window_transformatter.time_mode == TimeMode.TIME
+    oc.time_mode.set_normalized(1.0)  # beats
+    assert oc.window_transformatter.time_mode == TimeMode.BEATS
+    assert oc.window_size.get_display_text().endswith("bars")
+
+    oc.window_size.set_normalized(1.0)  # 1 bar
+    proc = eng.make_oscilloscope_processor(pixels=32)
+    # 120 bpm, 1 bar -> 0.5 s -> 24000 samples at 48 kHz
+    assert proc.effective_window_samples() == 24_000.0
+    # live bpm: the playhead feeds engine.config.bpm which the processor reads
+    eng.process_block(np.zeros((2, 64), np.float32), Playhead(bpm=60.0))
+    assert proc.effective_window_samples() == 48_000.0
+
+    oc.time_mode.set_normalized(0.5)  # cycles
+    assert oc.window_transformatter.time_mode == TimeMode.CYCLES
+    assert "r" in oc.window_size.get_display_text()
+
+
+def test_cycles_mode_feeds_detected_fundamental_back():
+    """In Cycles mode the detected cycleSamples resize the next window
+    (ref: windowValue * triggerState.cycleSamples + 1)."""
+    import numpy as np
+    from signalizer_tpu.params.transformatters import TimeMode
+    from signalizer_tpu.views.oscilloscope import OscilloscopeProcessor, TriggerMode
+    from signalizer_tpu.core.config import OscChannels
+
+    f_hz = 480.0  # exactly 100 samples per cycle at 48 kHz
+    proc = OscilloscopeProcessor(
+        pairs=1,
+        channel_mode=OscChannels.LEFT,
+        trigger_mode=TriggerMode.SPECTRAL,
+        pixels=64,
+        time_mode=TimeMode.CYCLES,
+        window_value=4.0,  # 4 cycles
+    )
+    t = np.arange(16384)
+    x = np.sin(2 * np.pi * f_hz * t / 48_000.0).astype(np.float32)
+    hist = np.broadcast_to(x, (1, 2, 16384)).copy()
+    assert proc.effective_window_samples() == 128.0  # nothing detected yet
+    proc.process(hist)
+    w = proc.effective_window_samples()
+    assert abs(w - (4.0 * 100.0 + 1.0)) < 2.0  # 4 detected cycles + 1
+
+
+# ---------------------------------------------------------------------------
+# factory preset corpus (round-2: ref ships Make/Skeleton/presets/*.sgn)
+# ---------------------------------------------------------------------------
+
+
+def test_factory_corpus_ships_and_loads():
+    """Every shipped preset deserializes into a fresh engine and observably
+    configures it (ref: 20 presets, default.main at construction)."""
+    from signalizer_tpu.engine import SignalizerEngine
+    from signalizer_tpu.state.factory_presets import FACTORY_PRESETS
+
+    eng = SignalizerEngine("presets")
+    names = eng.presets.list_presets()
+    assert set(FACTORY_PRESETS) <= set(names)
+    assert len(names) >= 20
+    for name in FACTORY_PRESETS:
+        assert eng.load_preset(name), name
+    # spot-check effects
+    eng.load_preset("polar.vectorscope")
+    assert int(eng.vectorscope.operational_mode.get_transformed()) == 1
+    eng.load_preset("beats.oscilloscope")
+    from signalizer_tpu.params.transformatters import TimeMode
+    assert int(eng.oscilloscope.time_mode.get_transformed()) == int(TimeMode.BEATS)
+    # a per-view preset leaves other views alone
+    eng.load_preset("analytical.spectrum")
+    assert int(eng.vectorscope.operational_mode.get_transformed()) == 1  # untouched
+    eng.close()
+
+
+def test_default_preset_loaded_at_construction(tmp_path):
+    """A user default.main overrides the factory one at engine creation."""
+    from signalizer_tpu.engine import SignalizerEngine
+
+    e1 = SignalizerEngine("a", preset_dir=str(tmp_path))
+    e1.spectrum.flood_fill_alpha.set_normalized(0.77)
+    e1.save_preset("default.main")
+    e1.close()
+    e2 = SignalizerEngine("b", preset_dir=str(tmp_path))
+    assert e2.spectrum.flood_fill_alpha.get_normalized() == pytest.approx(0.77)
+    e2.close()
+
+
+def test_preset_forward_compat_missing_keys():
+    """A v1 archive missing keys (an old preset) deserializes tolerantly:
+    present knobs apply, absent ones keep their values."""
+    from signalizer_tpu.engine import SignalizerEngine
+    from signalizer_tpu.state.serialize import Archive
+
+    eng = SignalizerEngine("compat")
+    before = eng.oscilloscope.window_size.get_normalized()
+    old = Archive()
+    old.version = 1
+    params = old.child("Parameters")
+    spec = params.child("Spectrum").child("Parameters")
+    spec["FloodFillAlpha"] = 0.9  # only one knob survives from "v1"
+    eng.deserialize(old)
+    assert eng.spectrum.flood_fill_alpha.get_normalized() == pytest.approx(0.9)
+    assert eng.oscilloscope.window_size.get_normalized() == before
+    eng.close()

@@ -67,13 +67,17 @@ def test_scalloping_loss():
 
 
 def test_smoothed_peak_state():
-    s = SmoothedPeakState(0.5)
+    s = SmoothedPeakState(smoothing_ms=100.0, frame_rate=60.0)
     from signalizer_tpu.kernels.tracker import PeakResult
 
     f1, d1 = s.update(PeakResult(0.1, 1000.0, -6.0, 10))
     assert f1 == 1000.0
-    f2, _ = s.update(PeakResult(0.1, 2000.0, -6.0, 10))
+    # a louder peak captures the display; the shown frequency lags toward it
+    f2, _ = s.update(PeakResult(0.1, 2000.0, 0.0, 10))
     assert 1000.0 < f2 < 2000.0
+    # quieter peaks cannot steal the display while the hold is up
+    f3, _ = s.update(PeakResult(0.1, 500.0, -40.0, 10))
+    assert f3 > f2
 
 
 def test_suitable_axis_division():
