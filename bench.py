@@ -139,30 +139,38 @@ def main(only: str = None) -> None:
         out["p50_net_ms"] = round(out["p50_latency_ms"] - out["rtt_floor_ms"], 4)
 
         # on-device step latency: K state-chained single-frame steps inside
-        # ONE dispatch (lax.scan) — pure device time per frame, no host hop
-        K = 256
+        # ONE dispatch (lax.scan). Two chain lengths, slope = per-step
+        # device time — the additive network RTT cancels exactly, so this
+        # is robust against tunnel drift (a subtraction against a floor
+        # measured at a different moment can even go negative).
+        def chained(k):
+            @jax.jit
+            def run(state, frame):
+                def body(st, _):
+                    r = analyze_frames(constant, st, frame)
+                    return r.state, r.results[:, 0, 0]
 
-        @jax.jit
-        def chained_steps(state, frame):
-            def body(st, _):
-                r = analyze_frames(constant, st, frame)
-                return r.state, r.results[:, 0, 0]
+                st, rows = jax.lax.scan(body, state, None, length=k)
+                return rows[-1], st
 
-            st, rows = jax.lax.scan(body, state, None, length=K)
-            return rows[-1], st
+            return run
 
+        k_lo, k_hi = 64, 1088
+        run_lo, run_hi = chained(k_lo), chained(k_hi)
         dev_frame = jnp.asarray(host_frame)
-        r0, _ = chained_steps(lat_state, dev_frame)
-        np.asarray(r0)
-        dev_times = []
-        for _ in range(20):
-            t0 = time.perf_counter()
-            r0, _ = chained_steps(lat_state, dev_frame)
+        medians = []
+        for run in (run_lo, run_hi):
+            r0, _ = run(lat_state, dev_frame)
             np.asarray(r0)
-            dev_times.append(time.perf_counter() - t0)
-        total = float(np.percentile(dev_times, 50))
+            times = []
+            for _ in range(15):
+                t0 = time.perf_counter()
+                r0, _ = run(lat_state, dev_frame)
+                np.asarray(r0)
+                times.append(time.perf_counter() - t0)
+            medians.append(float(np.percentile(times, 50)))
         out["on_device_step_ms"] = round(
-            (total - out["rtt_floor_ms"] * 1e-3) / K * 1e3, 4
+            max(medians[1] - medians[0], 0.0) / (k_hi - k_lo) * 1e3, 4
         )
 
     if want("cfg1"):
