@@ -171,4 +171,124 @@ int sz_mix_accumulate(const SzRing* r, int64_t end_clock, int64_t src_channel,
     return read_channel(r, end_clock, src_channel, dst_row, n, 1);
 }
 
+// ---------------------------------------------------------------------------
+// Blocking lock-free SPSC packet queue — the readerwriterqueue /
+// cpl::CLockFreeDataQueue analogue feeding the threaded AudioStream's
+// consumer thread (ref: SURVEY.md §2.9 LockFreeDataQueue / §2.8
+// readerwriterqueue). Single producer (the real-time audio thread), single
+// consumer (the delivery thread). Pushes are wait-free and allocation-free
+// (slots preallocated); pops block on a POSIX semaphore (the
+// BlockingReaderWriterQueue pattern: lock-free ring + counting semaphore).
+// ---------------------------------------------------------------------------
+
+}  // extern "C"
+
+#include <semaphore.h>
+#include <time.h>
+
+extern "C" {
+
+struct SzPacketQueue {
+    int64_t capacity;     // packet slots
+    int64_t channels;
+    int64_t max_samples;  // samples per slot
+    std::atomic<int64_t> head{0};   // producer-owned write counter
+    std::atomic<int64_t> tail{0};   // consumer-owned read counter
+    std::atomic<int64_t> dropped{0};
+    std::atomic<bool> alive{true};
+    sem_t items;                    // filled-slot count (blocking pop)
+    std::vector<float> audio;       // [capacity][channels][max_samples]
+    std::vector<int64_t> meta_i;    // [capacity][4]: n, position, steady, playing
+    std::vector<double> meta_d;     // [capacity]: bpm
+};
+
+SzPacketQueue* sz_pq_create(int64_t channels, int64_t max_samples, int64_t capacity) {
+    if (channels <= 0 || max_samples <= 0 || capacity <= 0) return nullptr;
+    auto* q = new SzPacketQueue();
+    q->capacity = capacity;
+    q->channels = channels;
+    q->max_samples = max_samples;
+    q->audio.assign(static_cast<size_t>(capacity * channels * max_samples), 0.0f);
+    q->meta_i.assign(static_cast<size_t>(capacity * 4), 0);
+    q->meta_d.assign(static_cast<size_t>(capacity), 0.0);
+    sem_init(&q->items, 0, 0);
+    return q;
+}
+
+void sz_pq_destroy(SzPacketQueue* q) {
+    if (!q) return;
+    sem_destroy(&q->items);
+    delete q;
+}
+
+int64_t sz_pq_size(const SzPacketQueue* q) {
+    return q->head.load(std::memory_order_acquire) -
+           q->tail.load(std::memory_order_acquire);
+}
+
+int64_t sz_pq_dropped(const SzPacketQueue* q) {
+    return q->dropped.load(std::memory_order_relaxed);
+}
+
+// Producer: copy one packet in. Returns 0, or -1 when full (packet dropped,
+// counted) — the real-time thread never blocks.
+int sz_pq_push(SzPacketQueue* q, const float* block, int64_t n,
+               int64_t position, int64_t steady, double bpm, int64_t playing) {
+    if (n <= 0 || n > q->max_samples) return -2;
+    const int64_t head = q->head.load(std::memory_order_relaxed);
+    const int64_t tail = q->tail.load(std::memory_order_acquire);
+    if (head - tail >= q->capacity) {
+        q->dropped.fetch_add(1, std::memory_order_relaxed);
+        return -1;
+    }
+    const int64_t slot = head % q->capacity;
+    float* dst = q->audio.data() + slot * q->channels * q->max_samples;
+    for (int64_t c = 0; c < q->channels; ++c) {
+        std::memcpy(dst + c * q->max_samples, block + c * n,
+                    static_cast<size_t>(n) * sizeof(float));
+    }
+    int64_t* mi = q->meta_i.data() + slot * 4;
+    mi[0] = n; mi[1] = position; mi[2] = steady; mi[3] = playing;
+    q->meta_d[static_cast<size_t>(slot)] = bpm;
+    q->head.store(head + 1, std::memory_order_release);
+    sem_post(&q->items);
+    return 0;
+}
+
+// Consumer: blocking pop with timeout. out must hold channels*max_samples
+// floats (written channel-major with stride max_samples); meta_out[4] gets
+// {n, position, steady, playing}; bpm_out the tempo.
+// Returns 0 ok, -1 timeout, -2 closed-and-drained.
+int sz_pq_pop(SzPacketQueue* q, float* out, int64_t* meta_out, double* bpm_out,
+              int64_t timeout_ms) {
+    struct timespec ts;
+    clock_gettime(CLOCK_REALTIME, &ts);
+    ts.tv_sec += timeout_ms / 1000;
+    ts.tv_nsec += (timeout_ms % 1000) * 1000000L;
+    if (ts.tv_nsec >= 1000000000L) { ts.tv_sec += 1; ts.tv_nsec -= 1000000000L; }
+    if (sem_timedwait(&q->items, &ts) != 0) {
+        return q->alive.load(std::memory_order_acquire) ? -1 : -2;
+    }
+    const int64_t tail = q->tail.load(std::memory_order_relaxed);
+    if (tail == q->head.load(std::memory_order_acquire)) {
+        // woken by close() with nothing queued
+        return -2;
+    }
+    const int64_t slot = tail % q->capacity;
+    const float* src = q->audio.data() + slot * q->channels * q->max_samples;
+    std::memcpy(out, src,
+                static_cast<size_t>(q->channels * q->max_samples) * sizeof(float));
+    const int64_t* mi = q->meta_i.data() + slot * 4;
+    meta_out[0] = mi[0]; meta_out[1] = mi[1]; meta_out[2] = mi[2]; meta_out[3] = mi[3];
+    *bpm_out = q->meta_d[static_cast<size_t>(slot)];
+    q->tail.store(tail + 1, std::memory_order_release);
+    return 0;
+}
+
+// Close: mark dead and wake the consumer so it can observe the drained state.
+void sz_pq_close(SzPacketQueue* q) {
+    q->alive.store(false, std::memory_order_release);
+    sem_post(&q->items);
+}
+
 }  // extern "C"

@@ -83,6 +83,21 @@ def _load():
         lib.sz_frame_gather.argtypes = [ctypes.c_void_p, c_i64, c_i64, ctypes.c_double, c_i64, c_fp]
         lib.sz_mix_accumulate.restype = ctypes.c_int
         lib.sz_mix_accumulate.argtypes = [ctypes.c_void_p, c_i64, c_i64, c_fp, c_i64]
+        c_dbl = ctypes.c_double
+        c_ip = ctypes.POINTER(c_i64)
+        c_dp = ctypes.POINTER(c_dbl)
+        lib.sz_pq_create.restype = ctypes.c_void_p
+        lib.sz_pq_create.argtypes = [c_i64, c_i64, c_i64]
+        lib.sz_pq_destroy.argtypes = [ctypes.c_void_p]
+        lib.sz_pq_size.restype = c_i64
+        lib.sz_pq_size.argtypes = [ctypes.c_void_p]
+        lib.sz_pq_dropped.restype = c_i64
+        lib.sz_pq_dropped.argtypes = [ctypes.c_void_p]
+        lib.sz_pq_push.restype = ctypes.c_int
+        lib.sz_pq_push.argtypes = [ctypes.c_void_p, c_fp, c_i64, c_i64, c_i64, c_dbl, c_i64]
+        lib.sz_pq_pop.restype = ctypes.c_int
+        lib.sz_pq_pop.argtypes = [ctypes.c_void_p, c_fp, c_ip, c_dp, c_i64]
+        lib.sz_pq_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -182,3 +197,76 @@ class NativeRingBuffer:
             self._handle, end_clock, src_channel, _fp(dst_row), len(dst_row)
         )
         return rc == 0
+
+
+class NativePacketQueue:
+    """Blocking lock-free SPSC packet queue (readerwriterqueue analogue,
+    ref: SURVEY.md §2.8/§2.9 — cpl CLockFreeDataQueue feeding the threaded
+    AudioStream's consumer). Pushes are wait-free and allocation-free;
+    pops block on a counting semaphore with a timeout."""
+
+    def __init__(self, channels: int, max_samples: int, capacity: int = 256):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native runtime unavailable: {_build_error}")
+        self._lib = lib
+        self.channels = int(channels)
+        self.max_samples = int(max_samples)
+        self.capacity = int(capacity)
+        self._handle = lib.sz_pq_create(channels, max_samples, capacity)
+        if not self._handle:
+            raise RuntimeError("sz_pq_create failed")
+        # consumer-side preallocated buffers (single consumer by contract)
+        self._out = np.empty((channels, max_samples), np.float32)
+        self._meta = np.empty(4, np.int64)
+        self._bpm = ctypes.c_double(0.0)
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.sz_pq_destroy(handle)
+            self._handle = None
+
+    def push(self, block: np.ndarray, position: int, steady: int, bpm: float,
+             playing: bool) -> bool:
+        """Wait-free producer push; returns False when the queue was full
+        (the packet is dropped and counted — the RT thread never blocks)."""
+        block = np.ascontiguousarray(block, np.float32)
+        rc = self._lib.sz_pq_push(
+            self._handle, _fp(block), block.shape[1],
+            int(position), int(steady), float(bpm), int(bool(playing)),
+        )
+        return rc == 0
+
+    def pop(self, timeout_ms: int = 100):
+        """Blocking pop: (block [channels, n], position, steady, bpm,
+        playing) or None on timeout; raises StopIteration once closed and
+        drained."""
+        rc = self._lib.sz_pq_pop(
+            self._handle, _fp(self._out),
+            self._meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.byref(self._bpm), int(timeout_ms),
+        )
+        if rc == -1:
+            return None
+        if rc == -2:
+            raise StopIteration
+        n = int(self._meta[0])
+        return (
+            self._out[:, :n].copy(),
+            int(self._meta[1]),
+            int(self._meta[2]),
+            float(self._bpm.value),
+            bool(self._meta[3]),
+        )
+
+    def close(self) -> None:
+        self._lib.sz_pq_close(self._handle)
+
+    @property
+    def size(self) -> int:
+        return int(self._lib.sz_pq_size(self._handle))
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.sz_pq_dropped(self._handle))

@@ -10,9 +10,14 @@ Re-design notes: the reference packetizes into a lock-free SPSC queue and
 wakes a dedicated consumer thread (the visualization DSP ran on CPU beside
 the audio thread). Here consumers run DSP on the TPU, so the host layer's
 job is only to (a) decouple the producer from consumers and (b) retain
-history. ``threaded=True`` reproduces the async-consumer-thread behavior
-(queue + worker); ``threaded=False`` delivers synchronously — useful for
-deterministic tests and offline analysis.
+history. ``threaded=True`` reproduces the async-consumer-thread behavior:
+blocks are packetized at ``STREAM_PACKET_SIZE`` (ref: AudioStream<float,
+256>) into the **native lock-free SPSC packet queue**
+(native/host_runtime.cpp sz_pq_* — the readerwriterqueue analogue; pushes
+are wait-free and allocation-free so the producer path is realtime-safe),
+falling back to a Python queue when no compiler is available.
+``threaded=False`` delivers synchronously — useful for deterministic
+tests and offline analysis.
 """
 
 from __future__ import annotations
@@ -199,10 +204,25 @@ class AudioStream:
         self.input = AudioStreamInput(self)
         self._threaded = threaded
         self._queue: Optional[queue.Queue] = None
+        self._native_queue = None
+        self._delivering = False
         self._worker: Optional[threading.Thread] = None
         self._alive = True
         if threaded:
-            self._queue = queue.Queue(maxsize=256)
+            try:
+                from signalizer_tpu.native_bindings import (
+                    NativePacketQueue,
+                    native_available,
+                )
+
+                if native_available():
+                    self._native_queue = NativePacketQueue(
+                        self.info.channels, STREAM_PACKET_SIZE, capacity=256
+                    )
+            except Exception:  # pragma: no cover — fall back to python
+                self._native_queue = None
+            if self._native_queue is None:
+                self._queue = queue.Queue(maxsize=256)
             self._worker = threading.Thread(target=self._run, daemon=True, name="audio-stream")
             self._worker.start()
 
@@ -230,16 +250,58 @@ class AudioStream:
         ph = playhead or self._playhead
         self._playhead = ph.advanced(block.shape[1])
         if self._threaded:
-            try:
-                self._queue.put_nowait((block, ph))
-                self._perf.in_flight_packets = self._queue.qsize()
-            except queue.Full:
-                self._perf.dropped_frames += 1
+            if self._native_queue is not None:
+                # packetize at STREAM_PACKET_SIZE (ref: AudioStream<_, 256>);
+                # each push is a wait-free native copy
+                pkt_ph = ph
+                for start in range(0, block.shape[1], STREAM_PACKET_SIZE):
+                    chunk = block[:, start : start + STREAM_PACKET_SIZE]
+                    ok = self._native_queue.push(
+                        chunk,
+                        pkt_ph.position_samples,
+                        pkt_ph.steady_clock,
+                        pkt_ph.bpm,
+                        pkt_ph.is_playing,
+                    )
+                    if not ok:
+                        self._perf.dropped_frames += 1
+                    pkt_ph = pkt_ph.advanced(chunk.shape[1])
+                self._perf.in_flight_packets = self._native_queue.size
+            else:
+                try:
+                    self._queue.put_nowait((block, ph))
+                    self._perf.in_flight_packets = self._queue.qsize()
+                except queue.Full:
+                    self._perf.dropped_frames += 1
         else:
             self.output._deliver(block, ph)
         self._perf.producer_usage = time.perf_counter() - t0
 
     def _run(self) -> None:
+        if self._native_queue is not None:
+            while True:
+                try:
+                    item = self._native_queue.pop(timeout_ms=100)
+                except StopIteration:
+                    return
+                if item is None:
+                    continue
+                chunk, position, steady, bpm, playing = item
+                ph = Playhead(
+                    position_samples=position,
+                    steady_clock=steady,
+                    bpm=bpm,
+                    is_playing=playing,
+                )
+                t0 = time.perf_counter()
+                self._delivering = True
+                try:
+                    self.output._deliver(chunk, ph)
+                finally:
+                    self._delivering = False
+                self._perf.consumer_usage = time.perf_counter() - t0
+                self._perf.in_flight_packets = self._native_queue.size
+            return
         while True:
             item = self._queue.get()
             if item is None:
@@ -252,8 +314,12 @@ class AudioStream:
 
     def close(self) -> None:
         self._alive = False
-        if self._threaded and self._queue is not None:
-            self._queue.put(None)
+        if self._threaded:
+            if self._native_queue is not None:
+                self.wait_for_drain(timeout=1.0)
+                self._native_queue.close()
+            elif self._queue is not None:
+                self._queue.put(None)
             self._worker.join(timeout=2)
         self.output._died()
 
@@ -263,7 +329,12 @@ class AudioStream:
             return True
         deadline = time.time() + timeout
         while time.time() < deadline:
-            if self._queue.empty():
+            empty = (
+                self._native_queue.size == 0
+                if self._native_queue is not None
+                else self._queue.empty()
+            )
+            if empty and not self._delivering:
                 return True
             time.sleep(0.001)
         return False

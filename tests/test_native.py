@@ -96,3 +96,86 @@ def test_native_latest_rejects_bad_out_buffer():
     out3 = ring.latest(16, out=good)
     assert out3 is good
     np.testing.assert_array_equal(out, out3)
+
+
+def test_native_packet_queue_spsc_semantics():
+    """Wait-free pushes, blocking pops, FIFO order, drop accounting, and
+    playhead metadata round-trip (readerwriterqueue analogue)."""
+    import threading
+
+    from signalizer_tpu.native_bindings import NativePacketQueue
+
+    q = NativePacketQueue(2, 64, capacity=8)
+    got = []
+    done = threading.Event()
+
+    def consumer():
+        while True:
+            try:
+                item = q.pop(timeout_ms=100)
+            except StopIteration:
+                done.set()
+                return
+            if item is not None:
+                got.append(item)
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    for i in range(20):
+        blk = np.full((2, 32), float(i), np.float32)
+        q.push(blk, position=i * 32, steady=i * 32 + 7, bpm=100.0 + i, playing=(i % 2 == 0))
+    # wait for drain, then close
+    deadline = 50
+    while q.size > 0 and deadline:
+        import time as _t
+
+        _t.sleep(0.01)
+        deadline -= 1
+    q.close()
+    t.join(timeout=2)
+    assert done.is_set()
+    assert len(got) + q.dropped == 20
+    # FIFO order and faithful metadata
+    positions = [g[1] for g in got]
+    assert positions == sorted(positions)
+    blk, pos, steady, bpm, playing = got[0]
+    i0 = pos // 32
+    assert steady == i0 * 32 + 7 and bpm == 100.0 + i0 and playing == (i0 % 2 == 0)
+    np.testing.assert_array_equal(blk, np.full((2, 32), float(i0), np.float32))
+
+
+def test_threaded_audio_stream_uses_native_queue_and_packetizes():
+    """The threaded AudioStream rides the native SPSC queue and splits
+    large blocks at STREAM_PACKET_SIZE (ref: AudioStream<float, 256>)."""
+    from signalizer_tpu.core.config import STREAM_PACKET_SIZE
+    from signalizer_tpu.stream.audio_stream import AudioStream, AudioStreamInfo, Playhead
+
+    inp, out = AudioStream.create(
+        threaded=True, info=AudioStreamInfo(channels=2, audio_history_capacity=8192)
+    )
+    stream = out._stream
+    assert stream._native_queue is not None  # native path active
+    blocks = []
+
+    class L:
+        def on_stream_audio(self, ctx, block):
+            blocks.append((block.copy(), ctx.playhead.steady_clock, ctx.playhead.bpm))
+
+        def on_stream_properties_changed(self, ctx, before): ...
+
+        def on_stream_died(self, ctx): ...
+
+    out.add_listener(L())
+    big = np.arange(2 * 1000, dtype=np.float32).reshape(2, 1000)
+    inp.process_incoming_audio(big, Playhead(steady_clock=500, bpm=133.0, is_playing=True))
+    assert stream.wait_for_drain()
+    # 1000 samples -> ceil(1000/256) = 4 packets with correct clocks
+    assert len(blocks) == 4
+    sizes = [b[0].shape[1] for b in blocks]
+    assert sizes == [STREAM_PACKET_SIZE] * 3 + [1000 - 3 * STREAM_PACKET_SIZE]
+    clocks = [b[1] for b in blocks]
+    assert clocks == [500, 756, 1012, 1268]
+    assert all(b[2] == 133.0 for b in blocks)
+    # reassembled audio matches the input
+    np.testing.assert_array_equal(np.concatenate([b[0] for b in blocks], axis=1), big)
+    stream.close()
