@@ -44,3 +44,7 @@ from signalizer_tpu.stream.host_graph import HostGraph, PortPair  # noqa: F401
 from signalizer_tpu.stream.mix_graph import MixGraph  # noqa: F401
 from signalizer_tpu.state.presets import PresetManager  # noqa: F401
 from signalizer_tpu.state.serialize import Archive  # noqa: F401
+from signalizer_tpu.session import AnalysisSession, SessionFrame  # noqa: F401
+from signalizer_tpu.views.line_graph import LineGraphFrame, LineGraphRenderFeed  # noqa: F401
+from signalizer_tpu.kernels.tracker import FrequencyTracker  # noqa: F401
+from signalizer_tpu.utils.exception_log import log_exception, protected_call  # noqa: F401

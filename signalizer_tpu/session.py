@@ -1,0 +1,199 @@
+"""AnalysisSession — the per-tick analysis loop over all views.
+
+Library equivalent of the reference's editor-driven render loop
+(ref: MainEditor's vsync/timer tick driving each view's onGraphicsRendering
+→ the views pull the presentation stream and recompute their display
+state; MainEditor.cpp tab/view ownership, CView::setApproximateRefreshRate).
+One session owns an engine's view processors, keeps them in sync with the
+parameter contents (the handleFlagUpdates analogue), and produces one
+render-ready :class:`SessionFrame` per ``tick()``.
+
+Typical embedding::
+
+    eng = SignalizerEngine("my-daw-track")
+    session = AnalysisSession(eng)
+    while running:
+        session.feed(next_audio_block, playhead)   # audio thread cadence
+        frame = session.tick()                     # UI cadence (e.g. 60 Hz)
+        draw(frame.line_graph, frame.oscilloscope, ...)
+
+Every view step is wrapped in :func:`protected_call` — a fault in one
+view logs and yields ``None`` for that field instead of killing the host
+(ref: Protected.h-wrapped render callbacks).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from signalizer_tpu.engine import SignalizerEngine
+from signalizer_tpu.stream.audio_stream import Playhead
+from signalizer_tpu.utils.exception_log import protected_call
+
+ALL_VIEWS = ("spectrum", "oscilloscope", "vectorscope", "spectrogram")
+
+
+class SessionFrame(NamedTuple):
+    """One render tick's outputs (fields None for inactive/failed views)."""
+
+    spectrum: Optional[np.ndarray]  # [K, rows, P] display values
+    line_graph: Optional[object]  # LineGraphFrame (vertex feed)
+    oscilloscope: Optional[object]  # OscilloscopeFrame
+    vectorscope: Optional[object]  # VectorscopeFrame
+    spectrogram_columns: Optional[np.ndarray]  # [T, P, 4] new RGBA8 columns
+    tracker: Optional[dict]  # cursor frequency readout (when enabled)
+    diagnostics: dict
+
+
+class AnalysisSession:
+    """Owns the per-view processors of one engine and ticks them."""
+
+    def __init__(
+        self,
+        engine: SignalizerEngine,
+        *,
+        views: Sequence[str] = ALL_VIEWS,
+        axis_points: int = 1024,
+        pixels: int = 1024,
+        frame_rate: float = 60.0,
+        build_line_graph: bool = True,
+        cursor_fraction: Optional[float] = None,
+    ):
+        self.engine = engine
+        self.views = tuple(views)
+        self.axis_points = axis_points
+        self.pixels = pixels
+        self.frame_rate = frame_rate
+        self.build_line_graph = build_line_graph
+        self.cursor_fraction = cursor_fraction
+        self._last_clock = 0
+        self._processors: dict = {}
+        self._feeds: dict = {}
+        self.reconfigure()
+
+    # --- flag updates (ref: handleFlagUpdates rebuilds) ---------------------
+    def reconfigure(self, only: Optional[str] = None) -> None:
+        """(Re)build processors from the current parameter contents. Call
+        after knob changes that alter shapes/modes (the engine's analogue
+        of the reference's deferred flag handling)."""
+        eng = self.engine
+        if "spectrum" in self.views and only in (None, "spectrum"):
+            proc = eng.make_spectrum_processor(
+                axis_points=self.axis_points, frames_per_second=self.frame_rate
+            )
+            self._processors["spectrum"] = proc
+            if self.build_line_graph and hasattr(proc, "constant"):
+                self._feeds["line_graph"] = eng.spectrum.make_render_feed(proc.constant)
+                self._feeds["tracker"] = (
+                    eng.spectrum.make_tracker(
+                        eng.config.sample_rate, frame_rate=self.frame_rate
+                    )
+                    if self.cursor_fraction is not None
+                    else None
+                )
+        if "oscilloscope" in self.views and only in (None, "oscilloscope"):
+            self._processors["oscilloscope"] = eng.make_oscilloscope_processor(
+                pixels=self.pixels
+            )
+        if "vectorscope" in self.views and only in (None, "vectorscope"):
+            self._processors["vectorscope"] = eng.make_vectorscope_processor()
+        if "spectrogram" in self.views and only in (None, "spectrogram"):
+            self._processors["spectrogram"] = eng.make_spectrogram_processor(
+                axis_points=min(self.axis_points, 512)
+            )
+
+    # --- audio cadence ------------------------------------------------------
+    def feed(self, block: np.ndarray, playhead: Optional[Playhead] = None) -> None:
+        """Real-time audio entry: engine ingest + spectrogram hopper."""
+        self.engine.process_block(block, playhead)
+        sg = self._processors.get("spectrogram")
+        if sg is not None:
+            history_block = np.asarray(block, np.float32)
+            if history_block.shape[0] < 2:  # mono surrogate like the engine
+                pad = np.zeros((2 - history_block.shape[0], history_block.shape[1]), np.float32)
+                history_block = np.concatenate([history_block, pad], axis=0)
+            sg.push(history_block[:2])
+
+    # --- UI cadence -----------------------------------------------------------
+    def tick(self) -> SessionFrame:
+        """One render tick: run every active view on the freshest history."""
+        eng = self.engine
+        clock = eng.presentation_output.sample_clock
+        new_samples = max(0, clock - self._last_clock)
+        self._last_clock = clock
+        eng.diagnostics.tick_frame()
+
+        spectrum = line_graph = osc = vs = cols = tracker = None
+
+        proc = self._processors.get("spectrum")
+        if proc is not None and clock > 0:
+            def run_spectrum():
+                w = proc.constant.window_size
+                frames = eng.get_presentation_history(w)[None, None]  # [1,1,2,W]
+                return np.asarray(proc.process(frames))[0, -1]  # [K, rows, P]
+
+            spectrum = protected_call(run_spectrum, context="spectrum")
+            feed = self._feeds.get("line_graph")
+            if spectrum is not None and feed is not None:
+                line_graph = protected_call(
+                    lambda: feed.build(spectrum[None]), context="line-graph"
+                )
+            trk = self._feeds.get("tracker")
+            if spectrum is not None and trk is not None:
+                def run_tracker():
+                    from signalizer_tpu.core.constant import host_view
+                    from signalizer_tpu.kernels.spectrum import (
+                        _half_spectrum,
+                        _pack_channels,
+                    )
+                    import jax.numpy as jnp
+
+                    w = proc.constant.window_size
+                    frames = eng.get_presentation_history(w)[None]
+                    rows = _pack_channels(proc.constant, jnp.asarray(frames))
+                    mags = np.asarray(jnp.abs(_half_spectrum(proc.constant, rows)))[0, 0]
+                    return trk.update(
+                        mags,
+                        self.cursor_fraction,
+                        inv_size=float(host_view(proc.constant, "inv_size")),
+                    )
+
+                tracker = protected_call(run_tracker, context="tracker")
+
+        oproc = self._processors.get("oscilloscope")
+        if oproc is not None and clock > 0:
+            osc = protected_call(
+                lambda: oproc.process(
+                    eng.get_presentation_history(16384)[None],
+                    transport_position=float(clock),
+                    new_samples=min(new_samples, 16384),
+                ),
+                context="oscilloscope",
+            )
+
+        vproc = self._processors.get("vectorscope")
+        if vproc is not None and clock > 0:
+            win = int(round(eng.vectorscope.window_size.get_transformed()))
+            vs = protected_call(
+                lambda: vproc.process(eng.get_presentation_history(max(win, 64))[None]),
+                context="vectorscope",
+            )
+
+        sg = self._processors.get("spectrogram")
+        if sg is not None:
+            cols = protected_call(lambda: sg.pull(), context="spectrogram")
+
+        return SessionFrame(
+            spectrum=spectrum,
+            line_graph=line_graph,
+            oscilloscope=osc,
+            vectorscope=vs,
+            spectrogram_columns=cols,
+            tracker=tracker,
+            diagnostics=eng.diagnostics.snapshot(),
+        )
+
+    def close(self) -> None:
+        self.engine.close()
