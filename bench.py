@@ -196,10 +196,12 @@ def main(only: str = None) -> None:
             r = analyze_frames(c1, state, frames)
             return r.results, r.state
 
-        f1 = jnp.asarray(rng.standard_normal((8, 256, 2, 1024)).astype(np.float32))
-        s1 = init_line_graph_state(c1, (8,))
+        # measured saturation: 8x256 -> 460k, 16x256 -> 755k, 32x256 -> 1.03M
+        p1, t1 = 32, 256
+        f1 = jnp.asarray(rng.standard_normal((p1, t1, 2, 1024)).astype(np.float32))
+        s1 = init_line_graph_state(c1, (p1,))
         dt = _timeit(lambda f: mono_batch(s1, f)[0], f1)
-        out["cfg1_mono1024_frames_per_sec"] = round(8 * 256 / dt, 1)
+        out["cfg1_mono1024_frames_per_sec"] = round(p1 * t1 / dt, 1)
 
     if want("cfg2"):
         from signalizer_tpu.kernels.vectorscope import (
@@ -218,10 +220,12 @@ def main(only: str = None) -> None:
             bars = meter_readout(new_state)
             return liss, pol, bars["balance"], new_state
 
-        vf = jnp.asarray(rng.standard_normal((64, 2, 4096)).astype(np.float32))
-        vstate = init_meter_state((64,))
+        # measured: 64 streams -> ~1.5-2M, 256 streams -> ~6M frames/s
+        b2 = 256
+        vf = jnp.asarray(rng.standard_normal((b2, 2, 4096)).astype(np.float32))
+        vstate = init_meter_state((b2,))
         dt = _timeit(lambda f: vs_step(vstate, f)[0], vf)
-        out["cfg2_vectorscope_frames_per_sec"] = round(64 / dt, 1)
+        out["cfg2_vectorscope_frames_per_sec"] = round(b2 / dt, 1)
 
     if want("cfg3"):
         from signalizer_tpu.views.oscilloscope import (

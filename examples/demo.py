@@ -58,6 +58,24 @@ def main(out_dir="demo_out"):
     sg.push(np.stack([left, right]))
     sg.pull()
     render_spectrogram(sg.image, path=out / "spectrogram.png")
+
+    # the session loop: all four views per tick, one API
+    from signalizer_tpu.session import AnalysisSession
+    from signalizer_tpu.views.render import render_line_graph_frame
+
+    session = AnalysisSession(
+        SignalizerEngine("session-demo"), axis_points=400, pixels=400,
+        cursor_fraction=440.0 / (fs / 2),
+    )
+    chunk = int(fs * 0.25)
+    for i in range(8):
+        session.feed(np.stack([left, right])[:, i * chunk : (i + 1) * chunk])
+        frame = session.tick()
+    if frame.line_graph is not None:
+        render_line_graph_frame(frame.line_graph, path=out / "session_line_graph.png")
+    if frame.tracker is not None:
+        print(f"  tracker: {frame.tracker['frequency']:.1f} Hz ({frame.tracker['note']})")
+    session.close()
     print(f"wrote 4 renders to {out}/")
     eng.close()
 

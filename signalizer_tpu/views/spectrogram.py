@@ -190,6 +190,20 @@ class SpectrogramImage:
             self._img[:rest] = cols[first:]
         self._cursor = (self._cursor + t) % self.width
 
+    def push_debug_checkerboard(self, columns: int = 8) -> None:
+        """Inject a checkerboard test pattern into the column upload path
+        (ref: SIGNALIZER_VISUALDEBUGTEST, SpectrumRendering.cpp:705-719 —
+        verifies column ordering/scroll/stretch visually)."""
+        t = np.arange(columns)[:, None]
+        f = np.arange(self.height)[None, :]
+        checker = (((t // 2) + (f // 8)) % 2).astype(np.uint8) * 255
+        cols = np.zeros((columns, self.height, 4), np.uint8)
+        cols[..., 0] = checker
+        cols[..., 1] = checker
+        cols[..., 2] = checker
+        cols[..., 3] = 255
+        self.push_columns(cols)
+
     def snapshot(self) -> np.ndarray:
         """Time-ordered image [display_width, height, 4], oldest column
         first; each stored column repeated ``stretch`` times."""

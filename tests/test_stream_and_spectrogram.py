@@ -341,3 +341,24 @@ def test_spectrogram_multi_pair_blending():
     peaks = np.argsort(last)[-8:]
     assert any(abs(int(p) - 16) <= 1 for p in peaks), "pair A tone missing"
     assert any(abs(int(p) - 48) <= 1 for p in peaks), "pair B tone missing"
+
+
+def test_spectrogram_debug_checkerboard_pattern():
+    """The SIGNALIZER_VISUALDEBUGTEST analogue: a checkerboard pushed
+    through the column upload path survives scroll + stretch intact."""
+    from signalizer_tpu.views.spectrogram import SpectrogramImage
+
+    img = SpectrogramImage(16, 16)
+    img.push_debug_checkerboard(columns=16)
+    snap = img.snapshot()
+    assert snap.shape == (16, 16, 4)
+    # alternating 2-column x 8-row blocks
+    assert snap[0, 0, 0] != snap[2, 0, 0]
+    assert snap[0, 0, 0] != snap[0, 8, 0]
+    assert snap[0, 0, 0] == snap[1, 7, 0]
+    # stretched image repeats columns
+    img2 = SpectrogramImage(16, 16, stretch=2)
+    img2.push_debug_checkerboard(columns=8)
+    s2 = img2.snapshot()
+    assert s2.shape == (16, 16, 4)
+    np.testing.assert_array_equal(s2[0], s2[1])  # each column doubled
