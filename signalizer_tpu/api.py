@@ -48,3 +48,4 @@ from signalizer_tpu.session import AnalysisSession, SessionFrame  # noqa: F401
 from signalizer_tpu.views.line_graph import LineGraphFrame, LineGraphRenderFeed  # noqa: F401
 from signalizer_tpu.kernels.tracker import FrequencyTracker  # noqa: F401
 from signalizer_tpu.utils.exception_log import log_exception, protected_call  # noqa: F401
+from signalizer_tpu.views.controllers import layout_for, Page, Section, Control  # noqa: F401

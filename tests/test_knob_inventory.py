@@ -195,3 +195,21 @@ def test_feed_and_tracker_mappings_are_real():
             assert hasattr(tracker, consumer.split(":")[1]) or hasattr(
                 tracker.smoother, consumer.split(":")[1]
             ), name
+
+
+def test_controller_layouts_reference_real_parameters():
+    """Every control slot in the editor-layout data model resolves to a
+    registered parameter/bundle of its Content (the Controllers' data
+    model; ref: *Controller.cpp page builders)."""
+    from signalizer_tpu.views.controllers import layout_for, layout_parameter_names
+
+    for content_cls in (SpectrumContent, OscilloscopeContent, VectorScopeContent):
+        content = content_cls()
+        registered = _bundle_names(content.parameter_set)
+        layout = layout_for(content)
+        names = layout_parameter_names(layout)
+        missing = [n for n in names if n not in registered]
+        assert not missing, f"{content_cls.__name__}: layout references unknown {missing}"
+        # pages mirror the reference's tab set
+        page_names = [p.name for p in layout]
+        assert "Settings" in page_names and "Rendering" in page_names and "Utility" in page_names
