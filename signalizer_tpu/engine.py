@@ -246,7 +246,16 @@ class SignalizerEngine(SerializableObject):
                     content.deserialize(child)
         engine = archive.find_child("Engine")
         if engine is not None:
-            self.config.history_capacity = int(engine.get("historyCapacity", self.config.history_capacity))
+            cap = int(engine.get("historyCapacity", self.config.history_capacity))
+            if cap != self.config.history_capacity:
+                # apply to the live stream, not just the config snapshot
+                # (ref: setAudioHistoryCapacity on restore,
+                # PluginProcessor.cpp:224-406) — listeners get the
+                # properties-changed callback and transformatters rescale
+                self.config.history_capacity = cap
+                self.realtime_input.initialize_info(
+                    lambda info: setattr(info, "audio_history_capacity", cap)
+                )
         hg = archive.find_child("host-graph")
         if hg is not None:
             self.host_graph.deserialize(hg)

@@ -236,6 +236,11 @@ def _make_archive(configure: Callable, view: Optional[str]) -> Archive:
         full = Archive()
         engine.serialize(full)
         if view is None:
+            # a factory default is parameters-only: shipping the authoring
+            # engine's stream capacity or host-graph identity would clobber
+            # every new engine's construction args / node identity
+            full.remove_child("Engine")
+            full.remove_child("host-graph")
             return full
         # per-view preset: keep only that view's parameter subtree
         slim = Archive.from_bytes(full.to_bytes())  # deep copy

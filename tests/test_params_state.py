@@ -412,3 +412,28 @@ def test_preset_forward_compat_missing_keys():
     assert eng.spectrum.flood_fill_alpha.get_normalized() == pytest.approx(0.9)
     assert eng.oscilloscope.window_size.get_normalized() == before
     eng.close()
+
+
+def test_history_capacity_restores_to_live_stream():
+    """Restoring a session applies the history capacity to the actual
+    stream ring (and fires property listeners), not just the config
+    snapshot; the factory default preset must not clobber constructor
+    args or host-graph identity."""
+    from signalizer_tpu.engine import SignalizerEngine
+    from signalizer_tpu.state.serialize import Archive
+
+    e1 = SignalizerEngine("cap-a", history_capacity=8192)
+    assert e1.config.history_capacity == 8192  # factory default didn't clobber
+    ar = Archive()
+    e1.serialize(ar)
+    e2 = SignalizerEngine("cap-b", history_capacity=1024)
+    e2.deserialize(ar)
+    assert e2.config.history_capacity == 8192
+    assert e2.realtime_output.info.audio_history_capacity == 8192
+    assert e2.realtime_output._stream._history.capacity == 8192
+    # transformatters rescaled through the property listener
+    assert e2.spectrum.audio_history_transformatter.capacity == 8192.0
+    e3 = SignalizerEngine("cap-c")
+    assert e1.host_graph.node_id != e3.host_graph.node_id
+    for e in (e1, e2, e3):
+        e.close()
