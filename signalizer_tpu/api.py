@@ -49,3 +49,4 @@ from signalizer_tpu.views.line_graph import LineGraphFrame, LineGraphRenderFeed 
 from signalizer_tpu.kernels.tracker import FrequencyTracker  # noqa: F401
 from signalizer_tpu.utils.exception_log import log_exception, protected_call  # noqa: F401
 from signalizer_tpu.views.controllers import layout_for, Page, Section, Control  # noqa: F401
+from signalizer_tpu.parallel.pipeline import PipelineOutput, ShardedAnalysisPipeline  # noqa: F401

@@ -239,3 +239,54 @@ def test_sharded_fused_pipeline_matches_single_device():
         np.asarray(vstate2.envelope), np.asarray(ref_v.envelope), atol=1e-5
     )
     assert float(peak) == pytest.approx(float(np.asarray(r.results).max()), rel=1e-6)
+
+
+def test_sharded_pipeline_end_to_end():
+    """ShardedAnalysisPipeline: host ingest -> shard -> fused step.
+    Per-pair sine frequencies land on their own spectral peaks, output
+    stays sharded over 8 devices, state carries across ticks."""
+    from signalizer_tpu.parallel.pipeline import ShardedAnalysisPipeline
+
+    fs = 48_000.0
+    constant = make_spectrum_constant(
+        axis_points=256,
+        window_size=1024,
+        sample_rate=fs,
+        configuration=SpectrumChannels.SEPARATE,
+        bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LINEAR,
+    )
+    pairs = 16
+    pipe = ShardedAnalysisPipeline(
+        constant, pairs=pairs, mesh=_mesh(), pixels=64, frames_per_tick=2
+    )
+    assert pipe.tick() is None  # nothing fed yet
+
+    # pair p gets a sine at (p+1) kHz on both channels
+    n = 1024 * 2  # two frames worth
+    t = np.arange(n) / fs
+    block = np.stack(
+        [np.sin(2 * np.pi * 1000.0 * (p // 2 + 1) * t) for p in range(pairs * 2)]
+    ).astype(np.float32)
+    pipe.push(block)
+    assert pipe.ready()
+    out = pipe.tick()
+    assert out is not None
+    assert len(out.results.sharding.device_set) == 8
+    assert out.waveform.shape == (pairs, 2, 64)
+    # spectral peaks per pair (linear axis 0..24 kHz over 256 px)
+    res = np.asarray(out.results)  # [pairs, T, K, rows, P]
+    for p in range(pairs):
+        peak_px = int(np.argmax(res[p, -1, 0, 0]))
+        expect_px = (p + 1) * 1000.0 / (fs / 2) * 255
+        assert abs(peak_px - expect_px) <= 2, (p, peak_px, expect_px)
+    assert float(out.global_peak) > 0
+    # stereo correlation of identical channels ~ 1 (skip the first-sample
+    # IIR warmup of each pair)
+    corr = np.asarray(out.correlation)
+    np.testing.assert_allclose(corr[..., 8:], 1.0, atol=1e-3)
+    # state carried: a second tick decays from the first (peak hold)
+    pipe.push(np.zeros_like(block))
+    out2 = pipe.tick()
+    assert out2 is not None and pipe.ticks == 2
+    assert np.asarray(out2.results)[0, -1, 0, 0].max() <= res[0, -1, 0, 0].max() + 1e-5
