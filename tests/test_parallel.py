@@ -290,3 +290,50 @@ def test_sharded_pipeline_end_to_end():
     out2 = pipe.tick()
     assert out2 is not None and pipe.ticks == 2
     assert np.asarray(out2.results)[0, -1, 0, 0].max() <= res[0, -1, 0, 0].max() + 1e-5
+
+
+def test_sharded_oscilloscope_spectral_custom_trigger():
+    """The heaviest oscilloscope path (spectral FFT search + Goertzel phase
+    lock + custom trigger) shards identically to the single-device run."""
+    from signalizer_tpu.views.oscilloscope import (
+        OscilloscopeProcessor,
+        TriggerMode,
+        make_oscilloscope_constant,
+    )
+
+    constant = make_oscilloscope_constant(
+        channel_mode=OscChannels.LEFT,
+        trigger_mode=TriggerMode.SPECTRAL,
+        pixels=128,
+        lookahead=1024,
+        custom_trigger=True,
+        custom_trigger_frequency=441.3,
+    )
+    h = 4096
+    phases = np.arange(PAIRS) * 0.37
+    hist_host = np.sin(
+        2 * np.pi * 441.3 * np.arange(h) / 48_000.0 + phases[:, None, None]
+    ).astype(np.float32) * np.ones((PAIRS, 2, h), np.float32)
+
+    ref = OscilloscopeProcessor(constant, pairs=PAIRS, window_samples=500.0)
+    want = ref.process(hist_host)
+
+    mesh = _mesh()
+    step = sharded_oscilloscope_step(constant, mesh)
+    sharded = OscilloscopeProcessor(constant, pairs=PAIRS, window_samples=500.0)
+    state = shard_batch(sharded._state, mesh)
+    hist = shard_batch(jnp.asarray(hist_host), mesh)
+    frame, _, _ = step(
+        state, hist,
+        jnp.asarray(500.0, jnp.float32), jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(float(h), jnp.float32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(frame.waveform), np.asarray(want.waveform), atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(frame.fundamental), 441.3, rtol=1e-6)
+    # phase lock: all pairs display (nearly) the same window despite
+    # different input phases
+    w = np.asarray(frame.waveform)[:, 0, 16:-16]
+    for p in range(1, PAIRS):
+        np.testing.assert_allclose(w[p], w[0], atol=0.06)
