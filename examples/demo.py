@@ -63,8 +63,10 @@ def main(out_dir="demo_out"):
     from signalizer_tpu.session import AnalysisSession
     from signalizer_tpu.views.render import render_line_graph_frame
 
+    session_engine = SignalizerEngine("session-demo")
+    session_engine.spectrum.frequency_tracker.set_normalized(1 / 3)  # transform
     session = AnalysisSession(
-        SignalizerEngine("session-demo"), axis_points=400, pixels=400,
+        session_engine, axis_points=400, pixels=400,
         cursor_fraction=440.0 / (fs / 2),
     )
     chunk = int(fs * 0.25)

@@ -184,10 +184,15 @@ class FrequencyTracker:
         smoothing_ms: float = 0.0,
         frame_rate: float = 60.0,
         window_kernel: Optional[np.ndarray] = None,
+        source: str = "transform",
     ):
         self.sample_rate = float(sample_rate)
         self.a4_reference = float(a4_reference)
         self.window_kernel = window_kernel
+        # what the tracker evaluates (ref: frequencyTrackingGraph,
+        # Spectrum.cpp:368): "transform" = raw FFT bins, "graphK" = the
+        # decayed display row of line graph K
+        self.source = source
         self.smoother = SmoothedPeakState(smoothing_ms, frame_rate)
 
     def update(
@@ -209,6 +214,7 @@ class FrequencyTracker:
             frequency=freq,
             dbs=dbs,
             note=frequency_to_semitone(freq, self.a4_reference),
+            source=self.source,
         )
         if self.window_kernel is not None:
             n_bins = len(magnitudes) - 1
@@ -217,3 +223,68 @@ class FrequencyTracker:
             )
             out["scalloping_dbs"] = 20.0 * math.log10(max(loss, 1e-12))
         return out
+
+    def update_display(
+        self,
+        row: np.ndarray,
+        mapped_frequencies: np.ndarray,
+        cursor_fraction: float,
+        *,
+        low_dbs: float = -96.0,
+        high_dbs: float = 0.0,
+    ) -> dict:
+        """One UI tick over a *display-space* line-graph row (FTracker =
+        Main/Aux graph): peak in pixel space, frequency from the
+        pixel->frequency map."""
+        peak = track_display_peak(
+            row, mapped_frequencies, cursor_fraction,
+            low_dbs=low_dbs, high_dbs=high_dbs,
+        )
+        if self.smoother.smoothing_ms > 0:
+            freq, dbs = self.smoother.update(peak)
+        else:
+            freq, dbs = peak.frequency, peak.dbs
+        return dict(
+            frequency=freq,
+            dbs=dbs,
+            note=frequency_to_semitone(freq, self.a4_reference),
+            source=self.source,
+        )
+
+
+def track_display_peak(
+    row: np.ndarray,
+    mapped_frequencies: np.ndarray,
+    cursor_fraction: float,
+    *,
+    low_dbs: float = -96.0,
+    high_dbs: float = 0.0,
+    search_tolerance: float = 0.03,
+) -> PeakResult:
+    """Peak search over a *display-space* line-graph row (the reference
+    tracks the selected graph's results, not the raw transform, when
+    FTracker = Main/Aux graph; ref: SpectrumRendering.cpp:185-240).
+
+    ``row``: [P] normalized display values; frequency comes from the
+    pixel->frequency map, dBs from denormalizing the display value.
+    """
+    row = np.asarray(row, np.float64)
+    p = len(row)
+    center = int(round(cursor_fraction * (p - 1)))
+    half = max(1, int(round(search_tolerance * p)))
+    lo = max(0, center - half)
+    hi = min(p, center + half + 1)
+    peak = lo + int(np.argmax(row[lo:hi]))
+    if peak == lo:
+        while peak > 0 and row[peak - 1] >= row[peak]:
+            peak -= 1
+    elif peak == hi - 1:
+        while peak < p - 1 and row[peak + 1] >= row[peak]:
+            peak += 1
+    f = np.asarray(mapped_frequencies, np.float64)
+    return PeakResult(
+        fraction=peak / (p - 1),
+        frequency=float(f[peak]),
+        dbs=low_dbs + float(np.clip(row[peak], 0, 1)) * (high_dbs - low_dbs),
+        bin_index=peak,
+    )

@@ -86,13 +86,14 @@ class AnalysisSession:
             self._processors["spectrum"] = proc
             if self.build_line_graph and hasattr(proc, "constant"):
                 self._feeds["line_graph"] = eng.spectrum.make_render_feed(proc.constant)
-                self._feeds["tracker"] = (
+                trk = (
                     eng.spectrum.make_tracker(
                         eng.config.sample_rate, frame_rate=self.frame_rate
                     )
                     if self.cursor_fraction is not None
                     else None
                 )
+                self._feeds["tracker"] = trk  # None when FTracker = none
         if "oscilloscope" in self.views and only in (None, "oscilloscope"):
             self._processors["oscilloscope"] = eng.make_oscilloscope_processor(
                 pixels=self.pixels
@@ -144,6 +145,19 @@ class AnalysisSession:
             if spectrum is not None and trk is not None:
                 def run_tracker():
                     from signalizer_tpu.core.constant import host_view
+
+                    if trk.source.startswith("graph"):
+                        # FTracker = Main/Aux graph: peak-search the
+                        # selected graph's display row
+                        k = min(int(trk.source[5:]), spectrum.shape[0] - 1)
+                        return trk.update_display(
+                            spectrum[k, 0],
+                            host_view(proc.constant, "mapped_frequencies"),
+                            self.cursor_fraction,
+                            low_dbs=host_view(proc.constant, "low_dbs"),
+                            high_dbs=host_view(proc.constant, "high_dbs"),
+                        )
+                    # FTracker = Transform: raw FFT bins
                     from signalizer_tpu.kernels.spectrum import (
                         _half_spectrum,
                         _pack_channels,

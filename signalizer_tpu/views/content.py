@@ -102,6 +102,12 @@ class SpectrumContent(SerializableObject):
         )
         self.display_mode = ps.register_parameter(_choice("DisplayMode", ["line graph", "colour spectrum"]))
         self.bin_interpolation = ps.register_parameter(_choice("BinInterpolation", ["none", "linear", "lanczos"], 2))
+        # which data the cursor tracker peak-searches (ref:
+        # SpectrumParameters.h:164-176 frequencyTrackingOptions: None /
+        # Transform / Main graph / Aux graph i)
+        self.frequency_tracker = ps.register_parameter(
+            _choice("FTracker", ["none", "transform", "main graph", "aux graph 1"])
+        )
         self.low_dbs = ps.register_parameter(Parameter("LowerBound", dyn, DBFormatter(), dyn.normalize(-96.0)))
         self.high_dbs = ps.register_parameter(Parameter("UpperBound", dyn, DBFormatter(), dyn.normalize(0.0)))
         self.window_size = ps.register_parameter(
@@ -228,12 +234,16 @@ class SpectrumContent(SerializableObject):
         applied (ref: drawFrequencyTracking, SpectrumRendering.cpp:377-470)."""
         from signalizer_tpu.kernels.tracker import FrequencyTracker
 
+        source = int(self.frequency_tracker.get_transformed())
+        if source == 0:  # none
+            return None
         return FrequencyTracker(
             sample_rate,
             a4_reference=self.reference_tuning.get_transformed(),
             smoothing_ms=self.tracker_smoothing.get_transformed(),
             frame_rate=frame_rate,
             window_kernel=window_kernel,
+            source=("transform", "graph0", "graph1")[source - 1],
         )
 
     VERSION = 1

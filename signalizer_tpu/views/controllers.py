@@ -113,8 +113,8 @@ SPECTRUM_LAYOUT: Tuple[Page, ...] = (
     Page("Settings", "gear", (
         Section("", _c(
             ("ViewScaling", 0), ("ChannelConfiguration", 0),
-            ("DisplayMode", 1),
-        ) + (Control("", 1, special="tracker"),)),
+            ("DisplayMode", 1), ("FTracker", 1),
+        )),
         Section("", _c(
             ("LowerBound", 1), ("UpperBound", 0), ("BlobSize", 0),
             ("WindowSize", 1), ("PctDivision", 0), ("SpectrumStretch", 1),

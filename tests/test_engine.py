@@ -41,7 +41,7 @@ def test_engine_end_to_end_spectrum():
 def test_engine_host_parameter_api():
     eng = SignalizerEngine("test")
     n = eng.num_parameters()
-    assert n == 47 + 70 + 83  # VS + OS + SC
+    assert n == 47 + 70 + 84  # VS + OS + SC (FTracker added in round 2)
     # flat indexing crosses set boundaries in registration order
     assert eng.get_parameter_name(0).startswith("VS.")
     assert eng.get_parameter_name(47).startswith("OS.")

@@ -40,6 +40,7 @@ SPECTRUM_CONSUMERS = {
     "PrimitiveSize": "feed:primitive_size",
     "FloodFillAlpha": "feed:flood_fill_alpha",
     "RefTuning": "tracker:a4_reference",
+    "FTracker": "tracker:source",
     "ViewLeft": "constant:view_left",
     "ViewRight": "constant:view_right",
     "FreeQ": "engine:ResonatorSpectrumProcessor free_q",
@@ -189,6 +190,8 @@ def test_feed_and_tracker_mappings_are_real():
             if attr == "line_colours":
                 attr = "_one"  # internal palette built from the knob
             assert hasattr(feed, attr), name
+    assert sc.make_tracker() is None  # FTracker defaults to "none"
+    sc.frequency_tracker.set_normalized(1 / 3)  # transform
     tracker = sc.make_tracker()
     for name, consumer in SPECTRUM_CONSUMERS.items():
         if consumer.startswith("tracker:"):

@@ -18,6 +18,7 @@ def _sine_block(n=4096, f=440.0, phase=0.0):
 
 def test_session_all_views_tick():
     eng = SignalizerEngine("session")
+    eng.spectrum.frequency_tracker.set_normalized(1 / 3)  # FTracker = transform
     s = AnalysisSession(eng, axis_points=256, pixels=128, cursor_fraction=440.0 / (FS / 2))
     for i in range(6):
         s.feed(_sine_block(phase=i), Playhead(steady_clock=i * 4096, bpm=120.0, is_playing=True))
@@ -31,6 +32,7 @@ def test_session_all_views_tick():
     assert frame.tracker is not None
     assert frame.tracker["frequency"] == pytest.approx(440.0, rel=0.02)
     assert frame.tracker["note"].startswith("A4")
+    assert frame.tracker["source"] == "transform"
     assert frame.diagnostics["fps"] >= 0.0
     # second tick carries state (no errors, new_samples = 0 path)
     frame2 = s.tick()

@@ -201,3 +201,46 @@ def test_trigger_channel_selection():
     wave_r = np.asarray(frame.waveform)[0, 1]
     c = len(wave_r) // 2
     assert abs(wave_r[c]) < 0.06 and wave_r[c + 5] > wave_r[c - 5]
+
+
+def test_track_display_peak_graph_source():
+    """FTracker = Main graph: peak search over the display-space row with
+    frequency from the pixel map (ref: frequencyTrackingGraph selects the
+    evaluated graph, Spectrum.cpp:368)."""
+    from signalizer_tpu.kernels.tracker import track_display_peak
+
+    f = np.geomspace(20.0, 20000.0, 256)
+    row = np.full(256, 0.1)
+    row[100] = 0.9  # a peak at f[100]
+    peak = track_display_peak(row, f, cursor_fraction=100 / 255, low_dbs=-96.0, high_dbs=0.0)
+    assert peak.bin_index == 100
+    assert peak.frequency == pytest.approx(f[100])
+    assert peak.dbs == pytest.approx(-96.0 + 0.9 * 96.0)
+
+
+def test_session_tracker_graph_source():
+    """End-to-end: FTracker = main graph tracks through the decayed
+    display row and reports its source."""
+    import jax
+    from signalizer_tpu.engine import SignalizerEngine
+    from signalizer_tpu.session import AnalysisSession
+
+    fs = 48_000.0
+    eng = SignalizerEngine("ftracker")
+    eng.spectrum.frequency_tracker.set_normalized(2 / 3)  # main graph
+    s = AnalysisSession(eng, views=("spectrum",), axis_points=256,
+                        cursor_fraction=None)
+    # cursor near 1 kHz on the log axis
+    from signalizer_tpu.core.constant import host_view
+    f = host_view(s._processors["spectrum"].constant, "mapped_frequencies")
+    s.cursor_fraction = float(np.searchsorted(f, 1000.0) / (len(f) - 1))
+    s.reconfigure("spectrum")
+    t = np.arange(8192) / fs
+    x = 0.5 * np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
+    for _ in range(3):
+        s.feed(np.stack([x, x]))
+        frame = s.tick()
+    assert frame.tracker is not None
+    assert frame.tracker["source"] == "graph0"
+    assert frame.tracker["frequency"] == pytest.approx(1000.0, rel=0.03)
+    s.close()
