@@ -156,6 +156,39 @@ class SignalizerEngine(SerializableObject):
     def pulse_ui(self) -> None:
         self.parameter_map.pulse_ui()
 
+    # --- host automation (ref: AutomatedProcessor callbacks,
+    # PluginProcessor.cpp:116-129 — UI edits flow back to the host as
+    # transmitChangeMessage between begin/endChangeGesture) --------------
+    def set_automation_host(self, host) -> None:
+        """Register the host-automation sink. ``host`` provides
+        ``transmit_change(index, normalized)`` and optionally
+        ``begin_gesture(index)`` / ``end_gesture(index)``. UI- and
+        text-sourced parameter edits are forwarded with their flat index."""
+        self._automation_host = host
+        if getattr(self, "_automation_wired", False):
+            return
+        self._automation_wired = True
+        engine = self
+
+        def forward(parameter, source):
+            h = getattr(engine, "_automation_host", None)
+            if h is not None and source in ("ui", "text"):
+                idx = engine.parameter_map.flat_index_of(parameter)
+                h.transmit_change(idx, parameter.get_normalized())
+
+        for i in range(self.parameter_map.num_parameters()):
+            self.parameter_map.find_parameter(i).add_rt_listener(forward)
+
+    def begin_parameter_gesture(self, index: int) -> None:
+        h = getattr(self, "_automation_host", None)
+        if h is not None and hasattr(h, "begin_gesture"):
+            h.begin_gesture(index)
+
+    def end_parameter_gesture(self, index: int) -> None:
+        h = getattr(self, "_automation_host", None)
+        if h is not None and hasattr(h, "end_gesture"):
+            h.end_gesture(index)
+
     # --- view factories ---------------------------------------------------------
     def make_spectrum_processor(self, *, axis_points: int = 1024, pairs: int = 1,
                                 frames_per_second: float = 60.0):

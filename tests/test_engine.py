@@ -131,3 +131,37 @@ def test_stream_property_changes_rescale_transformatters():
     assert eng.oscilloscope.window_transformatter.sample_rate == 96_000.0
     assert eng.config.sample_rate == 96_000.0
     eng.close()
+
+
+def test_automation_host_round_trip():
+    """UI edits transmit to the host with flat indices between gestures;
+    host-sourced updates do NOT echo back (no feedback loop)
+    (ref: AutomatedProcessor, PluginProcessor.cpp:116-129)."""
+    eng = SignalizerEngine("auto")
+
+    class Host:
+        def __init__(self):
+            self.changes = []
+            self.gestures = []
+
+        def transmit_change(self, index, normalized):
+            self.changes.append((index, normalized))
+
+        def begin_gesture(self, index):
+            self.gestures.append(("begin", index))
+
+        def end_gesture(self, index):
+            self.gestures.append(("end", index))
+
+    host = Host()
+    eng.set_automation_host(host)
+    p = eng.parameter_map.find_parameter(3)
+    eng.begin_parameter_gesture(3)
+    p.update_from_ui_normalized(0.42)
+    eng.end_parameter_gesture(3)
+    assert host.changes == [(3, 0.42)]
+    assert host.gestures == [("begin", 3), ("end", 3)]
+    # host-sourced updates must not echo back to the host
+    eng.set_parameter(3, 0.9)
+    assert len(host.changes) == 1
+    eng.close()
