@@ -429,3 +429,44 @@ def test_separate_mode_per_row_key_colours():
     cols = np.asarray(frame.colours)  # [1, 2, 16, 3]
     np.testing.assert_array_equal(cols[0, 0, 0], [1.0, 0.0, 0.0])
     np.testing.assert_array_equal(cols[0, 1, 0], [0.0, 0.0, 1.0])
+
+
+def test_window_mode_transport_sync_scrolls():
+    """WINDOW mode anchors the display to the transport position modulo
+    the window (ref: OscilloscopeRendering.cpp:587-592): advancing the
+    transport by half a window shifts the displayed waveform accordingly."""
+    proc = OscilloscopeProcessor(
+        pairs=1, channel_mode=OscChannels.LEFT, trigger_mode=TriggerMode.WINDOW,
+        interpolation=SubSampleInterpolation.LINEAR, window_samples=512.0, pixels=512,
+    )
+    hist = _history(f_hz=187.5, h=8192)  # 256-sample period
+    w0 = np.asarray(proc.process(hist, transport_position=0.0).waveform)[0, 0]
+    w_half = np.asarray(proc.process(hist, transport_position=256.0).waveform)[0, 0]
+    w_full = np.asarray(proc.process(hist, transport_position=512.0).waveform)[0, 0]
+    # a full window of transport wraps back to the same display
+    np.testing.assert_allclose(w_full, w0, atol=1e-5)
+    # half a window shifts by half the pixels
+    np.testing.assert_allclose(w_half[:256], w0[256:], atol=1e-4)
+
+
+def test_reconfigure_resets_state_on_row_change():
+    """Swapping the constant resets carried state when the row count
+    changes, and keeps it otherwise (handleFlagUpdates deferred resets)."""
+    from signalizer_tpu.views.oscilloscope import make_oscilloscope_constant
+
+    proc = OscilloscopeProcessor(
+        pairs=1, channel_mode=OscChannels.SEPARATE, window_samples=256.0,
+        pixels=32, autogain=True,
+    )
+    proc.process(_history())
+    env_before = np.asarray(proc.state.peak_env)
+    assert env_before.shape == (1, 2) and env_before.max() > 0
+    # same rows: state survives
+    proc.reconfigure(make_oscilloscope_constant(
+        channel_mode=OscChannels.MIDSIDE, pixels=32, autogain=True))
+    assert np.asarray(proc.state.peak_env).max() > 0
+    # row change: state resets
+    proc.reconfigure(make_oscilloscope_constant(
+        channel_mode=OscChannels.LEFT, pixels=32, autogain=True))
+    env = np.asarray(proc.state.peak_env)
+    assert env.shape == (1, 1) and env.max() == 0.0
