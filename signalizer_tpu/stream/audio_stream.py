@@ -269,7 +269,10 @@ class AudioStream:
                 self._perf.in_flight_packets = self._native_queue.size
             else:
                 try:
-                    self._queue.put_nowait((block, ph))
+                    # copy: callers may reuse the block buffer (e.g. the
+                    # mix graph's scratch) before the worker delivers it —
+                    # the native queue copies by construction
+                    self._queue.put_nowait((block.copy(), ph))
                     self._perf.in_flight_packets = self._queue.qsize()
                 except queue.Full:
                     self._perf.dropped_frames += 1

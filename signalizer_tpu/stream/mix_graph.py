@@ -99,6 +99,9 @@ class MixGraph:
         self._cmd_lock = threading.Lock()
         self._emitted_up_to = 0  # self-clock position of last emitted sample
         self._self_clock = 0
+        # reusable mix scratch (ref: cpl ChannelMatrix softBufferResize —
+        # the delivery path must not allocate per block)
+        self._scratch = np.zeros((0, 0), np.float32)
 
         # presentation stream (what views listen to)
         info = AudioStreamInfo(
@@ -266,7 +269,10 @@ class MixGraph:
             self._perf.synchronized = synced
 
         channels = self.presentation_input._stream.info.channels
-        matrix = np.zeros((channels, count), np.float32)
+        if self._scratch.shape[0] != channels or self._scratch.shape[1] < count:
+            self._scratch = np.zeros((channels, max(count, 2 * self._scratch.shape[1] or count)), np.float32)
+        matrix = self._scratch[:, :count]
+        matrix[:] = 0.0
         for st in self._sources.values():
             if st.offset is None:
                 continue  # never delivered: contributes silence
