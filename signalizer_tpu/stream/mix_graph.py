@@ -114,6 +114,15 @@ class MixGraph:
         )
 
         host_graph.add_topology_listener(self._on_topology_changed)
+        # default self layout i->i applies ONCE at stream bring-up when the
+        # topology is empty (ref: applyDefaultLayoutFromRuntime gated by
+        # hasAnyLayoutBeenApplied in prepareToPlay,
+        # PluginProcessor.cpp:152-156 + HostGraph.cpp:541-563) — the edges
+        # become explicit topology entries so later peer connects ADD to
+        # them instead of displacing the self stream
+        if not host_graph.topology:
+            for i in range(min(realtime_output.info.channels, host_graph.channels)):
+                host_graph.connect(host_graph.node_id, PortPair(i, i))
         # subscribe to the self stream
         self._self_listener = _Forwarder(self, None, is_self=True)
         realtime_output.add_listener(self._self_listener)
@@ -205,15 +214,6 @@ class MixGraph:
         self._apply_commands()
         self._self_clock = playhead.steady_clock + n
 
-        # make sure the self stream is in the source map even if the user
-        # never connected explicit self-edges: default layout i->i
-        # (ref: applyDefaultLayoutFromRuntime)
-        if self.graph.node_id not in self.graph.topology and not self._sources:
-            self.graph.topology[self.graph.node_id] = {
-                PortPair(i, i)
-                for i in range(min(self.realtime.info.channels, self.graph.channels))
-            }
-            self._rebuild_sources()
         if self.graph.node_id in self.graph.topology and self.graph.node_id not in self._sources:
             self._rebuild_sources()
 

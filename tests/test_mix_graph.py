@@ -382,3 +382,34 @@ def test_property_random_delivery_alignment():
         matches = np.isclose(got[1, emitted - tail :], seg_want, atol=1e-7).mean()
         assert matches > 0.95, f"only {matches:.0%} aligned"
     mix.close()
+
+
+def test_sidechain_connect_does_not_displace_self_stream():
+    """Regression: connecting a peer BEFORE any audio flowed must not
+    silence the host's own channels — the default self layout applies once
+    at stream bring-up as explicit topology (ref: prepareToPlay ->
+    applyDefaultLayoutFromRuntime, PluginProcessor.cpp:152-156), so later
+    connects ADD to it."""
+    inp_a, out_a, graph_a = _make_instance("self-main")
+    mix = MixGraph(graph_a, out_a)
+    inp_b, out_b, graph_b = _make_instance("self-side")
+    graph_b.stream_output = out_b
+    # connect the sidechain before ANY audio
+    assert graph_a.connect(graph_b.node_id, PortPair(0, 1))
+    sink = _Sink()
+    mix.presentation_output.add_listener(sink)
+
+    own = np.full((2, 256), 0.5, np.float32)
+    side = np.full((2, 256), 0.25, np.float32)
+    ph = Playhead(steady_clock=0, is_playing=True)
+    inp_b.process_incoming_audio(side, ph)
+    inp_a.process_incoming_audio(own, ph)
+    inp_b.process_incoming_audio(side, Playhead(steady_clock=256, is_playing=True))
+    inp_a.process_incoming_audio(own, Playhead(steady_clock=256, is_playing=True))
+
+    got = sink.concat()
+    assert got.shape[1] > 0
+    # ch0: own audio alone; ch1: own + sidechain
+    np.testing.assert_allclose(got[0], 0.5, atol=1e-6)
+    np.testing.assert_allclose(got[1, 256:], 0.75, atol=1e-6)
+    mix.close()
