@@ -308,6 +308,12 @@ def make_spectrum_constant(
     """
     transform_size = max(32, next_pow2(window_size))  # ref: TransformConstant.h:84
 
+    # a zero dB range divides by log(upper/lower) = 0; the reference
+    # enforces a small minimum (CHANGELOG 0.4.0 "Graphical issue when the
+    # Spectrum has a dB range of zero")
+    if high_dbs - low_dbs < 0.1:
+        high_dbs = low_dbs + 0.1
+
     kernel, scale = generate_window(
         window_type,
         window_size,

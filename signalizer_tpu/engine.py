@@ -239,13 +239,20 @@ class SignalizerEngine(SerializableObject):
                                    image_width: int = 512, overlap: float = 0.0):
         from signalizer_tpu.views.spectrogram import SpectrogramProcessor
 
+        # decay poles are designed per FRAME; spectrogram frames arrive at
+        # the blob cadence, not the render rate (ref: CHANGELOG 0.4.0
+        # "Decay rate in the spectrogram that was incorrectly affected by
+        # the frame rate")
+        blob_ms = self.spectrum.blob_size.get_transformed()
+        column_rate = 1000.0 / max(blob_ms * (1.0 - overlap), 1e-3)
         constant = self.spectrum.make_constant(
-            axis_points=axis_points, sample_rate=self.config.sample_rate
+            axis_points=axis_points, sample_rate=self.config.sample_rate,
+            frames_per_second=column_rate,
         )
         proc = SpectrogramProcessor(
             constant,
             pairs=pairs,
-            blob_ms=self.spectrum.blob_size.get_transformed(),
+            blob_ms=blob_ms,
             overlap=overlap,
             image_width=image_width,
             stretch=self.spectrum.spectrum_stretching.get_transformed(),

@@ -165,3 +165,20 @@ def test_automation_host_round_trip():
     eng.set_parameter(3, 0.9)
     assert len(host.changes) == 1
     eng.close()
+
+
+def test_spectrogram_decay_designed_at_column_rate():
+    """Spectrogram decay poles follow the blob cadence, not the render
+    fps (ref: CHANGELOG 0.4.0 decay-rate fix): halving the blob size
+    (doubling the column rate) moves the per-column pole toward 1."""
+    import numpy as np
+
+    eng = SignalizerEngine("sg-decay")
+    eng.spectrum.blob_size.set_normalized(0.5)
+    p1 = eng.make_spectrogram_processor(axis_points=64)
+    eng.spectrum.blob_size.set_normalized(0.4)  # smaller blobs
+    p2 = eng.make_spectrogram_processor(axis_points=64)
+    pole1 = float(np.asarray(p1.constant.decay_poles)[0])
+    pole2 = float(np.asarray(p2.constant.decay_poles)[0])
+    assert pole2 > pole1  # faster columns -> slower per-column decay
+    eng.close()

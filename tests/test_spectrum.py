@@ -213,3 +213,18 @@ def test_api_facade_imports():
     import signalizer_tpu.api as api
 
     assert api.SpectrumProcessor and api.SignalizerEngine and api.Archive
+
+
+def test_zero_db_range_enforces_minimum():
+    """A zero dB range must not divide by zero (ref: CHANGELOG 0.4.0 —
+    'Graphical issue when the Spectrum has a dB range of zero')."""
+    c = make_spectrum_constant(
+        axis_points=64, window_size=256, low_dbs=-10.0, high_dbs=-10.0,
+        configuration=SpectrumChannels.LEFT,
+        bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LINEAR,
+    )
+    assert float(c.high_dbs) > float(c.low_dbs)
+    r = analyze_frames(c, init_line_graph_state(c, (1,)),
+                       jnp.ones((1, 1, 2, 256), jnp.float32) * 0.5)
+    assert np.isfinite(np.asarray(r.results)).all()
