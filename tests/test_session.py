@@ -68,3 +68,42 @@ def test_session_contains_view_faults():
     assert frame.spectrum is None  # contained
     assert frame.vectorscope is not None  # others unaffected
     s.close()
+
+
+def test_session_fuzz_knobs_and_reconfigures():
+    """Robustness soak: random knob twiddling + targeted reconfigures +
+    audio never crash a tick, and every produced view output is finite
+    (the reference's quality bar was per-DAW manual soak testing;
+    SURVEY.md §4)."""
+    rng = np.random.default_rng(1234)
+    eng = SignalizerEngine("fuzz")
+    s = AnalysisSession(eng, axis_points=128, pixels=64)
+    n_params = eng.num_parameters()
+    views = list(s.views)
+    for step in range(12):
+        # random audio block (occasionally silence or mono-ish)
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            block = np.zeros((2, 2048), np.float32)
+        else:
+            t = np.arange(2048) / FS
+            f = float(rng.uniform(30, 18000))
+            x = rng.uniform(0.01, 1.0) * np.sin(2 * np.pi * f * t)
+            block = np.stack([x, x * rng.uniform(-1, 1)]).astype(np.float32)
+        s.feed(block, Playhead(steady_clock=step * 2048, bpm=float(rng.uniform(20, 300)),
+                               is_playing=bool(rng.integers(0, 2))))
+        # twiddle a handful of random knobs through the host API
+        for _ in range(5):
+            eng.set_parameter(int(rng.integers(0, n_params)), float(rng.random()))
+        # occasionally rebuild a random view from the new knobs
+        if step % 3 == 2:
+            s.reconfigure(views[int(rng.integers(0, len(views)))])
+        frame = s.tick()
+        for name, val in (("spectrum", frame.spectrum),):
+            if val is not None:
+                assert np.isfinite(val).all(), (step, name)
+        if frame.oscilloscope is not None:
+            assert np.isfinite(np.asarray(frame.oscilloscope.waveform)).all(), step
+        if frame.vectorscope is not None:
+            assert np.isfinite(np.asarray(frame.vectorscope.vertices)).all(), step
+    s.close()
