@@ -103,6 +103,11 @@ class ShardedAnalysisPipeline:
             return None
         t = self.frames_per_tick
         frames = self.batcher.pull(t)  # [T, pairs*2, W]
+        if frames.shape[0] < t:
+            # frames scrolled out of the ring under backpressure: zero-pad
+            # to keep the compiled shape (drops are counted by the batcher)
+            pad = np.zeros((t - frames.shape[0],) + frames.shape[1:], np.float32)
+            frames = np.concatenate([frames, pad], axis=0)
         stacked = (
             frames.reshape(t, self.pairs, 2, self.constant.window_size)
             .transpose(1, 0, 2, 3)

@@ -178,10 +178,13 @@ class AnalysisSession:
 
         oproc = self._processors.get("oscilloscope")
         if oproc is not None and clock > 0:
+            # WINDOW mode syncs to the transport (playhead position), not
+            # the free-running stream clock
+            transport = float(eng._playhead.position_samples)
             osc = protected_call(
                 lambda: oproc.process(
                     eng.get_presentation_history(16384)[None],
-                    transport_position=float(clock),
+                    transport_position=transport,
                     new_samples=min(new_samples, 16384),
                 ),
                 context="oscilloscope",

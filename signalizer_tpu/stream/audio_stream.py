@@ -77,7 +77,12 @@ class PerfMeasures:
 
 
 class StreamListener(Protocol):
-    """ref: cpl AudioStream::Listener."""
+    """ref: cpl AudioStream::Listener.
+
+    Lifetime contract (same as the reference's buffer views): ``block`` is
+    only valid DURING the callback — producers may reuse the underlying
+    buffer (e.g. the mix graph's scratch matrix) afterwards. Copy it if
+    you keep it."""
 
     def on_stream_audio(self, ctx: "ListenerContext", block: np.ndarray) -> None: ...
 
