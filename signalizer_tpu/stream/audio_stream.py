@@ -240,6 +240,20 @@ class AudioStream:
         cap = max(self.info.audio_history_capacity, 1)
         if cap != self._history.capacity or self.info.channels != self._history.channels:
             self._history = make_ring_buffer(self.info.channels, cap)
+        # the native packet queue's slot geometry is channel-count bound:
+        # feeding a reshaped stream into the old queue would make the
+        # native copy read past the block
+        if (
+            self._native_queue is not None
+            and self._native_queue.channels != self.info.channels
+        ):
+            from signalizer_tpu.native_bindings import NativePacketQueue
+
+            old = self._native_queue
+            self._native_queue = NativePacketQueue(
+                self.info.channels, STREAM_PACKET_SIZE, capacity=256
+            )
+            old.close()
 
     def _ingest(self, block: np.ndarray, playhead: Optional[Playhead]) -> None:
         if not self._alive:
@@ -288,10 +302,15 @@ class AudioStream:
     def _run(self) -> None:
         if self._native_queue is not None:
             while True:
+                q = self._native_queue
                 try:
-                    item = self._native_queue.pop(timeout_ms=100)
+                    item = q.pop(timeout_ms=100)
                 except StopIteration:
-                    return
+                    # closed: either the stream is shutting down, or the
+                    # queue was swapped for a new channel geometry
+                    if not self._alive or self._native_queue is q:
+                        return
+                    continue
                 if item is None:
                     continue
                 chunk, position, steady, bpm, playing = item

@@ -179,3 +179,25 @@ def test_threaded_audio_stream_uses_native_queue_and_packetizes():
     # reassembled audio matches the input
     np.testing.assert_array_equal(np.concatenate([b[0] for b in blocks], axis=1), big)
     stream.close()
+
+
+def test_threaded_stream_channel_change_recreates_queue():
+    """Changing the stream's channel count must rebuild the native packet
+    queue (its slot geometry is channel-bound; stale geometry would make
+    the native copy read out of bounds)."""
+    from signalizer_tpu.stream.audio_stream import AudioStream, AudioStreamInfo
+
+    inp, out = AudioStream.create(
+        threaded=True, info=AudioStreamInfo(channels=2, audio_history_capacity=4096)
+    )
+    stream = out._stream
+    q_before = stream._native_queue
+    assert q_before is not None and q_before.channels == 2
+    inp.initialize_info(lambda info: setattr(info, "channels", 4))
+    assert stream._native_queue is not q_before
+    assert stream._native_queue.channels == 4
+    # audio flows through the new geometry
+    inp.process_incoming_audio(np.ones((4, 300), np.float32))
+    assert stream.wait_for_drain()
+    np.testing.assert_array_equal(out.get_history(4)[..., -1], np.ones(4))
+    stream.close()
