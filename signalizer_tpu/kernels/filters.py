@@ -72,7 +72,7 @@ def _recurrence_scan(A: jax.Array, bx: jax.Array, s0: jax.Array) -> jax.Array:
     w = bx.shape[0]
     # fold the initial state into the first element, then scan pairs
     # (M, v) under (M1,v1) o (M2,v2) = (M2 M1, M2 v1 + v2)
-    bx = bx.at[0].add(jnp.einsum("ij,...j->...i", A, s0))
+    bx = bx.at[0].add(jnp.einsum("ij,...j->...i", A, s0, precision=jax.lax.Precision.HIGHEST))
     mats = jnp.broadcast_to(
         A.reshape((1,) * (bx.ndim - 1) + (2, 2)), (w,) + bx.shape[1:-1] + (2, 2)
     )
@@ -80,9 +80,14 @@ def _recurrence_scan(A: jax.Array, bx: jax.Array, s0: jax.Array) -> jax.Array:
     def comb(a, b):
         m1, v1 = a
         m2, v2 = b
+        # HIGHEST precision is load-bearing: the TPU's default bf16 matmul
+        # rounds the near-marginal companion matrix (|pole| ~ 0.97 for a
+        # 300 Hz crossover at 48 kHz) past the unit circle, so the scanned
+        # matrix powers explode to inf/NaN (found by tools/tpu_parity_check)
+        hi = jax.lax.Precision.HIGHEST
         return (
-            jnp.einsum("w...ij,w...jk->w...ik", m2, m1),
-            jnp.einsum("w...ij,w...j->w...i", m2, v1) + v2,
+            jnp.einsum("w...ij,w...jk->w...ik", m2, m1, precision=hi),
+            jnp.einsum("w...ij,w...j->w...i", m2, v1, precision=hi) + v2,
         )
 
     _, states = jax.lax.associative_scan(comb, (mats, bx), axis=0)

@@ -45,7 +45,10 @@ class ResonatorConstant:
 
     ``vectors`` = 2K+1 resonators per pixel (window order K). Leaves:
 
-    * poles [P, V] complex64 — r_k e^{j(w_k + m d_k)}
+    * poles [P, V, 2] float32 — r_k e^{j(w_k + m d_k)} as (re, im)
+      pairs: complex values never cross the host/jit boundary (remote-TPU
+      transports may not implement complex transfers at all — this rig's
+      does not); kernels reconstitute complex internally
     * combine [V] float32 — signed window combination coefficients
     * gain [P] float32 — per-pixel normalization so a full-scale sine at
       the pixel's frequency reads magnitude 1.0 (matching the FFT path's
@@ -68,7 +71,7 @@ def make_resonator_constant(
     free_q: bool = False,
     min_cycles: int = 8,
     min_window: int = 8,
-    dtype=jnp.complex64,
+    dtype=jnp.float32,
 ) -> ResonatorConstant:
     """Design the bank (ref: Resonator mapSystemHz call,
     TransformConstant.h:120-123 — freeQ flag, the constant 8, windowSize).
@@ -122,7 +125,9 @@ def make_resonator_constant(
     return ResonatorConstant(
         num_pixels=p,
         vectors=v,
-        poles=jnp.asarray(poles, dtype),
+        poles=jnp.asarray(
+            np.stack([poles.real, poles.imag], axis=-1), dtype
+        ),
         combine=jnp.asarray(comb, jnp.float32),
         gain=jnp.asarray(gain, jnp.float32),
     )
@@ -131,29 +136,50 @@ def make_resonator_constant(
 def init_resonator_state(
     constant: ResonatorConstant, batch_shape: Tuple[int, ...] = ()
 ) -> jax.Array:
-    return jnp.zeros(batch_shape + (constant.num_pixels, constant.vectors), jnp.complex64)
+    """Real (re, im) state pairs [..., P, V, 2] — see ResonatorConstant on
+    why complex never crosses the jit boundary."""
+    return jnp.zeros(batch_shape + (constant.num_pixels, constant.vectors, 2), jnp.float32)
+
+
+def _poles_c(constant: ResonatorConstant) -> jax.Array:
+    return jax.lax.complex(constant.poles[..., 0], constant.poles[..., 1])
+
+
+def _to_c(state: jax.Array) -> jax.Array:
+    return jax.lax.complex(state[..., 0], state[..., 1])
+
+
+def _to_pairs(z: jax.Array) -> jax.Array:
+    return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
 
 
 def resonate_block(
     constant: ResonatorConstant, state: jax.Array, x: jax.Array
 ) -> jax.Array:
-    """Advance the bank over a block: state [..., P, V], x [..., W] real.
+    """Advance the bank over a block: state [..., P, V, 2], x [..., W] real.
 
     Closed form (see module docstring): one [P*V, W] x [W] complex product
-    per batch element — batched, this is an MXU matmul.
+    per batch element — batched, this is an MXU matmul. The input x is
+    real, so the drive is computed as two REAL matmuls (re/im ramps) —
+    no complex values at the jit boundary and full MXU throughput.
     """
     w = x.shape[-1]
     n = jnp.arange(w, dtype=jnp.float32)
-    # c^(W-1-n) ramp: [P, V, W]
-    ramp = constant.poles[..., None] ** (w - 1 - n)
-    driven = jnp.einsum("pvw,...w->...pv", ramp, x.astype(jnp.complex64))
-    decay = constant.poles ** float(w)
-    return state * decay + driven
+    # c^(W-1-n) ramp: [P, V, W] complex, internal only
+    ramp = _poles_c(constant)[..., None] ** (w - 1 - n)
+    hi = jax.lax.Precision.HIGHEST
+    driven_re = jnp.einsum("pvw,...w->...pv", jnp.real(ramp), x, precision=hi)
+    driven_im = jnp.einsum("pvw,...w->...pv", jnp.imag(ramp), x, precision=hi)
+    decay = _poles_c(constant) ** float(w)
+    z = _to_c(state) * decay + jax.lax.complex(driven_re, driven_im)
+    return _to_pairs(z)
 
 
 def resonator_readout(constant: ResonatorConstant, state: jax.Array) -> jax.Array:
     """Windowed magnitude readout (ref: getWholeWindowedState usage,
     TransformPair.h copyResonatorStateInto): combine the 2K+1 vectors with
-    the window coefficients, normalize. state [..., P, V] -> [..., P]."""
-    z = jnp.einsum("...pv,v->...p", state, constant.combine.astype(state.dtype))
-    return jnp.abs(z) * constant.gain
+    the window coefficients, normalize. state [..., P, V, 2] -> [..., P]."""
+    hi = jax.lax.Precision.HIGHEST
+    z_re = jnp.einsum("...pv,v->...p", state[..., 0], constant.combine, precision=hi)
+    z_im = jnp.einsum("...pv,v->...p", state[..., 1], constant.combine, precision=hi)
+    return jnp.sqrt(z_re * z_re + z_im * z_im) * constant.gain

@@ -226,7 +226,7 @@ def apply_transform(vertices: jax.Array, matrix, translation=None) -> jax.Array:
     clouds (ref: ParameterTransformValue / MatrixModification usage —
     the reference applies these on the GL matrix stack)."""
     m = jnp.asarray(matrix, vertices.dtype)
-    out = jnp.einsum("ij,...nj->...ni", m, vertices)
+    out = jnp.einsum("ij,...nj->...ni", m, vertices, precision=jax.lax.Precision.HIGHEST)
     if translation is not None:
         out = out + jnp.asarray(translation, vertices.dtype)
     return out

@@ -417,7 +417,7 @@ def _autogain_update(
         # (1-c) c^age, zeroed for samples older than the new block
         w = jnp.exp(ln_c * age) * -jnp.expm1(ln_c)
         w = jnp.where(k >= h - new_samples, w, 0.0)
-        contrib = jnp.einsum("prh,h->pr", sq, w)
+        contrib = jnp.einsum("prh,h->pr", sq, w, precision=jax.lax.Precision.HIGHEST)
         new_env = jnp.exp(ln_c * new_samples) * env + contrib
     else:
         g = jnp.ones((pairs,), jnp.float32) * constant.manual_gain

@@ -43,8 +43,10 @@ def test_per_sample_recurrence_equivalence():
     rng = np.random.default_rng(0)
     x = rng.standard_normal(300).astype(np.float32)
 
-    state = np.asarray(_run(constant, x))
-    poles = np.asarray(constant.poles)
+    state_pairs = np.asarray(_run(constant, x))
+    state = state_pairs[..., 0] + 1j * state_pairs[..., 1]
+    pole_pairs = np.asarray(constant.poles)
+    poles = pole_pairs[..., 0] + 1j * pole_pairs[..., 1]
     want = np.zeros_like(state)
     for s in x.astype(np.float64):
         want = want * poles + s
@@ -65,7 +67,8 @@ def test_free_q_constant_cycles():
     """free_q: low pixels integrate longer windows than high pixels."""
     freqs = np.asarray([100.0, 1000.0, 10_000.0])
     c = make_resonator_constant(freqs, FS, window_size=65536, free_q=True, min_cycles=8)
-    radii = np.abs(np.asarray(c.poles))[:, c.vectors // 2]
+    pole_pairs = np.asarray(c.poles)
+    radii = np.abs(pole_pairs[..., 0] + 1j * pole_pairs[..., 1])[:, c.vectors // 2]
     n_eff = 2.0 / (1.0 - radii)
     # ~8 cycles each
     np.testing.assert_allclose(n_eff * freqs / FS, 8.0, rtol=0.05)
@@ -78,7 +81,7 @@ def test_batched_resonate():
     x = rng.standard_normal((3, 512)).astype(np.float32)
     state = init_resonator_state(constant, (3,))
     state = resonate_block(constant, state, jnp.asarray(x))
-    assert state.shape == (3, 8, constant.vectors)
+    assert state.shape == (3, 8, constant.vectors, 2)  # (re, im) pairs
     # each batch row independent
     s0 = resonate_block(constant, init_resonator_state(constant), jnp.asarray(x[0]))
     np.testing.assert_allclose(np.asarray(state[0]), np.asarray(s0), rtol=1e-4, atol=1e-5)
