@@ -73,6 +73,34 @@ def run_all():
     out["vs_vertices"] = np.asarray(vf.vertices)
     out["vs_balance"] = np.asarray(vf.balance)
 
+    # zero-crossing and envelope-hold triggers (segment reductions + scans)
+    for name, mode in (("osc_zc", TriggerMode.ZERO_CROSSING),
+                       ("osc_hold", TriggerMode.ENVELOPE_HOLD)):
+        op = OscilloscopeProcessor(
+            pairs=2, channel_mode=OscChannels.LEFT, trigger_mode=mode,
+            interpolation=SubSampleInterpolation.LINEAR,
+            window_samples=500.0, pixels=256, lookahead=4096,
+            trigger_threshold=0.1, trigger_hysteresis=0.2)
+        fr = op.process(hist)
+        fr = op.process(hist)  # carried trigger state
+        out[name] = np.asarray(fr.waveform)
+
+    # spectrogram column pipeline (gradient + blend + quantize)
+    from signalizer_tpu.kernels.colormap import normalize_ratios, spectrogram_columns
+    from signalizer_tpu.views.spectrogram import DEFAULT_GRADIENT, DEFAULT_RATIOS
+    csg = make_spectrum_constant(
+        axis_points=128, window_size=1024, sample_rate=48_000.0,
+        configuration=SpectrumChannels.LEFT,
+        bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LOGARITHMIC, display_mode=1)
+    fsg = rng.standard_normal((2, 2, 2, 1024)).astype(np.float32) * 0.4
+    rsg = analyze_frames(csg, init_line_graph_state(csg, (2,)), jnp.asarray(fsg))
+    cols = spectrogram_columns(
+        rsg.results[:, :, 0, 0, :],
+        jnp.asarray(np.broadcast_to(DEFAULT_GRADIENT, (2, 6, 3)).copy()),
+        jnp.asarray(normalize_ratios(DEFAULT_RATIOS), jnp.float32))
+    out["spectrogram_cols"] = np.asarray(cols).astype(np.float32) / 255.0
+
     # resonator bank (complex math strictly inside jit; real-pair
     # boundaries — this rig's transport cannot move complex64 at all)
     from signalizer_tpu.views.spectrum import ResonatorSpectrumProcessor
@@ -124,8 +152,15 @@ def main():
         dev, cpu = outs["device"], outs["cpu"]
         failures = 0
         DISPLAY_KEYS = {"spectrum_binmax", "spectrum_phase", "resonator"}
+        QUANTIZED_KEYS = {"spectrogram_cols"}
         for key in cpu.files:
             a, b = np.asarray(dev[key]), np.asarray(cpu[key])
+            if key in QUANTIZED_KEYS:
+                # uint8 columns: allow one quantization step
+                ok = float(np.max(np.abs(a - b))) <= (1.5 / 255.0)
+                print(f"{'PASS' if ok else 'FAIL'} {key}: max abs diff {np.max(np.abs(a-b)):.2e} (u8 steps)")
+                failures += 0 if ok else 1
+                continue
             if key in DISPLAY_KEYS:
                 # display values: compare what the screen shows. Values far
                 # below the display floor are log-amplified leakage noise
