@@ -29,7 +29,7 @@ import numpy as np
 # make the package importable regardless of the invoking cwd
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-CONFIG_NAMES = ("headline", "cfg1", "cfg2", "cfg3", "cfg4", "cfg5")
+CONFIG_NAMES = ("headline", "cfg1", "cfg2", "cfg3", "cfg4", "cfg5", "cfg6")
 
 
 def _timeit(fn, *args, reps=10, warmup=2, chain=8):
@@ -333,6 +333,43 @@ def main(only: str = None) -> None:
         jax.block_until_ready(res)
         dt = _timeit(lambda f: fused_step(s5, v5, f)[0], f5)
         out["cfg5_fused8ch192k_frames_per_sec"] = round(4 * t5 / dt, 1)
+
+    if want("cfg6"):
+        # informational (not a BASELINE config): the RSNT resonator bank —
+        # runs on TPU as of round 2 (complex math inside jit, real-pair
+        # boundaries; this rig's transport cannot move complex64)
+        from signalizer_tpu.core.constant import host_view
+        from signalizer_tpu.kernels.resonator import (
+            init_resonator_state,
+            make_resonator_constant,
+            resonate_block,
+            resonator_readout,
+        )
+
+        c6 = make_spectrum_constant(
+            axis_points=1024,
+            window_size=4096,
+            sample_rate=48_000.0,
+            configuration=SpectrumChannels.LEFT,
+            bin_interpolation=BinInterpolation.LINEAR,
+            view_scaling=ViewScaling.LOGARITHMIC,
+        )
+        rc = make_resonator_constant(
+            np.asarray(host_view(c6, "mapped_frequencies")), 48_000.0, 4096
+        )
+
+        @jax.jit
+        def res_step(state, block):
+            st = resonate_block(rc, state, block)
+            return resonator_readout(rc, st), st
+
+        pairs6 = 16
+        block6 = jnp.asarray(rng.standard_normal((pairs6, 2, 512)).astype(np.float32))
+        st6 = init_resonator_state(rc, (pairs6, 2))
+        r6, st6 = res_step(st6, block6)
+        jax.block_until_ready(r6)
+        dt = _timeit(lambda b: res_step(st6, b)[0], block6)
+        out["cfg6_resonator_readouts_per_sec"] = round(pairs6 / dt, 1)
 
     print(json.dumps(out))
 
