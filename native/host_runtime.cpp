@@ -7,8 +7,13 @@
 // consumed from Python via ctypes (no pybind11 in the image).
 //
 // Concurrency contract (mirrors the Python RingBuffer): single writer,
-// readers receive copies; the monotonic sample clock is updated after the
-// data write so a racing reader sees a consistent prefix.
+// readers receive copies. A seqlock guards the sample data: the writer
+// bumps an epoch around each mutation; readers retry their snapshot when
+// the epoch moved underneath them (bounded retries — after that the
+// possibly-mixed window is accepted rather than stalling a render
+// thread; visualization data tolerates one frame of shear). Element
+// accesses go through relaxed std::atomic_ref so the design is also
+// formally race-free (ThreadSanitizer-clean; see native/stress_test.cpp).
 
 #include <algorithm>
 #include <atomic>
@@ -21,18 +26,41 @@ extern "C" {
 struct SzRing {
     int64_t channels;
     int64_t capacity;
-    int64_t head;                      // next write index
+    std::atomic<int64_t> head;         // next write index (writer-owned)
     std::atomic<int64_t> written;      // monotonic sample clock
+    std::atomic<uint64_t> seq;         // seqlock epoch (odd = writing)
     std::vector<float> data;           // [channels][capacity]
 };
+
+static inline void relaxed_copy(float* dst, const float* src, int64_t n) {
+    for (int64_t i = 0; i < n; ++i) {
+        std::atomic_ref<const float> a(src[i]);
+        dst[i] = a.load(std::memory_order_relaxed);
+    }
+}
+
+static inline void relaxed_store(float* dst, const float* src, int64_t n) {
+    for (int64_t i = 0; i < n; ++i) {
+        std::atomic_ref<float> a(dst[i]);
+        a.store(src[i], std::memory_order_relaxed);
+    }
+}
+
+static inline void relaxed_fill(float* dst, float v, int64_t n) {
+    for (int64_t i = 0; i < n; ++i) {
+        std::atomic_ref<float> a(dst[i]);
+        a.store(v, std::memory_order_relaxed);
+    }
+}
 
 SzRing* sz_ring_create(int64_t channels, int64_t capacity) {
     if (channels <= 0 || capacity <= 0) return nullptr;
     auto* r = new SzRing();
     r->channels = channels;
     r->capacity = capacity;
-    r->head = 0;
+    r->head.store(0, std::memory_order_relaxed);
     r->written.store(0, std::memory_order_relaxed);
+    r->seq.store(0, std::memory_order_relaxed);
     r->data.assign(static_cast<size_t>(channels * capacity), 0.0f);
     return r;
 }
@@ -46,42 +74,43 @@ int64_t sz_ring_clock(const SzRing* r) {
 int64_t sz_ring_capacity(const SzRing* r) { return r->capacity; }
 
 void sz_ring_clear(SzRing* r) {
-    std::fill(r->data.begin(), r->data.end(), 0.0f);
-    r->head = 0;
+    r->seq.fetch_add(1, std::memory_order_acq_rel);
+    relaxed_fill(r->data.data(), 0.0f, static_cast<int64_t>(r->data.size()));
+    r->head.store(0, std::memory_order_relaxed);
     r->written.store(0, std::memory_order_release);
+    r->seq.fetch_add(1, std::memory_order_release);
 }
 
 // block: channel-major [channels][n] contiguous
 void sz_ring_write(SzRing* r, const float* block, int64_t n) {
     if (n <= 0) return;
     const int64_t cap = r->capacity;
+    r->seq.fetch_add(1, std::memory_order_acq_rel);  // odd: writing
+    const int64_t head = r->head.load(std::memory_order_relaxed);
     if (n >= cap) {
         // keep only the trailing capacity samples
         for (int64_t c = 0; c < r->channels; ++c) {
-            std::memcpy(&r->data[c * cap], block + c * n + (n - cap),
-                        sizeof(float) * static_cast<size_t>(cap));
+            relaxed_store(&r->data[c * cap], block + c * n + (n - cap), cap);
         }
-        r->head = 0;
+        r->head.store(0, std::memory_order_relaxed);
     } else {
-        const int64_t first = std::min(n, cap - r->head);
+        const int64_t first = std::min(n, cap - head);
         for (int64_t c = 0; c < r->channels; ++c) {
-            std::memcpy(&r->data[c * cap + r->head], block + c * n,
-                        sizeof(float) * static_cast<size_t>(first));
+            relaxed_store(&r->data[c * cap + head], block + c * n, first);
             if (n - first > 0) {
-                std::memcpy(&r->data[c * cap], block + c * n + first,
-                            sizeof(float) * static_cast<size_t>(n - first));
+                relaxed_store(&r->data[c * cap], block + c * n + first, n - first);
             }
         }
-        r->head = (r->head + n) % cap;
+        r->head.store((head + n) % cap, std::memory_order_relaxed);
     }
     r->written.fetch_add(n, std::memory_order_release);
+    r->seq.fetch_add(1, std::memory_order_release);  // even: stable
 }
 
 // Copy (op=0) or accumulate (op=1) one channel's window ending at
 // absolute clock `end_clock` into dst[n]. Shared core of all reads.
 static int read_channel(const SzRing* r, int64_t end_clock, int64_t channel,
-                        float* dst, int64_t n, int op) {
-    const int64_t written = r->written.load(std::memory_order_acquire);
+                        float* dst, int64_t n, int op, int64_t written) {
     if (end_clock > written) return -2;
     const int64_t behind = written - end_clock;
     if (behind + n > r->capacity) return -1;
@@ -90,34 +119,64 @@ static int read_channel(const SzRing* r, int64_t end_clock, int64_t channel,
     const int64_t pad = n - std::max<int64_t>(avail, 0);
     if (op == 0) std::memset(dst, 0, sizeof(float) * static_cast<size_t>(n));
     if (avail <= 0) return 0;
-    int64_t start = (r->head - behind - avail) % cap;
+    int64_t start = (r->head.load(std::memory_order_relaxed) - behind - avail) % cap;
     if (start < 0) start += cap;
     const float* src = &r->data[channel * cap];
     const int64_t first = std::min(avail, cap - start);
     if (op == 0) {
-        std::memcpy(dst + pad, src + start, sizeof(float) * static_cast<size_t>(first));
+        relaxed_copy(dst + pad, src + start, first);
         if (avail - first > 0)
-            std::memcpy(dst + pad + first, src, sizeof(float) * static_cast<size_t>(avail - first));
+            relaxed_copy(dst + pad + first, src, avail - first);
     } else {
-        for (int64_t i = 0; i < first; ++i) dst[pad + i] += src[start + i];
-        for (int64_t i = 0; i < avail - first; ++i) dst[pad + first + i] += src[i];
+        for (int64_t i = 0; i < first; ++i) {
+            std::atomic_ref<const float> a(src[start + i]);
+            dst[pad + i] += a.load(std::memory_order_relaxed);
+        }
+        for (int64_t i = 0; i < avail - first; ++i) {
+            std::atomic_ref<const float> a(src[i]);
+            dst[pad + first + i] += a.load(std::memory_order_relaxed);
+        }
     }
     return 0;
+}
+
+// Seqlock-validated multi-channel snapshot: retries when the writer moved
+// the epoch mid-copy; after kMaxRetries the (possibly sheared) window is
+// accepted — visualization readers must never stall behind the writer.
+static int read_window_consistent(const SzRing* r, int64_t end_clock,
+                                  float* out, int64_t n, int use_latest) {
+    constexpr int kMaxRetries = 8;
+    int rc = 0;
+    for (int attempt = 0; attempt < kMaxRetries; ++attempt) {
+        const bool last = attempt == kMaxRetries - 1;
+        const uint64_t s1 = r->seq.load(std::memory_order_acquire);
+        // the final attempt copies even mid-write: a sheared window beats
+        // returning nothing when the writer saturates the ring
+        if ((s1 & 1) && !last) continue;
+        const int64_t written = r->written.load(std::memory_order_acquire);
+        const int64_t end = use_latest ? written : end_clock;
+        rc = 0;
+        for (int64_t c = 0; c < r->channels; ++c) {
+            rc = read_channel(r, end, c, out + c * n, n, 0, written);
+            if (rc != 0) break;
+        }
+        if (rc != 0) return rc;
+        if (last) return 0;
+        std::atomic_thread_fence(std::memory_order_acquire);
+        if (r->seq.load(std::memory_order_relaxed) == s1) return 0;
+    }
+    return rc;
 }
 
 // Fill out [channels][n] with the window ending at absolute clock
 // `end_clock`; zero-pads regions never written. Returns 0 on success,
 // -1 if the window scrolled out of the ring, -2 if it lies in the future.
 int sz_ring_read_at(const SzRing* r, int64_t end_clock, float* out, int64_t n) {
-    for (int64_t c = 0; c < r->channels; ++c) {
-        const int rc = read_channel(r, end_clock, c, out + c * n, n, 0);
-        if (rc != 0) return rc;
-    }
-    return 0;
+    return read_window_consistent(r, end_clock, out, n, 0);
 }
 
 int sz_ring_latest(const SzRing* r, float* out, int64_t n) {
-    return sz_ring_read_at(r, r->written.load(std::memory_order_acquire), out, n);
+    return read_window_consistent(r, 0, out, n, 1);
 }
 
 // Bulk frame extraction for the device batcher: frame k (k in
@@ -143,23 +202,28 @@ int64_t sz_frame_gather(const SzRing* r, int64_t first_frame, int64_t num_frames
 void sz_ring_seek(SzRing* r, int64_t clock) {
     const int64_t written = r->written.load(std::memory_order_relaxed);
     if (clock <= written) return;
+    r->seq.fetch_add(1, std::memory_order_acq_rel);
     const int64_t gap = clock - written;
+    const int64_t head = r->head.load(std::memory_order_relaxed);
     if (gap >= r->capacity) {
-        std::fill(r->data.begin(), r->data.end(), 0.0f);
-        r->head = 0;
+        relaxed_fill(r->data.data(), 0.0f, static_cast<int64_t>(r->data.size()));
+        r->head.store(0, std::memory_order_relaxed);
         r->written.store(clock, std::memory_order_release);
+        r->seq.fetch_add(1, std::memory_order_release);
         return;
     }
     // zero-fill the gap in ring space
     for (int64_t c = 0; c < r->channels; ++c) {
-        int64_t pos = r->head;
+        int64_t pos = head;
         for (int64_t i = 0; i < gap; ++i) {
-            r->data[c * r->capacity + pos] = 0.0f;
+            std::atomic_ref<float> a(r->data[c * r->capacity + pos]);
+            a.store(0.0f, std::memory_order_relaxed);
             pos = (pos + 1) % r->capacity;
         }
     }
-    r->head = (r->head + gap) % r->capacity;
+    r->head.store((head + gap) % r->capacity, std::memory_order_relaxed);
     r->written.fetch_add(gap, std::memory_order_release);
+    r->seq.fetch_add(1, std::memory_order_release);
 }
 
 // Mix gather: accumulate one channel of a source ring at end_clock into a
@@ -168,7 +232,8 @@ void sz_ring_seek(SzRing* r, int64_t clock) {
 int sz_mix_accumulate(const SzRing* r, int64_t end_clock, int64_t src_channel,
                       float* dst_row, int64_t n) {
     if (src_channel < 0 || src_channel >= r->channels) return -3;
-    return read_channel(r, end_clock, src_channel, dst_row, n, 1);
+    const int64_t written = r->written.load(std::memory_order_acquire);
+    return read_channel(r, end_clock, src_channel, dst_row, n, 1, written);
 }
 
 // ---------------------------------------------------------------------------

@@ -35,7 +35,7 @@ def _build() -> Optional[str]:
             "-march=native",
             "-shared",
             "-fPIC",
-            "-std=c++17",
+            "-std=c++20",
             str(_SRC),
             "-o",
             str(_LIB),
