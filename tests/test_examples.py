@@ -1,0 +1,40 @@
+"""The shipped examples must keep running (CPU, subprocess-isolated)."""
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _run(script, *args, timeout=600):
+    return subprocess.run(
+        [sys.executable, str(ROOT / "examples" / script), *args],
+        capture_output=True, text=True, timeout=timeout, cwd=str(ROOT),
+    )
+
+
+def test_demo_renders_all_views(tmp_path):
+    pytest.importorskip("matplotlib")
+    proc = _run("demo.py", str(tmp_path), "--cpu")
+    assert proc.returncode == 0, proc.stderr[-800:]
+    names = {p.name for p in tmp_path.iterdir()}
+    assert {"spectrum.png", "oscilloscope.png", "vectorscope.png",
+            "spectrogram.png", "session_line_graph.png"} <= names
+    assert "tracker: 440.0 Hz" in proc.stdout
+
+
+def test_multichip_demo_runs():
+    proc = _run("multichip_demo.py", "--cpu")
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert "sharded over 8 devices" in proc.stdout
+    assert "global peak diagnostic" in proc.stdout
+
+
+def test_embedding_host_runs():
+    proc = _run("embedding_host.py", "--cpu")
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert "state round-trip exact: True" in proc.stdout
+    assert "tracker: 440.0 Hz" in proc.stdout
