@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-import functools
 from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
