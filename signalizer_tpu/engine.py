@@ -316,6 +316,29 @@ class SignalizerEngine(SerializableObject):
         self.deserialize(ar)
         return True
 
+    def load_reference_preset(self, path) -> list:
+        """Import one of the reference's binary ``.sgn`` presets
+        (ref corpus: Make/Skeleton/presets/*.sgn, loaded by
+        PluginProcessor.cpp:83-101 / CPresetWidget). Returns the list of
+        views the preset applied to. A ``main`` preset also applies its
+        engine history capacity to the live stream."""
+        from signalizer_tpu.state.sgn_import import apply_preset, load_sgn
+
+        preset = load_sgn(path)
+        applied = apply_preset(
+            preset,
+            vectorscope=self.vectorscope,
+            oscilloscope=self.oscilloscope,
+            spectrum=self.spectrum,
+        )
+        cap = preset.history_capacity()
+        if cap and cap != self.config.history_capacity:
+            self.config.history_capacity = int(cap)
+            self.realtime_input.initialize_info(
+                lambda info: setattr(info, "audio_history_capacity", int(cap))
+            )
+        return applied
+
     def perf_snapshot(self) -> Dict[str, float]:
         """BASELINE observability metrics."""
         mix = self.mix_graph.perf
