@@ -69,6 +69,9 @@ __all__ = [
     "apply_view_parameters",
     "apply_preset",
     "reference_preset_dir",
+    "build_view_parameters",
+    "write_sgn",
+    "save_sgn",
 ]
 
 # block types
@@ -444,3 +447,185 @@ def apply_preset(preset: SgnPreset, *, vectorscope=None, oscilloscope=None,
             apply_view_parameters(content, blob)
             applied.append(view)
     return applied
+
+
+# --------------------------------------------------------------------------
+# export: write our state back in the reference's wire format
+# --------------------------------------------------------------------------
+# Byte-level templates replicate the corpus exactly (the reference's own
+# loader reads these structures). The 16-byte file-header digest is the
+# MD5 of the body — verified against every shipped preset.
+
+# version stamp written into archive masters: cpl::Version(0,4,3) packed
+# as 16-bit fields, matching the reference release the corpus targets.
+_EXPORT_VERSION = (0 << 32) | (4 << 16) | 3
+# the 0x16 info block's header tail as written by the reference (builder
+# metadata; constant across the whole corpus)
+_INFO_TAIL = bytes.fromhex("3a005c004100000004000000 0000".replace(" ", ""))
+
+# our window list -> cpl's 18-entry list (inverse of REF_WINDOW_TABLE;
+# Welch has no cpl equivalent and exports as Triangular)
+_OURS_TO_REF_WINDOW = {
+    WindowType.RECTANGULAR: 0,
+    WindowType.HANN: 1,
+    WindowType.HAMMING: 2,
+    WindowType.FLAT_TOP: 3,
+    WindowType.BLACKMAN: 4,
+    WindowType.EXACT_BLACKMAN: 5,
+    WindowType.NUTTALL: 6,
+    WindowType.BLACKMAN_NUTTALL: 7,
+    WindowType.BLACKMAN_HARRIS: 8,
+    WindowType.GAUSSIAN: 9,
+    WindowType.SLEPIAN: 10,
+    WindowType.KAISER: 12,
+    WindowType.LANCZOS: 15,
+    WindowType.TRIANGULAR: 16,
+    WindowType.WELCH: 16,
+    WindowType.PARZEN: 17,
+}
+
+
+def _key_block(name: str) -> bytes:
+    raw = name.encode("latin1")
+    return struct.pack("<QQH6xQQ", 40, len(raw), _T_KEY, 1, 0) + raw
+
+
+def _data_block(payload: bytes) -> bytes:
+    # the corpus writes 0x73 ('s') in the data header tail
+    return struct.pack("<QQHB5x", 24, len(payload), _T_DATA, 0x73) + payload
+
+
+def _child_block(body: bytes) -> bytes:
+    return struct.pack("<QQH6x", 24, len(body), _T_CHILD) + body
+
+
+def _info_block() -> bytes:
+    return struct.pack("<QQH", 32, 0, _T_INFO) + _INFO_TAIL
+
+
+def _end_block() -> bytes:
+    return struct.pack("<QQH6x", 24, 0, _T_END)
+
+
+def _archive_body(tree: Tree, *, top_level: bool) -> bytes:
+    entries = b"" if top_level else _info_block()
+    for key, value in tree.items():
+        if key != DATA_KEY:
+            entries += _key_block(key)
+        if isinstance(value, dict):
+            entries += _child_block(_archive_body(value, top_level=False))
+        else:
+            entries += _data_block(value)
+    if not top_level:
+        return entries
+    # master block's size field covers master + entries + terminator
+    total = 40 + len(entries) + 24
+    master = struct.pack("<QQH6xQQ", 40, 0, _T_ARCHIVE_MASTER, total, _EXPORT_VERSION)
+    return master + entries + _end_block()
+
+
+def write_sgn(name: str, tree: Tree) -> bytes:
+    """Serialize a keyed tree as a ``.sgn`` archive (the reference's
+    format, incl. the MD5 body digest in the file header)."""
+    import hashlib
+
+    raw_name = name.encode("latin1") + b"\0"
+    body = _archive_body(tree, top_level=True)
+    header = struct.pack("<QQH", 40, len(raw_name), _T_FILE_HEADER)
+    header += hashlib.md5(body).digest() + b"\0" * 6
+    return header + raw_name + body
+
+
+def _build_window_design(bundle) -> List[float]:
+    ours = bundle.get_window_type()
+    ref_index = _OURS_TO_REF_WINDOW.get(ours, 1)
+    type_n = ref_index / (len(REF_WINDOW_TABLE) - 1)
+    symmetry_n = 0.0 if bundle.symmetric.get_transformed() > 0.5 else 0.5
+    return [type_n, symmetry_n,
+            bundle.alpha.get_normalized(), bundle.beta.get_normalized()]
+
+
+def build_view_parameters(content) -> bytes:
+    """Inverse of :func:`apply_view_parameters`: our Content's knobs as the
+    reference's normalized-f64 Parameters blob."""
+    name = type(content).NAME
+    slots = {
+        "Vectorscope": _VECTORSCOPE_SLOTS,
+        "Oscilloscope": _OSCILLOSCOPE_SLOTS,
+        "Spectrum": _SPECTRUM_SLOTS,
+    }[name]
+    out = bytearray()
+
+    def put(*values: float) -> None:
+        out.extend(struct.pack(f"<{len(values)}d", *values))
+
+    for kind, target in slots:
+        if kind == "p":
+            put(getattr(content, target).get_normalized())
+        elif kind == "pr":
+            put(1.0 - getattr(content, target).get_normalized())
+        elif kind == "offs":
+            put(content.view_offsets[target].get_normalized())
+        elif kind == "offs-r":
+            put(1.0 - content.view_offsets[target].get_normalized())
+        elif kind in ("c", "t"):
+            put(*(p.get_normalized() for p in getattr(content, target).parameters()))
+        elif kind == "w":
+            put(*_build_window_design(getattr(content, target)))
+        elif kind == "s":
+            bundle = getattr(content, target)
+            put(bundle.base.get_normalized(), bundle.pivot.get_normalized(),
+                bundle.slope.get_normalized())
+        elif kind == "line":
+            decay, one, two = content.lines[target]
+            put(*(p.get_normalized() for p in one.parameters()))
+            put(*(p.get_normalized() for p in two.parameters()))
+            put(decay.get_normalized())
+        elif kind == "grad":
+            put(*(p.get_normalized() for p in content.spec_colours[target].parameters()))
+            put(content.spec_ratios[target].get_normalized())
+        elif kind == "u64":
+            out.extend(struct.pack("<Q", int(content.audio_history_transformatter.capacity)))
+    return bytes(out)
+
+
+def save_sgn(path, *, vectorscope=None, oscilloscope=None, spectrum=None,
+             history_capacity: Optional[int] = None) -> bytes:
+    """Write a ``.sgn`` preset file from our Contents.
+
+    One view -> a per-view preset named like the reference's
+    (``<anything>.<view>.sgn``); several views -> a ``main`` preset with
+    per-view Parameters children and an Engine capacity leaf.
+
+    Caveat: the reference's *controller* UI state ("Editor" blobs — widget
+    layout, colour scheme) is GUI-only and not reconstructed; our own
+    importer and any Parameters-reading consumer round-trip fully.
+    """
+    contents = {
+        "Vectorscope": vectorscope,
+        "Oscilloscope": oscilloscope,
+        "Spectrum": spectrum,
+    }
+    supplied = {k: v for k, v in contents.items() if v is not None}
+    if not supplied:
+        raise ValueError("supply at least one Content")
+    if len(supplied) == 1:
+        ((view_name, content),) = supplied.items()
+        data = write_sgn(view_name.lower(),
+                         {"Parameters": {DATA_KEY: build_view_parameters(content)}})
+    else:
+        params: Tree = {
+            view: {DATA_KEY: build_view_parameters(content)}
+            for view, content in supplied.items()
+        }
+        cap = history_capacity
+        if cap is None:
+            any_content = next(iter(supplied.values()))
+            tf = getattr(any_content, "audio_history_transformatter",
+                         getattr(any_content, "window_transformatter", None))
+            cap = int(tf.capacity) if tf is not None else 48_000
+        tree: Tree = {"Parameters": params,
+                      "Engine": {DATA_KEY: struct.pack("<Q", cap)}}
+        data = write_sgn("main", tree)
+    Path(path).write_bytes(data)
+    return data

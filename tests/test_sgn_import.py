@@ -197,3 +197,77 @@ def test_truncated_file_rejected():
     data = (CORPUS / "polar.vectorscope.sgn").read_bytes()
     with pytest.raises(SgnFormatError):
         parse_sgn(data[:10])
+
+
+# --------------------------------------------------------------------------
+# export round trips
+# --------------------------------------------------------------------------
+
+
+def test_export_reimport_roundtrip_exact(tmp_path):
+    """Importing a shipped preset and re-exporting produces a blob our
+    importer reads back to identical knob positions."""
+    from signalizer_tpu.state.sgn_import import build_view_parameters, save_sgn
+
+    for src in ["polar.vectorscope.sgn", "sync.oscilloscope.sgn",
+                "analytical.spectrum.sgn"]:
+        view = src.split(".")[1]
+        a = _content_for(view)
+        apply_preset(load_sgn(CORPUS / src), **{view: a})
+        out = tmp_path / f"roundtrip.{view}.sgn"
+        save_sgn(out, **{view: a})
+        b = _content_for(view)
+        apply_preset(load_sgn(out), **{view: b})
+        for pa, pb in zip(a.parameter_set, b.parameter_set):
+            assert pa.get_normalized() == pytest.approx(pb.get_normalized(), abs=1e-12), (
+                src, pa.name)
+
+
+def test_exported_blob_matches_reference_layout():
+    """Re-exporting an imported reference preset reproduces the original
+    Parameters blob byte-for-byte wherever no lossy window substitution is
+    involved (proves the slot tables invert exactly)."""
+    import struct as _s
+
+    from signalizer_tpu.state.sgn_import import build_view_parameters
+
+    src = load_sgn(CORPUS / "polar.vectorscope.sgn")
+    content = VectorScopeContent()
+    apply_preset(src, vectorscope=content)
+    ours = build_view_parameters(content)
+    theirs = src.parameters()
+    assert len(ours) == len(theirs)
+    a = _s.unpack(f"<{len(ours)//8}d", ours)
+    b = _s.unpack(f"<{len(theirs)//8}d", theirs)
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert x == pytest.approx(y, abs=1e-12), f"slot {i}"
+
+
+def test_export_main_preset(tmp_path):
+    from signalizer_tpu.engine import SignalizerEngine
+    from signalizer_tpu.state.sgn_import import save_sgn
+
+    engine = SignalizerEngine("sgn-export-test")
+    try:
+        engine.load_reference_preset(CORPUS / "default.main.sgn")
+        out = tmp_path / "exported.main.sgn"
+        save_sgn(
+            out,
+            vectorscope=engine.vectorscope,
+            oscilloscope=engine.oscilloscope,
+            spectrum=engine.spectrum,
+            history_capacity=engine.config.history_capacity,
+        )
+        reread = load_sgn(out)
+        assert reread.name == "main"
+        assert reread.history_capacity() == engine.config.history_capacity
+        engine2 = SignalizerEngine("sgn-export-test-2")
+        try:
+            engine2.load_reference_preset(out)
+            for i in range(engine.num_parameters()):
+                assert engine.get_parameter(i) == pytest.approx(
+                    engine2.get_parameter(i), abs=1e-12)
+        finally:
+            engine2.close()
+    finally:
+        engine.close()
