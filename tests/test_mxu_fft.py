@@ -1,0 +1,64 @@
+"""MXU-formulated four-step FFT vs the numpy oracle."""
+
+import jax
+import numpy as np
+import pytest
+
+from signalizer_tpu.kernels.mxu_fft import make_plan, mxu_fft, mxu_rfft_half
+
+
+@pytest.mark.parametrize("n", [1024, 4096, 8192, 16384])
+def test_rfft_matches_numpy(n):
+    plan = make_plan(n)
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal((3, n)).astype(np.float32)
+    re, im = jax.jit(lambda v: mxu_rfft_half(plan, v))(x)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    ref = np.fft.rfft(x.astype(np.float64))
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=5e-6)
+
+
+def test_complex_fft_matches_numpy():
+    n = 8192
+    plan = make_plan(n)
+    rng = np.random.default_rng(7)
+    xr = rng.standard_normal((2, n)).astype(np.float32)
+    xi = rng.standard_normal((2, n)).astype(np.float32)
+    re, im = jax.jit(lambda a, b: mxu_fft(plan, a, b))(xr, xi)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    ref = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=5e-6)
+
+
+def test_pure_tone_bin_placement():
+    """A bin-exact sine lands all its energy on the right rfft bin."""
+    n = 4096
+    plan = make_plan(n)
+    k = 129
+    t = np.arange(n)
+    x = np.cos(2 * np.pi * k * t / n).astype(np.float32)[None]
+    re, im = jax.jit(lambda v: mxu_rfft_half(plan, v))(x)
+    mag = np.hypot(np.asarray(re), np.asarray(im))[0]
+    assert int(np.argmax(mag)) == k
+    assert mag[k] == pytest.approx(n / 2, rel=1e-5)
+    others = np.delete(mag, k)
+    assert others.max() < 1e-2 * mag[k]
+
+
+def test_batched_leading_dims():
+    n = 1024
+    plan = make_plan(n)
+    x = np.random.default_rng(0).standard_normal((2, 3, 2, n)).astype(np.float32)
+    re, im = jax.jit(lambda v: mxu_rfft_half(plan, v))(x)
+    assert re.shape == (2, 3, 2, n // 2 + 1)
+    ref = np.fft.rfft(x.astype(np.float64))
+    got = np.asarray(re) + 1j * np.asarray(im)
+    np.testing.assert_allclose(got, ref, atol=5e-3)
+
+
+def test_bad_factorization_rejected():
+    with pytest.raises(ValueError):
+        make_plan(1000, r=128)
