@@ -33,6 +33,16 @@ def test_multichip_demo_runs():
     assert "global peak diagnostic" in proc.stdout
 
 
+def test_preset_gallery_runs(tmp_path):
+    pytest.importorskip("matplotlib")
+    if not pathlib.Path("/root/reference/Make/Skeleton/presets").is_dir():
+        pytest.skip("reference corpus not mounted")
+    proc = _run("preset_gallery.py", str(tmp_path), "--cpu", "--limit", "3")
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert "3 presets" in proc.stdout
+    assert any(p.suffix == ".png" for p in tmp_path.iterdir())
+
+
 def test_embedding_host_runs():
     proc = _run("embedding_host.py", "--cpu")
     assert proc.returncode == 0, proc.stderr[-800:]
