@@ -67,6 +67,11 @@ class SignalizerEngine(SerializableObject):
         )
         self.behaviour = SharedBehaviour()
         self.diagnostics = Diagnostics()
+        # global editor-shell settings (ref: MainEditor's refresh/render/
+        # colour-scheme knobs, MainEditor.cpp:1046-1080) as a data model
+        from signalizer_tpu.views.editor_settings import EditorSettings
+
+        self.editor_settings = EditorSettings()
 
         info = AudioStreamInfo(
             channels=channels,
@@ -275,6 +280,7 @@ class SignalizerEngine(SerializableObject):
         engine = archive.child("Engine")
         engine["historyCapacity"] = self.config.history_capacity
         engine["sampleRate"] = self.config.sample_rate
+        self.editor_settings.serialize(archive.child("Editor"))
         self.host_graph.serialize(archive.child("host-graph"))
 
     def deserialize(self, archive: Archive) -> None:
@@ -296,9 +302,20 @@ class SignalizerEngine(SerializableObject):
                 self.realtime_input.initialize_info(
                     lambda info: setattr(info, "audio_history_capacity", cap)
                 )
+        ed = archive.find_child("Editor")
+        if ed is not None:
+            self.editor_settings.deserialize(ed)
+            self._apply_editor_behaviour()
         hg = archive.find_child("host-graph")
         if hg is not None:
             self.host_graph.deserialize(hg)
+
+    def _apply_editor_behaviour(self) -> None:
+        """Mirror editor toggles into the shared behaviour flags
+        (ref: SharedBehaviour.h consumers)."""
+        s = self.editor_settings
+        self.behaviour.hide_widgets_on_mouse_exit = s.hide_widgets_on_mouse_exit
+        self.behaviour.stop_processing_on_suspend = s.stop_processing_on_suspend
 
     def save_preset(self, name: str) -> None:
         if not self.presets:
@@ -337,6 +354,11 @@ class SignalizerEngine(SerializableObject):
             self.realtime_input.initialize_info(
                 lambda info: setattr(info, "audio_history_capacity", int(cap))
             )
+        if preset.name == "main":
+            from signalizer_tpu.views.editor_settings import EditorSettings
+
+            self.editor_settings = EditorSettings.from_reference_main(preset)
+            self._apply_editor_behaviour()
         return applied
 
     def perf_snapshot(self) -> Dict[str, float]:
