@@ -199,6 +199,34 @@ def test_truncated_file_rejected():
         parse_sgn(data[:10])
 
 
+def test_golden_knob_snapshot():
+    """Locks the decoded knob values of every shipped preset. Delete
+    tests/golden/sgn_presets.json and rerun to regenerate after an
+    *intentional* importer change."""
+    import json
+
+    golden_path = Path(__file__).parent / "golden" / "sgn_presets.json"
+    snapshot = {}
+    for f in sorted(CORPUS.glob("*.sgn")):
+        preset = load_sgn(f)
+        if preset.name == "main":
+            continue
+        content = _content_for(preset.name)
+        apply_preset(preset, **{preset.name: content})
+        snapshot[f.name] = {
+            p.exported_name: round(p.get_normalized(), 12)
+            for p in content.parameter_set
+        }
+    if not golden_path.exists():
+        golden_path.write_text(json.dumps(snapshot, indent=1, sort_keys=True))
+        pytest.skip("golden regenerated")
+    golden = json.loads(golden_path.read_text())
+    assert golden.keys() == snapshot.keys()
+    for name, knobs in snapshot.items():
+        for k, v in knobs.items():
+            assert golden[name][k] == pytest.approx(v, abs=1e-9), (name, k)
+
+
 # --------------------------------------------------------------------------
 # export round trips
 # --------------------------------------------------------------------------
