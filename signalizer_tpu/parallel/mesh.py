@@ -100,6 +100,46 @@ def global_peak_level(results: jax.Array) -> jax.Array:
     return jnp.max(results)
 
 
+def sharded_mix_step(mesh: Mesh, axis: str = "data", max_channels: int = 16):
+    """The multi-instance mix gather as an ICI collective
+    (ref: MixGraphListener::deliver's ring-gather into a ChannelMatrix,
+    MixGraphListener.cpp:247-334 — SURVEY.md §5.8 identifies it as an
+    all-gather with clock synchronization; clock alignment stays on the
+    host in stream/mix_graph.py, and at multi-chip scale the gather+sum
+    itself becomes this ``psum``).
+
+    Inputs per call (jit-compatible, sources sharded over the mesh):
+
+    * ``sources`` [S, in_ch, T] — time-aligned source blocks (the host
+      aligner's output), sharded on S,
+    * ``routing`` [S, in_ch, out_ch] — per-edge gain routing matrix
+      (DirectedPortPair analogue; out_ch <= ``max_channels``), sharded
+      with its sources.
+
+    Returns (mixed [out_ch, T] replicated on every chip, global peak) —
+    every chip ends up with the full presentation block, like every
+    reference instance seeing the same presentation stream.
+    """
+
+    def shard_fn(sources: jax.Array, routing: jax.Array):
+        # local partial mix on this chip's sources; HIGHEST keeps the
+        # audio sum in f32 (TPU matmul defaults to bf16 rounding)
+        partial = jnp.einsum(
+            "sct,sco->ot", sources, routing, precision=jax.lax.Precision.HIGHEST
+        )
+        mixed = jax.lax.psum(partial, axis)
+        peak = jax.lax.pmax(jnp.max(jnp.abs(mixed)), axis)
+        return mixed, peak
+
+    fn = _shard_map(
+        shard_fn,
+        mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(fn)
+
+
 def _shard_map(fn, mesh, in_specs, out_specs):
     try:
         from jax import shard_map  # jax >= 0.5

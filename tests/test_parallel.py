@@ -337,3 +337,28 @@ def test_sharded_oscilloscope_spectral_custom_trigger():
     w = np.asarray(frame.waveform)[:, 0, 16:-16]
     for p in range(1, PAIRS):
         np.testing.assert_allclose(w[p], w[0], atol=0.06)
+
+
+def test_sharded_mix_collective():
+    """The multi-instance mix gather as a psum over the mesh
+    (ref: MixGraphListener.cpp:247-334 / SURVEY.md §5.8): 16 sources
+    sharded over 8 chips mix into one replicated presentation block."""
+    from signalizer_tpu.parallel.mesh import sharded_mix_step
+
+    mesh = _mesh()
+    sources, in_ch, out_ch, t = 16, 2, 16, 256
+    rng = np.random.default_rng(3)
+    src = rng.standard_normal((sources, in_ch, t)).astype(np.float32)
+    # identity-ish routing: source s sends channel c to output (2s+c) % out_ch
+    routing = np.zeros((sources, in_ch, out_ch), np.float32)
+    for s in range(sources):
+        for c in range(in_ch):
+            routing[s, c, (2 * s + c) % out_ch] = 0.5 + 0.5 * (s % 3 == 0)
+    step = sharded_mix_step(mesh)
+    mixed, peak = step(shard_batch(src, mesh), shard_batch(routing, mesh))
+
+    oracle = np.einsum("sct,sco->ot", src.astype(np.float64), routing.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(mixed), oracle, atol=1e-4)
+    assert float(peak) == pytest.approx(np.abs(oracle).max(), rel=1e-5)
+    # the mix is fully replicated: every chip holds the whole block
+    assert mixed.sharding.is_fully_replicated
