@@ -126,8 +126,10 @@ class SgnFormatError(ValueError):
     pass
 
 
-def _walk_blocks(buf: bytes) -> Tree:
+def _walk_blocks(buf: bytes, depth: int = 0) -> Tree:
     """Parse one archive body (a block sequence) into a keyed tree."""
+    if depth > 32:  # the corpus nests 3 deep; bound hostile inputs
+        raise SgnFormatError("archive nesting too deep")
     tree: Tree = {}
     key: Optional[str] = None
     i, n = 0, len(buf)
@@ -145,7 +147,9 @@ def _walk_blocks(buf: bytes) -> Tree:
             key = None
             i += arg
         elif block_type == _T_CHILD:
-            tree[key if key is not None else DATA_KEY] = _walk_blocks(buf[i : i + arg])
+            tree[key if key is not None else DATA_KEY] = _walk_blocks(
+                buf[i : i + arg], depth + 1
+            )
             key = None
             i += arg
         elif block_type in (_T_ARCHIVE_MASTER, _T_INFO, _T_END):

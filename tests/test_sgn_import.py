@@ -199,6 +199,37 @@ def test_truncated_file_rejected():
         parse_sgn(data[:10])
 
 
+def test_parser_survives_hostile_bytes():
+    """Random corruption must raise SgnFormatError (or parse to a tree),
+    never crash, hang, or allocate unboundedly."""
+    import random
+
+    base = (CORPUS / "clean.vectorscope.sgn").read_bytes()
+    rng = random.Random(0)
+    for trial in range(200):
+        data = bytearray(base)
+        for _ in range(rng.randint(1, 8)):
+            data[rng.randrange(len(data))] = rng.randrange(256)
+        try:
+            preset = parse_sgn(bytes(data))
+            # if it parsed, applying may still fail a size check — fine
+            blob = preset.parameters()
+            if blob is not None and preset.name == "vectorscope":
+                try:
+                    apply_view_parameters(VectorScopeContent(), blob)
+                except SgnFormatError:
+                    pass
+        except SgnFormatError:
+            pass
+    # pure-noise inputs
+    for n in (0, 1, 17, 40, 64, 4096):
+        noise = bytes(rng.randrange(256) for _ in range(n))
+        try:
+            parse_sgn(noise)
+        except SgnFormatError:
+            pass
+
+
 def test_golden_knob_snapshot():
     """Locks the decoded knob values of every shipped preset. Delete
     tests/golden/sgn_presets.json and rerun to regenerate after an
