@@ -43,6 +43,16 @@ def test_preset_gallery_runs(tmp_path):
     assert any(p.suffix == ".png" for p in tmp_path.iterdir())
 
 
+def test_live_viewer_headless(tmp_path):
+    pytest.importorskip("matplotlib")
+    proc = _run("live_viewer.py", "--cpu", "--frames", "1", "--out", str(tmp_path))
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert "wrote 4 frames" in proc.stdout
+    names = {p.name for p in tmp_path.iterdir()}
+    assert {"spectrum_00.png", "oscilloscope_00.png", "vectorscope_00.png",
+            "spectrogram_00.png"} <= names
+
+
 def test_embedding_host_runs():
     proc = _run("embedding_host.py", "--cpu")
     assert proc.returncode == 0, proc.stderr[-800:]
