@@ -277,6 +277,25 @@ class MixGraph:
             if st.offset is None:
                 continue  # never delivered: contributes silence
             src_end = emit_end - st.offset
+            # native rings fuse the aligned gather + accumulate in C++
+            # (sz_mix_accumulate) — no intermediate block copy; availability
+            # is consistent across pairs, so a False on the first pair means
+            # the window scrolled out (count it as silence, like the
+            # ValueError path below)
+            if hasattr(st.ring, "mix_accumulate"):
+                scrolled_out = False
+                for p in st.pairs:
+                    # Bugs.txt #2: validate against the source's REAL channels
+                    if p.source < st.channels and p.destination < channels:
+                        if not st.ring.mix_accumulate(
+                            int(src_end), p.source, matrix[p.destination]
+                        ):
+                            scrolled_out = True
+                            break
+                if scrolled_out:
+                    with self._perf_lock:
+                        self._perf.silence_inserted += count
+                continue
             try:
                 data = st.ring.read_at(int(src_end), count)
             except ValueError:

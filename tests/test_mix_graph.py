@@ -413,3 +413,39 @@ def test_sidechain_connect_does_not_displace_self_stream():
     np.testing.assert_allclose(got[0], 0.5, atol=1e-6)
     np.testing.assert_allclose(got[1, 256:], 0.75, atol=1e-6)
     mix.close()
+
+
+def test_deliver_native_matches_numpy_rings(monkeypatch):
+    """The fused native gather+accumulate (sz_mix_accumulate) produces the
+    exact same presentation stream as the numpy read_at + add path."""
+    import functools
+
+    import signalizer_tpu.stream.mix_graph as mg
+    from signalizer_tpu.stream.ring_buffer import make_ring_buffer
+
+    rng = np.random.default_rng(11)
+    blocks = [rng.standard_normal((2, 128)).astype(np.float32) for _ in range(6)]
+    outs = []
+    for prefer in (True, False):
+        monkeypatch.setattr(
+            mg, "make_ring_buffer",
+            functools.partial(make_ring_buffer, prefer_native=prefer),
+        )
+        inp_a, out_a, ga = _make_instance(f"na-{prefer}")
+        inp_b, out_b, gb = _make_instance(f"nb-{prefer}")
+        mix = MixGraph(ga, out_a)
+        sink = _Sink()
+        mix.presentation_output.add_listener(sink)
+        ga.topology[ga.node_id] = {PortPair(0, 0), PortPair(1, 1)}
+        ga.connect(gb.node_id, PortPair(0, 1))
+        ga.connect(gb.node_id, PortPair(1, 0))
+        for i, blk in enumerate(blocks):
+            ph = Playhead(steady_clock=i * 128)
+            inp_b.process_incoming_audio(blk[::-1].copy(), ph)
+            inp_a.process_incoming_audio(blk, ph)
+        outs.append(sink.concat())
+        mix.close()
+    native_out, numpy_out = outs
+    n = min(native_out.shape[1], numpy_out.shape[1])
+    assert n >= 128
+    np.testing.assert_array_equal(native_out[:, -n:], numpy_out[:, -n:])
