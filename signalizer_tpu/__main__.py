@@ -1,0 +1,162 @@
+"""Standalone analyzer CLI — the reference's standalone-app analogue.
+
+The reference ships a JUCE standalone build of the plugin (ref:
+JuceLibraryCode plugin-client standalone wrapper; CHANGELOG "standalone"
+notes). This module is that role for the rebuild: analyse an audio file
+offline with any subset of views and write render-ready images/arrays.
+
+Usage:
+    python -m signalizer_tpu analyze input.wav [--out dir]
+        [--views spectrum,oscilloscope,vectorscope,spectrogram]
+        [--preset file.sgn] [--axis-points 1024] [--pixels 1024]
+        [--seconds N] [--npz] [--cpu]
+    python -m signalizer_tpu presets            # list factory presets
+
+Accepts PCM/float WAV; stereo is analysed as one pair, mono gets the
+reference's mono surrogate (zero right channel).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+import numpy as np
+
+
+def _load_wav(path: str, max_seconds: float | None):
+    from scipy.io import wavfile
+
+    fs, data = wavfile.read(path)
+    if data.dtype.kind == "i":
+        data = data.astype(np.float32) / float(np.iinfo(data.dtype).max)
+    elif data.dtype.kind == "u":
+        info = np.iinfo(data.dtype)
+        data = (data.astype(np.float32) - (info.max + 1) / 2) / ((info.max + 1) / 2)
+    else:
+        data = data.astype(np.float32)
+    if data.ndim == 1:
+        data = data[:, None]
+    if max_seconds:
+        data = data[: int(max_seconds * fs)]
+    return float(fs), np.ascontiguousarray(data.T)  # [channels, samples]
+
+
+def cmd_analyze(args) -> int:
+    from signalizer_tpu.engine import SignalizerEngine
+    from signalizer_tpu.session import AnalysisSession
+    from signalizer_tpu.stream.audio_stream import Playhead
+    from signalizer_tpu.views.render import (
+        render_line_graph_frame,
+        render_oscilloscope,
+        render_spectrogram,
+        render_vectorscope,
+    )
+
+    fs, audio = _load_wav(args.input, args.seconds)
+    out = pathlib.Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    views = tuple(v.strip() for v in args.views.split(",") if v.strip())
+
+    eng = SignalizerEngine("cli", sample_rate=fs,
+                           history_capacity=max(48_000, int(fs)))
+    try:
+        if args.preset:
+            applied = eng.load_reference_preset(args.preset) \
+                if str(args.preset).endswith(".sgn") else None
+            if applied is None:
+                eng.load_preset(str(args.preset))
+            print(f"preset applied: {args.preset}")
+        session = AnalysisSession(eng, views=views,
+                                  axis_points=args.axis_points,
+                                  pixels=args.pixels)
+        hop = 1024
+        n = audio.shape[1]
+        frame = None
+        for i in range(0, max(n - hop, 1), hop):
+            block = audio[:2, i : i + hop]
+            session.feed(block, Playhead(position_samples=i, steady_clock=i,
+                                         is_playing=True))
+        frame = session.tick()
+        stem = pathlib.Path(args.input).stem
+        written = []
+        if frame.line_graph is not None and "spectrum" in views:
+            written.append(render_line_graph_frame(
+                frame.line_graph, path=str(out / f"{stem}.spectrum.png")))
+        if frame.oscilloscope is not None and "oscilloscope" in views:
+            written.append(render_oscilloscope(
+                frame.oscilloscope, hints=eng.oscilloscope.make_render_hints(),
+                path=str(out / f"{stem}.oscilloscope.png")))
+        if frame.vectorscope is not None and "vectorscope" in views:
+            mode = ("lissajous", "polar")[
+                int(eng.vectorscope.operational_mode.get_transformed())]
+            written.append(render_vectorscope(
+                frame.vectorscope, mode=mode,
+                hints=eng.vectorscope.make_render_hints(),
+                path=str(out / f"{stem}.vectorscope.png")))
+        sg = session._processors.get("spectrogram")
+        if sg is not None and "spectrogram" in views:
+            written.append(render_spectrogram(
+                sg.image, path=str(out / f"{stem}.spectrogram.png")))
+        if args.npz:
+            arrays = {}
+            if frame.spectrum is not None:
+                arrays["spectrum"] = np.asarray(frame.spectrum)
+            if frame.oscilloscope is not None:
+                arrays["waveform"] = np.asarray(frame.oscilloscope.waveform)
+            if frame.vectorscope is not None:
+                arrays["vertices"] = np.asarray(frame.vectorscope.vertices)
+            if sg is not None:
+                arrays["spectrogram"] = np.asarray(sg.image.snapshot())
+            npz = out / f"{stem}.arrays.npz"
+            np.savez_compressed(npz, **arrays)
+            written.append(str(npz))
+        session.close()
+        print(f"analyzed {n / fs:.2f}s @ {fs:.0f} Hz -> {len(written)} outputs in {out}")
+        for w in written:
+            print(" ", w)
+        return 0
+    finally:
+        eng.close()
+
+
+def cmd_presets(_args) -> int:
+    from signalizer_tpu.state.factory_presets import FACTORY_PRESETS
+
+    for name in sorted(FACTORY_PRESETS):
+        print(name)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="python -m signalizer_tpu")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (authoritative jax.config)")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    pa = sub.add_parser("analyze", help="analyse an audio file offline")
+    pa.add_argument("input")
+    pa.add_argument("--out", default="analysis_out")
+    pa.add_argument("--views",
+                    default="spectrum,oscilloscope,vectorscope,spectrogram")
+    pa.add_argument("--preset", default=None,
+                    help="a .sgn (reference) or named framework preset")
+    pa.add_argument("--axis-points", type=int, default=1024)
+    pa.add_argument("--pixels", type=int, default=1024)
+    pa.add_argument("--seconds", type=float, default=None,
+                    help="only analyse the first N seconds")
+    pa.add_argument("--npz", action="store_true",
+                    help="also dump raw render arrays as .npz")
+    pa.set_defaults(fn=cmd_analyze)
+    pp = sub.add_parser("presets", help="list factory presets")
+    pp.set_defaults(fn=cmd_presets)
+    args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

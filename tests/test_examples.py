@@ -43,6 +43,34 @@ def test_preset_gallery_runs(tmp_path):
     assert any(p.suffix == ".png" for p in tmp_path.iterdir())
 
 
+def test_cli_analyze_wav(tmp_path):
+    """python -m signalizer_tpu analyze — the standalone-app analogue."""
+    pytest.importorskip("matplotlib")
+    import numpy as np
+    from scipy.io import wavfile
+
+    fs = 48000
+    t = np.arange(fs) / fs
+    wav = tmp_path / "tone.wav"
+    stereo = np.stack([np.sin(2 * np.pi * 440 * t),
+                       0.5 * np.sin(2 * np.pi * 440 * t + 0.4)], axis=1)
+    wavfile.write(str(wav), fs, stereo.astype(np.float32))
+    out = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "signalizer_tpu", "--cpu", "analyze", str(wav),
+         "--out", str(out), "--npz", "--axis-points", "256", "--pixels", "256"],
+        capture_output=True, text=True, timeout=600, cwd=str(ROOT),
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    names = {p.name for p in out.iterdir()}
+    assert {"tone.spectrum.png", "tone.oscilloscope.png",
+            "tone.vectorscope.png", "tone.spectrogram.png",
+            "tone.arrays.npz"} <= names
+    arrays = np.load(out / "tone.arrays.npz")
+    assert np.isfinite(arrays["spectrum"]).all()
+    assert arrays["vertices"].shape[-1] == 3
+
+
 def test_live_viewer_headless(tmp_path):
     pytest.importorskip("matplotlib")
     proc = _run("live_viewer.py", "--cpu", "--frames", "1", "--out", str(tmp_path))
