@@ -148,7 +148,8 @@ def _shard_map(fn, mesh, in_specs, out_specs):
     return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 
-def sharded_oscilloscope_step(constant, mesh: Mesh, axis: str = "data"):
+def sharded_oscilloscope_step(constant, mesh: Mesh, axis: str = "data",
+                              pairs: Optional[int] = None):
     """Multi-chip oscilloscope step, data-parallel over channel pairs
     (the reference parallelizes all views over pairs —
     ref: SpectrumDSP.cpp:83 parallel_for / CHANGELOG 0.4.0).
@@ -157,14 +158,32 @@ def sharded_oscilloscope_step(constant, mesh: Mesh, axis: str = "data"):
     (frame, new_state, global_level)`` with state/history/frame sharded on
     their leading pairs axis (state stays chip-resident across steps) and
     a ``pmax`` level diagnostic riding ICI.
+
+    ``pairs``: total pair count across the mesh; when given, pairs beyond
+    the first draw with hue-rotated key colours exactly like the
+    single-device processor (ref: CHANGELOG 0.4.0 multi-pair colours).
+    Each shard slices its rows out of the replicated rotation table by
+    its mesh position — no extra collective.
     """
     from signalizer_tpu.views.oscilloscope import osc_step_impl
 
     spec_b = P(axis)
+    key_table = None
+    if pairs is not None and pairs > 1:
+        from signalizer_tpu.core.constant import host_view
+        from signalizer_tpu.utils.colour import pair_key_table
+
+        kc = host_view(constant, "key_colours")
+        key_table = jnp.asarray(pair_key_table(kc[0], kc[1], pairs))
 
     def shard_fn(state, history, window, transport, new_samples):
+        pair_keys = None
+        if key_table is not None:
+            lp = history.shape[0]
+            i = jax.lax.axis_index(axis)
+            pair_keys = jax.lax.dynamic_slice(key_table, (i * lp, 0, 0), (lp, 2, 3))
         frame, new_state = osc_step_impl(
-            constant, state, history, window, transport, new_samples
+            constant, state, history, window, transport, new_samples, pair_keys
         )
         level = jax.lax.pmax(jnp.max(jnp.abs(history)), axis)
         return frame, new_state, level

@@ -46,6 +46,20 @@ class ColourRotation:
         return self._table
 
 
+def pair_key_table(primary, secondary, pairs: int) -> np.ndarray:
+    """Per-pair oscilloscope key colours: pair 0 keeps the user's
+    primary/secondary, pairs beyond hue-rotate both by ``p / pairs``
+    (ref: CHANGELOG 0.4.0 "colours beyond the first pair are automatically
+    distinct but based on the primary pair"; ColourRotation,
+    CommonSignalizer.h:936). Returns [pairs, 2, 3] float32."""
+    out = np.empty((max(1, pairs), 2, 3), np.float32)
+    for p in range(max(1, pairs)):
+        rot = p / max(1, pairs)
+        out[p, 0] = with_rotated_hue(primary, rot) if p else tuple(primary[:3])
+        out[p, 1] = with_rotated_hue(secondary, rot) if p else tuple(secondary[:3])
+    return out
+
+
 @dataclass
 class LegendEntry:
     name: str

@@ -168,7 +168,7 @@ def make_oscilloscope_constant(
     second = np.asarray(
         secondary_colour if secondary_colour is not None else key_colour, np.float32
     )
-    return OscilloscopeConstant(
+    constant = OscilloscopeConstant(
         channel_mode=OscChannels(channel_mode),
         trigger_mode=TriggerMode(trigger_mode),
         interpolation=SubSampleInterpolation(interpolation),
@@ -190,6 +190,14 @@ def make_oscilloscope_constant(
         manual_gain=jnp.asarray(manual_gain, jnp.float32),
         custom_trigger_frequency=jnp.asarray(custom_trigger_frequency, jnp.float32),
     )
+    # host mirror (not a pytree field) — see core.constant.host_view: never
+    # read device leaves back on the remote-TPU tunnel
+    object.__setattr__(
+        constant,
+        "_host_data",
+        dict(key_colours=np.stack([key[:3], second[:3]]).astype(np.float64)),
+    )
+    return constant
 
 
 class OscilloscopeState(NamedTuple):
@@ -273,6 +281,16 @@ class OscilloscopeProcessor:
         # scalars every dispatch costs more than the compute on a remote-TPU
         # link (one host->device transfer each)
         self._scalar_cache: dict = {}
+        # pairs beyond the first draw with hue-rotated key colours
+        # (ref: CHANGELOG 0.4.0 / ColourRotation)
+        if pairs > 1:
+            from signalizer_tpu.core.constant import host_view
+            from signalizer_tpu.utils.colour import pair_key_table
+
+            kc = host_view(constant, "key_colours")
+            self._pair_keys = jnp.asarray(pair_key_table(kc[0], kc[1], pairs))
+        else:
+            self._pair_keys = None
         self._state = self._init_state()
 
     # legacy attribute views (round-1 public surface)
@@ -359,7 +377,9 @@ class OscilloscopeProcessor:
                 jnp.asarray(key[2], jnp.float32),
             )
             self._scalar_cache[key] = scalars
-        frame, self._state = _osc_step(self.constant, self._state, history, *scalars)
+        frame, self._state = _osc_step(
+            self.constant, self._state, history, *scalars, self._pair_keys
+        )
         if (
             self.time_mode == TimeMode.CYCLES
             and self.constant.trigger_mode == TriggerMode.SPECTRAL
@@ -433,9 +453,14 @@ def osc_step_impl(
     window: jax.Array,
     transport_position: jax.Array,
     new_samples: jax.Array,
+    pair_keys: Optional[jax.Array] = None,
 ) -> Tuple[OscilloscopeFrame, OscilloscopeState]:
     """Pure (unjitted) oscilloscope step — shard_map-able over the pairs
-    axis (see :mod:`signalizer_tpu.parallel.mesh`)."""
+    axis (see :mod:`signalizer_tpu.parallel.mesh`).
+
+    ``pair_keys`` [pairs, 2, 3]: per-pair hue-rotated primary/secondary
+    colours (ref: CHANGELOG 0.4.0 multi-pair colour distinctness /
+    ColourRotation); ``None`` = every pair uses the constant's colours."""
     pairs, _, h = history.shape
     pixels = constant.pixels
     sample_rate = constant.sample_rate
@@ -550,8 +575,12 @@ def osc_step_impl(
     wave = wave * gain[:, None, None]
 
     # per-row key colours (ref: primaryColour/secondaryColour,
-    # OscilloscopeParameters.h; ChannelData.h:58-66 aux colour buffers)
-    key = constant.key_colours[: rows.shape[1]]  # [rows, 3]
+    # OscilloscopeParameters.h; ChannelData.h:58-66 aux colour buffers),
+    # hue-rotated per pair when pair_keys is supplied
+    if pair_keys is None:
+        key = constant.key_colours[: rows.shape[1]]  # [rows, 3]
+    else:
+        key = pair_keys[:, : rows.shape[1], :]  # [pairs, rows, 3]
 
     # --- colouring ----------------------------------------------------------
     if constant.colour_enabled:
@@ -573,9 +602,8 @@ def osc_step_impl(
     else:
         new_xover = state.crossover
         new_smooth = state.colour_smooth
-        pix_colours = jnp.broadcast_to(
-            key[None, :, None, :], (pairs, rows.shape[1], pixels, 3)
-        )
+        flat_key = key[None, :, None, :] if key.ndim == 2 else key[:, :, None, :]
+        pix_colours = jnp.broadcast_to(flat_key, (pairs, rows.shape[1], pixels, 3))
 
     frame = OscilloscopeFrame(
         waveform=wave,

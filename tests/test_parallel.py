@@ -362,3 +362,44 @@ def test_sharded_mix_collective():
     assert float(peak) == pytest.approx(np.abs(oracle).max(), rel=1e-5)
     # the mix is fully replicated: every chip holds the whole block
     assert mixed.sharding.is_fully_replicated
+
+
+def test_multipair_hue_rotation_matches_sharded():
+    """Pairs beyond the first draw with hue-rotated key colours
+    (ref: CHANGELOG 0.4.0), identically on the single-device and sharded
+    paths."""
+    from signalizer_tpu.views.oscilloscope import (
+        OscilloscopeProcessor,
+        TriggerMode,
+        make_oscilloscope_constant,
+    )
+
+    mesh = _mesh()
+    pairs = PAIRS
+    oc = make_oscilloscope_constant(
+        channel_mode=OscChannels.SEPARATE,
+        trigger_mode=TriggerMode.NONE,
+        pixels=64,
+        lookahead=128,
+        key_colour=(0.2, 0.9, 0.3),
+        secondary_colour=(0.9, 0.2, 0.3),
+        colour_enabled=False,
+    )
+    proc = OscilloscopeProcessor(oc, pairs=pairs, window_samples=128.0)
+    hist = np.random.default_rng(0).standard_normal((pairs, 2, 256)).astype(np.float32)
+    frame = proc.process(hist)
+    cols = np.asarray(frame.colours)  # [pairs, rows, pixels, 3]
+    # pair 0 keeps the user colours; later pairs differ but keep luminance class
+    np.testing.assert_allclose(cols[0, 0, 0], (0.2, 0.9, 0.3), atol=1e-6)
+    np.testing.assert_allclose(cols[0, 1, 0], (0.9, 0.2, 0.3), atol=1e-6)
+    distinct = {tuple(np.round(cols[p, 0, 0], 4)) for p in range(pairs)}
+    assert len(distinct) == pairs
+
+    # sharded path produces the same colours
+    step = sharded_oscilloscope_step(oc, mesh, pairs=pairs)
+    proc2 = OscilloscopeProcessor(oc, pairs=pairs, window_samples=128.0)
+    sframe, _, _ = step(
+        shard_batch(proc2.state, mesh), shard_batch(hist, mesh),
+        jnp.float32(128.0), jnp.float32(0.0), jnp.float32(256.0),
+    )
+    np.testing.assert_allclose(np.asarray(sframe.colours), cols, atol=1e-6)
