@@ -361,6 +361,25 @@ class SignalizerEngine(SerializableObject):
             self._apply_editor_behaviour()
         return applied
 
+    def make_legend(self, view: str = "oscilloscope", pairs: int = 1):
+        """Channel legend with the *propagated* source names and the
+        per-pair rotated colours (ref: legend option showing "the source
+        name and colour used to draw it", CHANGELOG 0.4.0; names flow from
+        the graph via enqueueChannelName, MixGraphListener.cpp:210,236)."""
+        from signalizer_tpu.utils.colour import Legend
+
+        info = self.presentation_output._stream.info
+        names = list(info.channel_names)
+        want = max(2 * pairs, info.channels)
+        while len(names) < want:
+            names.append(f"channel {len(names)}")
+        base = {
+            "oscilloscope": self.oscilloscope.primary_colour,
+            "vectorscope": self.vectorscope.waveform_colour,
+            "spectrum": self.spectrum.lines[0][1],
+        }[view].get_rgb()
+        return Legend.for_pairs(names[:want], tuple(float(c) for c in base), pairs)
+
     def perf_snapshot(self) -> Dict[str, float]:
         """BASELINE observability metrics."""
         mix = self.mix_graph.perf

@@ -109,12 +109,15 @@ def render_line_graph_frame(frame, *, path: Optional[str] = None):
     return fig
 
 
-def render_oscilloscope(frame, *, hints: Optional[dict] = None, path: Optional[str] = None):
+def render_oscilloscope(frame, *, hints: Optional[dict] = None, path: Optional[str] = None,
+                        legend=None):
     """OscilloscopeFrame -> waveform plot with min/max envelope.
 
     ``hints``: OscilloscopeContent.make_render_hints() — the view-shell
     knobs the reference's GL renderer consumes (colours, primitive size,
-    dot sampling, channel overlay, view box)."""
+    dot sampling, channel overlay, view box). ``legend``: an optional
+    :class:`signalizer_tpu.utils.colour.Legend` (engine.make_legend) —
+    labels rows with the propagated source channel names."""
     plt = _plt()
     h = hints or {}
     wave = np.asarray(frame.waveform)
@@ -140,7 +143,11 @@ def render_oscilloscope(frame, *, hints: Optional[dict] = None, path: Optional[s
         ax.plot(
             x, wave[0, r], lw=lw, marker=marker, markersize=lw * 2,
             color=tuple(np.clip(colours[0, r, p // 2], 0, 1)),
-            label=("left", "right")[r % 2] if h.get("show_legend") else None,
+            label=(
+                (legend.entries[r].name if legend and r < len(legend.entries)
+                 else ("left", "right")[r % 2])
+                if h.get("show_legend") else None
+            ),
         )
         ax.set_xlim(vl * (p - 1), vr * (p - 1))
         ax.set_ylim(-1.1 + 2.2 * vt * 0, 1.1)  # vertical crop kept subtle

@@ -168,3 +168,32 @@ def test_render_hints_flow_from_contents():
             p1 = render_oscilloscope(frame, hints=oc.make_render_hints(), path=os.path.join(d, "o.png"))
             p2 = render_vectorscope(vframe, hints=vc.make_render_hints(), path=os.path.join(d, "v.png"))
             assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0
+
+
+def test_engine_legend_uses_propagated_channel_names():
+    """The legend carries the graph-propagated source names "instance:port"
+    with per-pair rotated colours (ref: CHANGELOG 0.4.0 legends; names via
+    enqueueChannelName on topology application,
+    MixGraphListener.cpp:210,236)."""
+    import numpy as np
+
+    from signalizer_tpu.engine import SignalizerEngine
+    from signalizer_tpu.stream.host_graph import PortPair
+
+    a = SignalizerEngine("main-track")
+    b = SignalizerEngine("side-chain")
+    try:
+        a.host_graph.topology[a.host_graph.node_id] = {PortPair(0, 0), PortPair(1, 1)}
+        a.host_graph.connect(b.host_graph.node_id, PortPair(0, 1))
+        blk = np.zeros((2, 128), np.float32)
+        b.process_block(blk)
+        a.process_block(blk)  # drains the queued topology commands
+        legend = a.make_legend("oscilloscope", pairs=2)
+        assert legend.entries[0].name == "main-track:0"
+        assert legend.entries[1].name == "side-chain:0"
+        assert legend.entries[2].name.startswith("channel")
+        # pair 1 colour differs (hue rotation) but pair 0 keeps the base
+        assert legend.entries[0].colour != legend.entries[2].colour
+    finally:
+        a.close()
+        b.close()
