@@ -16,7 +16,10 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 def main():
     import jax
 
-    if "--cpu" in sys.argv or True:  # demo default: local virtual mesh
+    # --tpu runs on the attached accelerator mesh (a pod slice uses every
+    # chip); default is a local 8-device virtual CPU mesh so the demo runs
+    # anywhere
+    if "--tpu" not in sys.argv:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
 

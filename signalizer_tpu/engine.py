@@ -318,15 +318,13 @@ class SignalizerEngine(SerializableObject):
         self.behaviour.stop_processing_on_suspend = s.stop_processing_on_suspend
 
     def save_preset(self, name: str) -> None:
-        if not self.presets:
-            raise RuntimeError("engine created without preset_dir")
+        # a factory-only manager (no preset_dir) raises its own
+        # "no writable directory" error on save
         ar = Archive()
         self.serialize(ar)
         self.presets.save(name, ar)
 
     def load_preset(self, name: str) -> bool:
-        if not self.presets:
-            raise RuntimeError("engine created without preset_dir")
         ar = self.presets.try_load(name)
         if ar is None:
             return False

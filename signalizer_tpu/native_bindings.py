@@ -230,8 +230,16 @@ class NativePacketQueue:
     def push(self, block: np.ndarray, position: int, steady: int, bpm: float,
              playing: bool) -> bool:
         """Wait-free producer push; returns False when the queue was full
-        (the packet is dropped and counted — the RT thread never blocks)."""
+        (the packet is dropped and counted — the RT thread never blocks).
+
+        The channel count must match the queue's: the native memcpy loop
+        reads ``channels * n`` floats from the block pointer, so a
+        narrower block (e.g. during a channel reconfigure racing the
+        queue rebuild) would be an out-of-bounds read. Mismatches drop
+        the packet instead."""
         block = np.ascontiguousarray(block, np.float32)
+        if block.ndim != 2 or block.shape[0] != self._out.shape[0]:
+            return False
         rc = self._lib.sz_pq_push(
             self._handle, _fp(block), block.shape[1],
             int(position), int(steady), float(bpm), int(bool(playing)),

@@ -71,6 +71,7 @@ class AnalysisSession:
         self._last_clock = 0
         self._processors: dict = {}
         self._feeds: dict = {}
+        self._sg_listener = None
         self.reconfigure()
 
     # --- flag updates (ref: handleFlagUpdates rebuilds) ---------------------
@@ -104,18 +105,41 @@ class AnalysisSession:
             self._processors["spectrogram"] = eng.make_spectrogram_processor(
                 axis_points=min(self.axis_points, 512)
             )
+            # the spectrogram hopper consumes the *presentation* stream —
+            # the same mixed/aligned audio every other view reads — so
+            # sidechained sources appear in it too (ref: the spectrum's
+            # audioEntryPoint listens on the presentation stream,
+            # SpectrumDSP.cpp:210)
+            if self._sg_listener is not None:
+                eng.presentation_output.remove_listener(self._sg_listener)
+            session = self
+
+            class _SgFeed:
+                def on_stream_audio(self, ctx, block):
+                    sg = session._processors.get("spectrogram")
+                    if sg is None:
+                        return
+                    b = np.asarray(block, np.float32)
+                    if b.shape[0] < 2:  # mono surrogate like the engine
+                        b = np.concatenate(
+                            [b, np.zeros((2 - b.shape[0], b.shape[1]), np.float32)]
+                        )
+                    sg.push(b[:2])
+
+                def on_stream_properties_changed(self, ctx, before):
+                    pass
+
+                def on_stream_died(self, ctx):
+                    pass
+
+            self._sg_listener = _SgFeed()
+            eng.presentation_output.add_listener(self._sg_listener)
 
     # --- audio cadence ------------------------------------------------------
     def feed(self, block: np.ndarray, playhead: Optional[Playhead] = None) -> None:
-        """Real-time audio entry: engine ingest + spectrogram hopper."""
+        """Real-time audio entry: engine ingest (the spectrogram hopper is
+        fed by its presentation-stream listener)."""
         self.engine.process_block(block, playhead)
-        sg = self._processors.get("spectrogram")
-        if sg is not None:
-            history_block = np.asarray(block, np.float32)
-            if history_block.shape[0] < 2:  # mono surrogate like the engine
-                pad = np.zeros((2 - history_block.shape[0], history_block.shape[1]), np.float32)
-                history_block = np.concatenate([history_block, pad], axis=0)
-            sg.push(history_block[:2])
 
     # --- UI cadence -----------------------------------------------------------
     def tick(self) -> SessionFrame:
@@ -213,4 +237,7 @@ class AnalysisSession:
         )
 
     def close(self) -> None:
+        if self._sg_listener is not None:
+            self.engine.presentation_output.remove_listener(self._sg_listener)
+            self._sg_listener = None
         self.engine.close()

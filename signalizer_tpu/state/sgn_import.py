@@ -139,6 +139,10 @@ def _walk_blocks(buf: bytes, depth: int = 0) -> Tree:
         if header_size < 18 or i + header_size > n:
             raise SgnFormatError(f"corrupt block header at {i}")
         i += header_size
+        if block_type in (_T_KEY, _T_DATA, _T_CHILD) and i + arg > n:
+            raise SgnFormatError(
+                f"block payload of {arg} bytes exceeds the remaining {n - i}"
+            )
         if block_type == _T_KEY:
             key = buf[i : i + arg].decode("latin1").rstrip("\0")
             i += arg

@@ -102,6 +102,7 @@ class MixGraph:
         # reusable mix scratch (ref: cpl ChannelMatrix softBufferResize —
         # the delivery path must not allocate per block)
         self._scratch = np.zeros((0, 0), np.float32)
+        self._mix_temp = None  # per-source routed-row gather scratch
 
         # presentation stream (what views listen to)
         info = AudioStreamInfo(
@@ -278,21 +279,36 @@ class MixGraph:
                 continue  # never delivered: contributes silence
             src_end = emit_end - st.offset
             # native rings fuse the aligned gather + accumulate in C++
-            # (sz_mix_accumulate) — no intermediate block copy; availability
-            # is consistent across pairs, so a False on the first pair means
-            # the window scrolled out (count it as silence, like the
-            # ValueError path below)
+            # (sz_mix_accumulate), touching only the *routed* channels
+            # instead of read_at's full [channels, count] copy. The gather
+            # lands in zeroed temp rows first and is only added to the
+            # presentation matrix when every pair succeeded — a writer
+            # overrunning the ring mid-loop must contribute the whole
+            # source or clean silence, never a half-mixed source (same
+            # contract as the read_at path below).
             if hasattr(st.ring, "mix_accumulate"):
-                scrolled_out = False
-                for p in st.pairs:
+                valid = [
+                    p for p in st.pairs
                     # Bugs.txt #2: validate against the source's REAL channels
-                    if p.source < st.channels and p.destination < channels:
-                        if not st.ring.mix_accumulate(
-                            int(src_end), p.source, matrix[p.destination]
-                        ):
-                            scrolled_out = True
-                            break
-                if scrolled_out:
+                    if p.source < st.channels and p.destination < channels
+                ]
+                temp = self._mix_temp
+                if temp is None or temp.shape[0] < len(valid) or temp.shape[1] < count:
+                    temp = self._mix_temp = np.zeros(
+                        (max(len(valid), 4), max(count, 4096)), np.float32
+                    )
+                ok = True
+                for row, p in enumerate(valid):
+                    temp[row, :count] = 0.0
+                    if not st.ring.mix_accumulate(
+                        int(src_end), p.source, temp[row, :count]
+                    ):
+                        ok = False
+                        break
+                if ok:
+                    for row, p in enumerate(valid):
+                        matrix[p.destination] += temp[row, :count]
+                else:
                     with self._perf_lock:
                         self._perf.silence_inserted += count
                 continue

@@ -277,6 +277,8 @@ class OscilloscopeProcessor:
         self.bpm = float(bpm)
         self.bpm_source = bpm_source  # callable returning the live bpm
         self._last_cycle_samples = 0.0
+        self._cycle_window_dev = None  # device-resident Cycles window chain
+        self._cycle_samples_dev = None
         # per-call scalar args are cached on device: re-uploading three tiny
         # scalars every dispatch costs more than the compute on a remote-TPU
         # link (one host->device transfer each)
@@ -366,40 +368,67 @@ class OscilloscopeProcessor:
             if self.time_mode == TimeMode.TIME
             else self.effective_window_samples()
         )
-        key = (window, float(transport_position), int(new_samples))
-        scalars = self._scalar_cache.get(key)
-        if scalars is None:
-            if len(self._scalar_cache) > 64:
-                self._scalar_cache.clear()
-            scalars = (
-                jnp.asarray(key[0], jnp.float32),
-                jnp.asarray(key[1], jnp.float32),
-                jnp.asarray(key[2], jnp.float32),
-            )
-            self._scalar_cache[key] = scalars
-        frame, self._state = _osc_step(
-            self.constant, self._state, history, *scalars, self._pair_keys
-        )
-        if (
+        cycles_live = (
             self.time_mode == TimeMode.CYCLES
             and self.constant.trigger_mode == TriggerMode.SPECTRAL
-        ):
+        )
+        # per-value scalar caches: window and new_samples are stable across
+        # live frames (cache hits); transport changes every playing frame,
+        # so its upload is inherent — cache it separately so it never
+        # evicts the stable ones
+        window_dev = (
+            self._cycle_window_dev
+            if cycles_live and self._cycle_window_dev is not None
+            else self._dev_scalar(float(window))
+        )
+        frame, self._state = _osc_step(
+            self.constant, self._state, history,
+            window_dev,
+            self._dev_scalar(float(transport_position)),
+            self._dev_scalar(float(int(new_samples))),
+            self._pair_keys,
+        )
+        if cycles_live:
             # feed the detected fundamental back into the next window
             # (ref: triggerState.cycleSamples -> effectiveWindowSize,
-            # Oscilloscope.cpp:299-303). Host feedback forces one device
-            # sync per frame — inherent: the window is a host-side scalar.
-            f0 = float(frame.fundamental[0])
-            if f0 > 0:
-                self._last_cycle_samples = self.constant.sample_rate / f0
+            # Oscilloscope.cpp:299-303) — computed ON DEVICE: a host
+            # readback here would permanently degrade remote-TPU
+            # transports to synchronous dispatch (see CLAUDE.md)
+            v = self.window_value if self.window_value is not None else self.window_samples
+            self._cycle_window_dev, self._cycle_samples_dev = _cycle_feedback(
+                frame.fundamental, window_dev,
+                self._cycle_samples_dev
+                if self._cycle_samples_dev is not None
+                else self._dev_scalar(0.0),
+                self._dev_scalar(float(v)),
+                self._dev_scalar(self.constant.sample_rate),
+            )
         return frame
+
+    def _dev_scalar(self, value: float) -> jax.Array:
+        """Device-cached f32 scalar: re-uploading tiny scalars every
+        dispatch costs more than the compute on a remote-TPU link."""
+        s = self._scalar_cache.get(value)
+        if s is None:
+            if len(self._scalar_cache) > 64:
+                self._scalar_cache.clear()
+            s = self._scalar_cache[value] = jnp.asarray(value, jnp.float32)
+        return s
 
     def effective_window_samples(self) -> float:
         """The window actually displayed this frame, per time mode
-        (ref: Oscilloscope.cpp:293-308)."""
+        (ref: Oscilloscope.cpp:293-308).
+
+        Cycles mode syncs the detected cycleSamples from the device — an
+        explicit host readout for UI/formatting; the processing loop
+        itself keeps the feedback device-resident (on remote-TPU
+        transports, call this at UI cadence only)."""
         if self.time_mode == TimeMode.TIME:
             return self.window_samples
         v = self.window_value if self.window_value is not None else self.window_samples
         if self.time_mode == TimeMode.CYCLES:
+            if self._cycle_samples_dev is not None:
+                self._last_cycle_samples = float(jax.device_get(self._cycle_samples_dev))
             return max(128.0, v * max(self._last_cycle_samples, 1.0) + 1.0)
         bpm = self.bpm_source() if self.bpm_source is not None else self.bpm
         return max(128.0, self.constant.sample_rate * 60.0 / (max(10.0, bpm) * max(v, 1e-9)))
@@ -626,3 +655,19 @@ def osc_step_impl(
 
 
 _osc_step = jax.jit(osc_step_impl, donate_argnums=(1,))
+
+
+@jax.jit
+def _cycle_feedback(fundamental, prev_window, prev_cycles, window_value, sample_rate):
+    """Next Cycles-mode window from the detected fundamental, device-side
+    (ref: Oscilloscope.cpp:299-303): cycleSamples = fs / f0,
+    window = value * cycleSamples + 1, floored at 128; an undetected
+    fundamental keeps the previous window."""
+    f0 = fundamental[0]
+    cycles = sample_rate / jnp.maximum(f0, 1e-9)
+    cand = jnp.maximum(128.0, window_value * jnp.maximum(cycles, 1.0) + 1.0)
+    ok = f0 > 0
+    return (
+        jnp.where(ok, cand, prev_window).astype(jnp.float32),
+        jnp.where(ok, cycles, prev_cycles).astype(jnp.float32),
+    )

@@ -150,7 +150,9 @@ def render_oscilloscope(frame, *, hints: Optional[dict] = None, path: Optional[s
             ),
         )
         ax.set_xlim(vl * (p - 1), vr * (p - 1))
-        ax.set_ylim(-1.1 + 2.2 * vt * 0, 1.1)  # vertical crop kept subtle
+        # vertical view box: vt crops from the top, vb from the bottom
+        # (ViewTop/ViewBottom, already un-reversed by the content layer)
+        ax.set_ylim(1.1 - 2.2 * max(vb, vt + 1e-3), 1.1 - 2.2 * vt)
         if gc is not None:
             ax.grid(True, alpha=0.3, color=tuple(np.clip(np.asarray(gc)[:3], 0, 1)))
         else:

@@ -107,3 +107,37 @@ def test_session_fuzz_knobs_and_reconfigures():
         if frame.vectorscope is not None:
             assert np.isfinite(np.asarray(frame.vectorscope.vertices)).all(), step
     s.close()
+
+
+def test_spectrogram_sees_sidechained_sources():
+    """The session spectrogram consumes the mixed presentation stream —
+    audio arriving only via a sidechain connection must appear in it
+    (every other view already reads the presentation history)."""
+    from signalizer_tpu.engine import SignalizerEngine
+    from signalizer_tpu.session import AnalysisSession
+    from signalizer_tpu.stream.host_graph import PortPair
+
+    a = SignalizerEngine("sg-main")
+    b = SignalizerEngine("sg-side")
+    try:
+        a.host_graph.topology[a.host_graph.node_id] = {PortPair(0, 0), PortPair(1, 1)}
+        a.host_graph.connect(b.host_graph.node_id, PortPair(0, 0))
+        session = AnalysisSession(a, views=("spectrogram",), axis_points=128)
+        fs = a.config.sample_rate
+        t = np.arange(1024) / fs
+        tone = np.stack([np.sin(2 * np.pi * 1000 * t), 0 * t]).astype(np.float32)
+        silence = np.zeros_like(tone)
+        from signalizer_tpu.stream.audio_stream import Playhead
+
+        for i in range(24):
+            ph = Playhead(steady_clock=i * 1024)
+            b.process_block(tone, ph)      # the sidechain carries the tone
+            session.feed(silence, ph)      # the main engine hears silence
+        frame = session.tick()
+        cols = frame.spectrogram_columns
+        assert cols is not None and cols.shape[0] > 0
+        # the tone mixed in through the graph must light up the columns
+        assert np.asarray(cols)[..., :3].max() > 0
+        session.close()
+    finally:
+        b.close()
