@@ -57,7 +57,7 @@ class AnalysisSession:
         views: Sequence[str] = ALL_VIEWS,
         axis_points: int = 1024,
         pixels: int = 1024,
-        frame_rate: float = 60.0,
+        frame_rate: Optional[float] = None,
         build_line_graph: bool = True,
         cursor_fraction: Optional[float] = None,
     ):
@@ -65,6 +65,10 @@ class AnalysisSession:
         self.views = tuple(views)
         self.axis_points = axis_points
         self.pixels = pixels
+        if frame_rate is None:
+            # follow the engine's editor refresh setting (ref: the UI pump
+            # timer cadence, MainEditor.cpp:393-400)
+            frame_rate = 1000.0 / max(engine.editor_settings.refresh_rate_ms, 1.0)
         self.frame_rate = frame_rate
         self.build_line_graph = build_line_graph
         self.cursor_fraction = cursor_fraction

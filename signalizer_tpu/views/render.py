@@ -168,11 +168,13 @@ def render_oscilloscope(frame, *, hints: Optional[dict] = None, path: Optional[s
 
 
 def render_vectorscope(frame, *, mode: str = "lissajous", hints: Optional[dict] = None,
-                       path: Optional[str] = None):
+                       path: Optional[str] = None, legend=None):
     """VectorscopeFrame -> point cloud + meter bars.
 
     ``hints``: VectorScopeContent.make_render_hints() — colours, primitive
-    size, interconnect/fade toggles and the 3D transform."""
+    size, interconnect/fade toggles and the 3D transform. ``legend``: an
+    optional Legend (engine.make_legend) titles the plot with the source
+    names."""
     plt = _plt()
     h = hints or {}
     v = np.asarray(frame.vertices)[0]
@@ -202,7 +204,11 @@ def render_vectorscope(frame, *, mode: str = "lissajous", hints: Optional[dict] 
         ax.grid(True, alpha=0.3)
     bal = float(np.asarray(frame.balance)[0, 0])
     corr = float(np.asarray(frame.correlation_bars)[0, 0])
-    ax.set_title(f"balance {bal:.2f}  correlation {corr:.2f}", fontsize=9)
+    title = f"balance {bal:.2f}  correlation {corr:.2f}"
+    if legend is not None and legend.entries and h.get("show_legend", True):
+        names = " + ".join(e.name for e in legend.entries[:2])
+        title = f"{names}\n{title}"
+    ax.set_title(title, fontsize=9)
     fig.tight_layout()
     if path:
         fig.savefig(path)
