@@ -76,6 +76,8 @@ class AnalysisSession:
         self._processors: dict = {}
         self._feeds: dict = {}
         self._sg_listener = None
+        self.freeze = False  # ref: MainEditor kfreeze (hold the display)
+        self._frozen_frame: Optional[SessionFrame] = None
         self.reconfigure()
 
     # --- flag updates (ref: handleFlagUpdates rebuilds) ---------------------
@@ -147,8 +149,15 @@ class AnalysisSession:
 
     # --- UI cadence -----------------------------------------------------------
     def tick(self) -> SessionFrame:
-        """One render tick: run every active view on the freshest history."""
+        """One render tick: run every active view on the freshest history.
+
+        While :attr:`freeze` is set the last frame is returned unchanged
+        and the history cursor does not advance — the editor's freeze mode
+        (ref: MainEditor kfreeze; a frozen view holds its display and
+        resumes from live audio when unfrozen)."""
         eng = self.engine
+        if self.freeze and self._frozen_frame is not None:
+            return self._frozen_frame
         clock = eng.presentation_output.sample_clock
         new_samples = max(0, clock - self._last_clock)
         self._last_clock = clock
@@ -230,7 +239,7 @@ class AnalysisSession:
         if sg is not None:
             cols = protected_call(lambda: sg.pull(), context="spectrogram")
 
-        return SessionFrame(
+        frame = SessionFrame(
             spectrum=spectrum,
             line_graph=line_graph,
             oscilloscope=osc,
@@ -239,6 +248,8 @@ class AnalysisSession:
             tracker=tracker,
             diagnostics=eng.diagnostics.snapshot(),
         )
+        self._frozen_frame = frame
+        return frame
 
     def close(self) -> None:
         if self._sg_listener is not None:

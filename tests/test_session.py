@@ -141,3 +141,29 @@ def test_spectrogram_sees_sidechained_sources():
         session.close()
     finally:
         b.close()
+
+
+def test_freeze_holds_the_display():
+    """Freeze returns the same frame without consuming; unfreezing resumes
+    from live audio (ref: MainEditor kfreeze)."""
+    from signalizer_tpu.engine import SignalizerEngine
+    from signalizer_tpu.session import AnalysisSession
+
+    eng = SignalizerEngine("freeze-test")
+    session = AnalysisSession(eng, views=("vectorscope",))
+    try:
+        fs = eng.config.sample_rate
+        t = np.arange(1024) / fs
+        tone = np.stack([np.sin(2 * np.pi * 440 * t)] * 2).astype(np.float32)
+        for _ in range(4):
+            session.feed(tone)
+        first = session.tick()
+        session.freeze = True
+        session.feed(tone * 0.1)  # audio keeps flowing
+        frozen = session.tick()
+        assert frozen is first  # identical frame object: display held
+        session.freeze = False
+        live = session.tick()
+        assert live is not first
+    finally:
+        session.close()
