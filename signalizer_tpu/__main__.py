@@ -121,6 +121,66 @@ def cmd_analyze(args) -> int:
         eng.close()
 
 
+def cmd_analyze_batch(args) -> int:
+    """Batched offline analysis: every input file becomes one pair of the
+    device batch, so N files are analysed in the same dispatches one file
+    would take — the TPU-scaling counterpart of opening N plugin
+    instances (no reference equivalent)."""
+    from signalizer_tpu.core.config import (
+        BinInterpolation,
+        SpectrumChannels,
+        ViewScaling,
+    )
+    from signalizer_tpu.core.constant import make_spectrum_constant
+    from signalizer_tpu.views.render import render_spectrum
+    from signalizer_tpu.views.spectrum import SpectrumProcessor
+    from signalizer_tpu.views.vectorscope import VectorscopeProcessor
+
+    out = pathlib.Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    loaded = [_load_wav(f, args.seconds) for f in args.inputs]
+    fs = loaded[0][0]
+    window = 4096
+    n = len(loaded)
+    frames = np.zeros((n, 1, 2, window), np.float32)
+    tails = np.zeros((n, 2, window), np.float32)
+    for i, (fs_i, audio) in enumerate(loaded):
+        if fs_i != fs:
+            print(f"note: {args.inputs[i]} has fs={fs_i:.0f}, batch assumes {fs:.0f}")
+        take = min(window, audio.shape[1])
+        frames[i, 0, :, -take:] = audio[:2, -take:]
+        tails[i, :, -take:] = audio[:2, -take:]
+
+    constant = make_spectrum_constant(
+        axis_points=args.axis_points,
+        window_size=window,
+        sample_rate=fs,
+        configuration=SpectrumChannels.SEPARATE,
+        bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LOGARITHMIC,
+    )
+    from signalizer_tpu.core.constant import host_view
+
+    spec = SpectrumProcessor(constant, pairs=n)
+    rows = np.asarray(spec.process(frames))  # [n, 1, K, rows, P]
+    vs = VectorscopeProcessor(pairs=n)
+    vout = vs.process(tails)
+    balance = np.asarray(vout.balance)
+    mapped = host_view(constant, "mapped_frequencies")
+    low = host_view(constant, "low_dbs")
+    high = host_view(constant, "high_dbs")
+    written = 0
+    for i, f in enumerate(args.inputs):
+        stem = pathlib.Path(f).stem
+        render_spectrum(rows[i, 0, 0], mapped, low_dbs=low, high_dbs=high,
+                        path=str(out / f"{stem}.spectrum.png"))
+        written += 1
+    print(f"batch-analyzed {n} files in one device batch -> {written} renders in {out}")
+    for i, f in enumerate(args.inputs):
+        print(f"  {pathlib.Path(f).name}: stereo balance {float(balance[i, 0]):+.2f}")
+    return 0
+
+
 def cmd_presets(_args) -> int:
     from signalizer_tpu.state.factory_presets import FACTORY_PRESETS
 
@@ -134,6 +194,13 @@ def main(argv=None) -> int:
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (authoritative jax.config)")
     sub = parser.add_subparsers(dest="cmd", required=True)
+    pb = sub.add_parser("analyze-batch",
+                        help="analyse many files as ONE device batch")
+    pb.add_argument("inputs", nargs="+")
+    pb.add_argument("--out", default="analysis_out")
+    pb.add_argument("--axis-points", type=int, default=1024)
+    pb.add_argument("--seconds", type=float, default=None)
+    pb.set_defaults(fn=cmd_analyze_batch)
     pa = sub.add_parser("analyze", help="analyse an audio file offline")
     pa.add_argument("input")
     pa.add_argument("--out", default="analysis_out")

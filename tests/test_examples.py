@@ -71,6 +71,31 @@ def test_cli_analyze_wav(tmp_path):
     assert arrays["vertices"].shape[-1] == 3
 
 
+def test_cli_analyze_batch(tmp_path):
+    """N files analysed as one device batch, each rendering its own tone."""
+    pytest.importorskip("matplotlib")
+    import numpy as np
+    from scipy.io import wavfile
+
+    fs = 48000
+    t = np.arange(fs // 2) / fs
+    paths = []
+    for name, f in [("x", 440.0), ("y", 2000.0)]:
+        wav = tmp_path / f"{name}.wav"
+        wavfile.write(str(wav), fs, np.stack(
+            [np.sin(2 * np.pi * f * t)] * 2, axis=1).astype(np.float32))
+        paths.append(str(wav))
+    out = tmp_path / "out"
+    proc = subprocess.run(
+        [sys.executable, "-m", "signalizer_tpu", "--cpu", "analyze-batch",
+         *paths, "--out", str(out), "--axis-points", "256"],
+        capture_output=True, text=True, timeout=600, cwd=str(ROOT),
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    assert "batch-analyzed 2 files in one device batch" in proc.stdout
+    assert {"x.spectrum.png", "y.spectrum.png"} <= {p.name for p in out.iterdir()}
+
+
 def test_live_viewer_headless(tmp_path):
     pytest.importorskip("matplotlib")
     proc = _run("live_viewer.py", "--cpu", "--frames", "1", "--out", str(tmp_path))
