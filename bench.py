@@ -49,6 +49,38 @@ def _timeit(fn, *args, reps=10, warmup=2, chain=8):
     return float(np.median(times))
 
 
+def _scan_rate(body, init_carry, k1=8, k2=64, reps=5):
+    """True on-device seconds per step. One dispatch runs ``length``
+    sequential steps under ``lax.scan`` (state threads through the carry),
+    so per-dispatch host/transport cost appears once per *call*, not per
+    step, and cancels exactly in the slope between the two lengths.
+    (A per-call chain slope only cancels the per-sync RTT — each call
+    still pays ~1 ms of tunnel dispatch, dominating small steps.)
+    ``body`` must keep every measured output live through the carry
+    (e.g. fold sums into a scalar) or XLA dead-code-eliminates it."""
+    import functools
+
+    import jax
+    from jax import lax
+
+    @functools.partial(jax.jit, static_argnames="length")
+    def run(carry, length):
+        return lax.scan(lambda c, _: (body(c), None), carry, None, length=length)[0]
+
+    for k in (k1, k2):
+        jax.block_until_ready(run(init_carry, k))
+
+    def med(k):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(init_carry, k))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[reps // 2]
+
+    return max((med(k2) - med(k1)) / (k2 - k1), 1e-9)
+
+
 def main(only: str = None) -> None:
     import jax
 
@@ -290,6 +322,15 @@ def main(only: str = None) -> None:
         dt = _timeit(lambda f: sg_step(s4, f, hold)[0], f4)
         out["cfg4_spectrogram16k_frames_per_sec"] = round(t4 / dt, 1)
 
+        def sg_body(c):
+            state, h, acc = c
+            cols, held, ns, nh = sg_step(state, f4, h)
+            return ns, nh, acc + jnp.sum(cols) + jnp.sum(held)
+
+        out["cfg4_on_device_frames_per_sec"] = round(
+            t4 / _scan_rate(sg_body, (s4, hold, jnp.float32(0.0))), 1
+        )
+
     if want("cfg5"):
         c5 = make_spectrum_constant(
             axis_points=1024,
@@ -370,6 +411,15 @@ def main(only: str = None) -> None:
         jax.block_until_ready(r6)
         dt = _timeit(lambda b: res_step(st6, b)[0], block6)
         out["cfg6_resonator_readouts_per_sec"] = round(pairs6 / dt, 1)
+
+        def res_body(c):
+            st, acc = c
+            r, ns = res_step(st, block6)
+            return ns, acc + jnp.sum(r)
+
+        out["cfg6_on_device_readouts_per_sec"] = round(
+            pairs6 / _scan_rate(res_body, (st6, jnp.float32(0.0))), 1
+        )
 
     print(json.dumps(out))
 
