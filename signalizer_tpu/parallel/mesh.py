@@ -69,11 +69,6 @@ def sharded_spectrum_step(
     where frames [pairs, T, C, W] and state are sharded over ``axis`` on
     their leading dimension and pairs %% n_devices == 0.
     """
-    try:
-        from jax import shard_map  # jax >= 0.5
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
-
     spec_b = P(axis)
 
     def shard_fn(state: LineGraphState, frames: jax.Array):
@@ -82,9 +77,9 @@ def sharded_spectrum_step(
         peak = jax.lax.pmax(local_peak, axis)  # rides ICI
         return result.results, result.state, peak
 
-    mapped = shard_map(
+    mapped = _shard_map(
         shard_fn,
-        mesh=mesh,
+        mesh,
         in_specs=(
             LineGraphState(magnitude=spec_b, phase=spec_b),
             spec_b,
@@ -180,6 +175,14 @@ def sharded_oscilloscope_step(constant, mesh: Mesh, axis: str = "data",
         pair_keys = None
         if key_table is not None:
             lp = history.shape[0]
+            # dynamic_slice clamps out-of-range starts silently; a pairs
+            # argument that disagrees with the sharded history size would
+            # hand later shards duplicated tail colours
+            if key_table.shape[0] != lp * mesh.devices.size:
+                raise ValueError(
+                    f"pairs ({key_table.shape[0]}) != per-shard history rows "
+                    f"({lp}) x mesh devices ({mesh.devices.size})"
+                )
             i = jax.lax.axis_index(axis)
             pair_keys = jax.lax.dynamic_slice(key_table, (i * lp, 0, 0), (lp, 2, 3))
         frame, new_state = osc_step_impl(

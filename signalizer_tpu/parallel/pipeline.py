@@ -34,10 +34,10 @@ from jax.sharding import Mesh
 
 from signalizer_tpu.core.constant import SpectrumConstant
 from signalizer_tpu.kernels.oscilloscope import sinc_resample_matrix
-from signalizer_tpu.kernels.spectrum import init_line_graph_state
 from signalizer_tpu.kernels.vectorscope import init_meter_state
 from signalizer_tpu.parallel.mesh import (
     make_analysis_mesh,
+    init_sharded_state,
     shard_batch,
     sharded_fused_step,
 )
@@ -52,7 +52,7 @@ class PipelineOutput(NamedTuple):
     waveform: jax.Array  # [pairs, T, pixels] resampled first-channel wave
     envelope_min: jax.Array  # [pairs, T, pixels]
     envelope_max: jax.Array
-    correlation: jax.Array  # [pairs, T] stereo correlation
+    correlation: jax.Array  # [pairs, T, W] per-sample stereo correlation
     global_peak: jax.Array  # [] cross-chip pmax diagnostic
 
 
@@ -86,7 +86,7 @@ class ShardedAnalysisPipeline:
         self.batcher = FrameBatcher(
             pairs * 2, w, hop, capacity=max(w * 4, int(hop * (frames_per_tick + 2)))
         )
-        self._state = shard_batch(init_line_graph_state(constant, (pairs,)), self.mesh)
+        self._state = init_sharded_state(constant, pairs, self.mesh)
         self._vstate = shard_batch(init_meter_state((pairs,)), self.mesh)
         self.ticks = 0
 

@@ -78,6 +78,10 @@ class AnalysisSession:
         self._sg_listener = None
         self.freeze = False  # ref: MainEditor kfreeze (hold the display)
         self._frozen_frame: Optional[SessionFrame] = None
+        # resonator-path stream cursor + last readout (the RSNT processor
+        # consumes a continuous stream, not re-read windows)
+        self._res_consumed = 0
+        self._res_spectrum: Optional[np.ndarray] = None
         self.reconfigure()
 
     # --- flag updates (ref: handleFlagUpdates rebuilds) ---------------------
@@ -91,6 +95,7 @@ class AnalysisSession:
                 axis_points=self.axis_points, frames_per_second=self.frame_rate
             )
             self._processors["spectrum"] = proc
+            self._res_spectrum = None  # stale shape after an algo/axis change
             if self.build_line_graph and hasattr(proc, "constant"):
                 self._feeds["line_graph"] = eng.spectrum.make_render_feed(proc.constant)
                 trk = (
@@ -157,7 +162,16 @@ class AnalysisSession:
         resumes from live audio when unfrozen)."""
         eng = self.engine
         if self.freeze and self._frozen_frame is not None:
-            return self._frozen_frame
+            # hold the display, but do NOT re-deliver the incremental
+            # spectrogram delta — an embedder appending
+            # ``spectrogram_columns`` each tick would duplicate columns
+            f = self._frozen_frame
+            if f.spectrogram_columns is not None and len(f.spectrogram_columns):
+                f = f._replace(
+                    spectrogram_columns=f.spectrogram_columns[:0]
+                )
+                self._frozen_frame = f
+            return f
         clock = eng.presentation_output.sample_clock
         new_samples = max(0, clock - self._last_clock)
         self._last_clock = clock
@@ -168,6 +182,32 @@ class AnalysisSession:
         proc = self._processors.get("spectrum")
         if proc is not None and clock > 0:
             def run_spectrum():
+                from signalizer_tpu.views.spectrum import ResonatorSpectrumProcessor
+
+                if isinstance(proc, ResonatorSpectrumProcessor):
+                    # RSNT consumes a *continuous* stream (each sample
+                    # exactly once — re-reading history would double-drive
+                    # the stateful bank). Consume the audio that arrived
+                    # since the last tick in fixed-size chunks so the jit
+                    # shape set stays bounded; a sub-chunk remainder waits
+                    # for the next tick.
+                    chunk = 1024
+                    cap = eng.presentation_output.info.audio_history_capacity
+                    pending = clock - self._res_consumed
+                    if pending > cap:  # overrun: the ring already lost it
+                        self._res_consumed = clock - cap
+                        pending = cap
+                    n_chunks = pending // chunk
+                    if n_chunks > 0:
+                        hist = eng.get_presentation_history(pending)  # [2, pending]
+                        out = None
+                        for i in range(n_chunks):
+                            out = proc.process(
+                                hist[None, :2, i * chunk:(i + 1) * chunk]
+                            )
+                        self._res_consumed += n_chunks * chunk
+                        self._res_spectrum = np.asarray(out)[0, -1]
+                    return self._res_spectrum  # [K, rows, P] (None pre-audio)
                 w = proc.constant.window_size
                 frames = eng.get_presentation_history(w)[None, None]  # [1,1,2,W]
                 return np.asarray(proc.process(frames))[0, -1]  # [K, rows, P]
@@ -218,14 +258,22 @@ class AnalysisSession:
             # WINDOW mode syncs to the transport (playhead position), not
             # the free-running stream clock
             transport = float(eng._playhead.position_samples)
-            osc = protected_call(
-                lambda: oproc.process(
-                    eng.get_presentation_history(16384)[None],
+
+            def run_osc():
+                # history must cover the live window (plus trigger search
+                # slack); bucket to powers of two so the jit shape set
+                # stays small as the WindowSize knob sweeps
+                win = float(oproc.effective_window_samples())
+                cap = eng.presentation_output.info.audio_history_capacity
+                need = max(16384, 1 << int(np.ceil(np.log2(max(2.0 * win, 1.0)))))
+                n = min(need, cap)
+                return oproc.process(
+                    eng.get_presentation_history(n)[None],
                     transport_position=transport,
-                    new_samples=min(new_samples, 16384),
-                ),
-                context="oscilloscope",
-            )
+                    new_samples=min(new_samples, n),
+                )
+
+            osc = protected_call(run_osc, context="oscilloscope")
 
         vproc = self._processors.get("vectorscope")
         if vproc is not None and clock > 0:

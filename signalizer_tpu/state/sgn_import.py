@@ -113,12 +113,27 @@ class SgnPreset:
         return sub if isinstance(sub, bytes) else None
 
     def history_capacity(self) -> Optional[int]:
-        """``Engine`` blob of a main preset: u64 history capacity."""
+        """The preset's audio-history capacity, if it carries one.
+
+        Main presets store it as the u64 head of the ``Engine`` blob;
+        per-view ``*.spectrum.sgn`` presets store it as the trailing u64
+        slot of their ``Parameters`` blob (the slot layout is static, so
+        it can be read without applying the preset)."""
         engine = self.tree.get("Engine")
         if isinstance(engine, dict):
             engine = engine.get(DATA_KEY)
         if isinstance(engine, bytes) and len(engine) >= 8:
             return struct.unpack_from("<Q", engine, 0)[0]
+        if self.name == "spectrum":
+            blob = self.parameters()
+            if isinstance(blob, bytes):
+                offset = 0
+                for kind, _ in _SPECTRUM_SLOTS:
+                    if kind == "u64":
+                        if len(blob) >= (offset + 1) * 8:
+                            return struct.unpack_from("<Q", blob, offset * 8)[0]
+                        return None
+                    offset += _slot_count(kind)
         return None
 
 
@@ -173,6 +188,10 @@ def parse_sgn(data: bytes) -> SgnPreset:
     (block_type,) = struct.unpack_from("<H", data, 16)
     if block_type != _T_FILE_HEADER or header_size < 18:
         raise SgnFormatError("missing .sgn file header block")
+    if header_size + name_len > len(data):
+        raise SgnFormatError(
+            f"file header claims {header_size}+{name_len} bytes, file has {len(data)}"
+        )
     name = data[header_size : header_size + name_len].rstrip(b"\0").decode("latin1")
     body = data[header_size + name_len :]
     return SgnPreset(name=name, tree=_walk_blocks(body))

@@ -103,6 +103,14 @@ class LineGraphRenderFeed:
             (float(c[0][3]) if len(c[0]) > 3 else 1.0, float(c[1][3]) if len(c[1]) > 3 else 1.0)
             for c in line_colours
         ]
+        # axis grids depend only on construction-time inputs — compute
+        # once, not per render tick (single host core)
+        self._grid = frequency_axis(
+            self.mapped_frequencies, max_divisions=self.max_divisions
+        )
+        self._db_grid = db_meter_axis(
+            self.low_dbs, self.high_dbs, max_divisions=self.max_divisions
+        )
 
     def _rgba(self, rgb: np.ndarray, alpha: float) -> np.ndarray:
         return np.asarray([rgb[0], rgb[1], rgb[2], alpha], np.float32)
@@ -152,14 +160,12 @@ class LineGraphRenderFeed:
                     strips.append(LineStrip(sv, self._rgba(rgb, alpha), label))
                     legend_entries.append(LegendEntry(label, tuple(rgb)))
 
-        grid = frequency_axis(self.mapped_frequencies, max_divisions=self.max_divisions)
-        db_grid = db_meter_axis(self.low_dbs, self.high_dbs, max_divisions=self.max_divisions)
         legend = Legend(list(reversed(legend_entries))) if self.show_legend else None
         return LineGraphFrame(
             floods=floods,
             strips=strips,
-            grid=grid,
-            db_grid=db_grid,
+            grid=self._grid,
+            db_grid=self._db_grid,
             legend=legend,
             primitive_size=self.primitive_size,
             grid_colour=self.grid_colour,

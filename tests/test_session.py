@@ -167,3 +167,71 @@ def test_freeze_holds_the_display():
         assert live is not first
     finally:
         session.close()
+
+def test_freeze_does_not_redeliver_spectrogram_columns():
+    """A frozen tick must not re-report the last incremental column delta —
+    an embedder appending ``spectrogram_columns`` each tick would duplicate
+    columns (the internal image is unaffected either way)."""
+    eng = SignalizerEngine("freeze-cols")
+    session = AnalysisSession(eng, views=("spectrogram",), axis_points=128)
+    try:
+        for i in range(24):
+            session.feed(_sine_block(1024, f=1000.0), Playhead(steady_clock=i * 1024))
+        first = session.tick()
+        assert first.spectrogram_columns is not None
+        assert first.spectrogram_columns.shape[0] > 0
+        session.freeze = True
+        frozen = session.tick()
+        assert frozen.spectrogram_columns is not None
+        assert frozen.spectrogram_columns.shape[0] == 0  # held, not duplicated
+    finally:
+        session.close()
+
+
+def test_session_resonator_algorithm():
+    """Algorithm = Resonator routes tick() through the continuous-stream
+    RSNT processor: the spectrum comes out [K, rows, P], the line-graph
+    feed builds from it, and the fed tone peaks at its frequency
+    (regression: the session used to feed it FFT-style re-read windows,
+    double-driving the stateful bank and breaking the result shape)."""
+    from signalizer_tpu.core.constant import host_view
+
+    eng = SignalizerEngine("rsnt-session")
+    eng.spectrum.algorithm.set_normalized(0.5)  # TransformAlgorithm.RESONATOR
+    s = AnalysisSession(eng, axis_points=128, views=("spectrum",))
+    try:
+        for i in range(8):
+            s.feed(_sine_block(4096, f=440.0), Playhead(steady_clock=i * 4096))
+        frame = s.tick()
+        assert frame.spectrum is not None and frame.spectrum.ndim == 3
+        assert frame.spectrum.shape[-1] == 128
+        assert np.isfinite(frame.spectrum).all()
+        assert frame.line_graph is not None and len(frame.line_graph.strips) >= 1
+        proc = s._processors["spectrum"]
+        freqs = np.asarray(host_view(proc.constant, "mapped_frequencies"))
+        peak_hz = freqs[int(np.argmax(frame.spectrum[0, 0]))]
+        assert peak_hz == pytest.approx(440.0, rel=0.1)
+        # a tick with no new audio holds the readout instead of
+        # re-consuming history
+        again = s.tick()
+        assert again.spectrum is not None
+        np.testing.assert_array_equal(again.spectrum, frame.spectrum)
+    finally:
+        s.close()
+
+
+def test_session_long_oscilloscope_window():
+    """Window sizes beyond the old 16384-sample hardcode read enough
+    history (bounded by the stream capacity) instead of silently
+    truncating the display."""
+    eng = SignalizerEngine("long-osc")
+    eng.oscilloscope.window_size.set_normalized(1.0)  # max: full history
+    s = AnalysisSession(eng, views=("oscilloscope",), pixels=64)
+    try:
+        for i in range(16):
+            s.feed(_sine_block(4096, f=50.0), Playhead(steady_clock=i * 4096))
+        frame = s.tick()
+        assert frame.oscilloscope is not None
+        assert np.isfinite(np.asarray(frame.oscilloscope.waveform)).all()
+    finally:
+        s.close()

@@ -330,3 +330,31 @@ def test_export_main_preset(tmp_path):
             engine2.close()
     finally:
         engine.close()
+
+def test_spectrum_preset_applies_history_capacity():
+    """Per-view spectrum presets carry the audio-history capacity as the
+    trailing u64 Parameters slot; loading one must apply it to the stream
+    like a main preset's Engine blob does (impulse.spectrum.sgn ships
+    44100, distinct from the 48000 default)."""
+    from signalizer_tpu.engine import SignalizerEngine
+
+    preset = load_sgn(CORPUS / "impulse.spectrum.sgn")
+    assert preset.history_capacity() == 44100
+    eng = SignalizerEngine("cap-import")
+    try:
+        assert eng.config.history_capacity != 44100
+        eng.load_reference_preset(CORPUS / "impulse.spectrum.sgn")
+        assert eng.config.history_capacity == 44100
+        assert eng.realtime_output.info.audio_history_capacity == 44100
+    finally:
+        eng.close()
+
+
+def test_truncated_file_header_raises():
+    """A file cut off inside the header's name region must raise, not
+    parse as an empty-named preset with an empty tree."""
+    data = (CORPUS / "default.main.sgn").read_bytes()
+    from signalizer_tpu.state.sgn_import import SgnFormatError, parse_sgn
+
+    with pytest.raises(SgnFormatError):
+        parse_sgn(data[:40])
