@@ -142,6 +142,17 @@ class SignalizerEngine(SerializableObject):
     def get_presentation_history(self, n: int) -> np.ndarray:
         return self.presentation_output.get_history(n)
 
+    def _apply_history_capacity(self, cap: int) -> None:
+        """Resize BOTH live streams: the realtime input ring and the
+        presentation stream the views actually read — restoring a larger
+        capacity only on the input would leave get_presentation_history
+        unable to serve the windows the restore promised."""
+        self.config.history_capacity = int(cap)
+        for inp in (self.realtime_input, self.mix_graph.presentation_input):
+            inp.initialize_info(
+                lambda info: setattr(info, "audio_history_capacity", int(cap))
+            )
+
     # --- flat host parameter API (ref: PluginProcessor.cpp:414-438) --------
     def num_parameters(self) -> int:
         return self.parameter_map.num_parameters()
@@ -294,14 +305,11 @@ class SignalizerEngine(SerializableObject):
         if engine is not None:
             cap = int(engine.get("historyCapacity", self.config.history_capacity))
             if cap != self.config.history_capacity:
-                # apply to the live stream, not just the config snapshot
+                # apply to the live streams, not just the config snapshot
                 # (ref: setAudioHistoryCapacity on restore,
                 # PluginProcessor.cpp:224-406) — listeners get the
                 # properties-changed callback and transformatters rescale
-                self.config.history_capacity = cap
-                self.realtime_input.initialize_info(
-                    lambda info: setattr(info, "audio_history_capacity", cap)
-                )
+                self._apply_history_capacity(cap)
         ed = archive.find_child("Editor")
         if ed is not None:
             self.editor_settings.deserialize(ed)
@@ -348,10 +356,7 @@ class SignalizerEngine(SerializableObject):
         )
         cap = preset.history_capacity()
         if cap and cap != self.config.history_capacity:
-            self.config.history_capacity = int(cap)
-            self.realtime_input.initialize_info(
-                lambda info: setattr(info, "audio_history_capacity", int(cap))
-            )
+            self._apply_history_capacity(int(cap))
         if preset.name == "main":
             from signalizer_tpu.views.editor_settings import EditorSettings
 

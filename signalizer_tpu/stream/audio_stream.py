@@ -32,6 +32,7 @@ import numpy as np
 
 from signalizer_tpu.core.config import DEFAULT_HISTORY_SIZE, STREAM_PACKET_SIZE
 from signalizer_tpu.stream.ring_buffer import make_ring_buffer
+from signalizer_tpu.utils.exception_log import protected_call
 
 
 @dataclass
@@ -153,7 +154,14 @@ class AudioStreamOutput:
         with self._lock:
             listeners = list(self._listeners)
         for l in listeners:
-            l.on_stream_audio(ctx, block)
+            # per-listener containment (ref: Protected.h-wrapped callbacks):
+            # one faulty listener must neither kill the delivery thread nor
+            # starve the listeners after it — and in sync mode it must not
+            # propagate into another engine's audio path
+            protected_call(
+                lambda l=l: l.on_stream_audio(ctx, block),
+                context="stream-listener",
+            )
 
     def _properties_changed(self, before: AudioStreamInfo) -> None:
         ctx = ListenerContext(self, self._stream._playhead)
@@ -177,7 +185,11 @@ class AudioStreamInput:
         self._stream = stream
 
     def initialize_info(self, fn) -> None:
-        before = AudioStreamInfo(**vars(self._stream.info))
+        snap = dict(vars(self._stream.info))
+        # the list is mutable — aliasing it would let fn's edits bleed
+        # into the 'before' snapshot listeners diff against
+        snap["channel_names"] = list(snap["channel_names"])
+        before = AudioStreamInfo(**snap)
         fn(self._stream.info)
         self._stream._resize_history()
         self._stream.output._properties_changed(before)
@@ -210,7 +222,10 @@ class AudioStream:
         self._threaded = threaded
         self._queue: Optional[queue.Queue] = None
         self._native_queue = None
-        self._delivering = False
+        # single-writer drain counters: producer bumps _pushed, the worker
+        # bumps _delivered — no lock needed for the drained test
+        self._pushed = 0
+        self._delivered = 0
         self._worker: Optional[threading.Thread] = None
         self._alive = True
         if threaded:
@@ -254,6 +269,9 @@ class AudioStream:
                 self.info.channels, STREAM_PACKET_SIZE, capacity=256
             )
             old.close()
+            # undelivered packets died with the old queue: re-anchor the
+            # drain counters so wait_for_drain cannot wait on them
+            self._pushed = self._delivered
 
     def _ingest(self, block: np.ndarray, playhead: Optional[Playhead]) -> None:
         if not self._alive:
@@ -282,7 +300,9 @@ class AudioStream:
                         pkt_ph.bpm,
                         pkt_ph.is_playing,
                     )
-                    if not ok:
+                    if ok:
+                        self._pushed += 1
+                    else:
                         self._perf.dropped_frames += 1
                     pkt_ph = pkt_ph.advanced(chunk.shape[1])
                 self._perf.in_flight_packets = self._native_queue.size
@@ -292,6 +312,7 @@ class AudioStream:
                     # mix graph's scratch) before the worker delivers it —
                     # the native queue copies by construction
                     self._queue.put_nowait((block.copy(), ph))
+                    self._pushed += 1
                     self._perf.in_flight_packets = self._queue.qsize()
                 except queue.Full:
                     self._perf.dropped_frames += 1
@@ -321,11 +342,16 @@ class AudioStream:
                     is_playing=playing,
                 )
                 t0 = time.perf_counter()
-                self._delivering = True
                 try:
-                    self.output._deliver(chunk, ph)
+                    # a listener fault must not kill the delivery thread —
+                    # the stream would silently stop forever (the reference
+                    # wraps callbacks in Protected.h for the same reason)
+                    protected_call(
+                        lambda: self.output._deliver(chunk, ph),
+                        context="stream-deliver",
+                    )
                 finally:
-                    self._delivering = False
+                    self._delivered += 1
                 self._perf.consumer_usage = time.perf_counter() - t0
                 self._perf.in_flight_packets = self._native_queue.size
             return
@@ -335,7 +361,13 @@ class AudioStream:
                 return
             block, ph = item
             t0 = time.perf_counter()
-            self.output._deliver(block, ph)
+            try:
+                protected_call(
+                    lambda: self.output._deliver(block, ph),
+                    context="stream-deliver",
+                )
+            finally:
+                self._delivered += 1
             self._perf.consumer_usage = time.perf_counter() - t0
             self._perf.in_flight_packets = self._queue.qsize()
 
@@ -351,17 +383,16 @@ class AudioStream:
         self.output._died()
 
     def wait_for_drain(self, timeout: float = 5.0) -> bool:
-        """Block until all queued packets were delivered (test helper)."""
+        """Block until all queued packets were delivered (test helper).
+
+        Uses two single-writer monotonic counters (producer ``_pushed``,
+        consumer ``_delivered``) — an emptiness probe races the window
+        between pop() and delivery and can report drained mid-packet."""
         if not self._threaded:
             return True
         deadline = time.time() + timeout
         while time.time() < deadline:
-            empty = (
-                self._native_queue.size == 0
-                if self._native_queue is not None
-                else self._queue.empty()
-            )
-            if empty and not self._delivering:
+            if self._delivered >= self._pushed:
                 return True
             time.sleep(0.001)
         return False

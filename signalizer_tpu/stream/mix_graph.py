@@ -195,6 +195,17 @@ class MixGraph:
         clock IS the source's steady clock (gaps zero-filled, overlapped
         prefixes dropped), so all alignment math lives in one coordinate
         system."""
+        if block.shape[0] != st.ring.channels:
+            # the source reconfigured its channel count mid-stream
+            # (initialize_info on a peer): rebuild the ring in the new
+            # geometry instead of raising into the peer's delivery thread.
+            # Alignment restarts — the offset re-estimates on the next self
+            # block — and st.channels keeps the Bugs.txt-#2 pair validation
+            # honest against the REAL channel count.
+            st.ring = make_ring_buffer(block.shape[0], st.ring.capacity)
+            st.channels = block.shape[0]
+            st.clock = 0
+            st.offset = None
         cur = st.ring.sample_clock
         if start_clock > cur:
             st.ring.seek_to(start_clock)
@@ -324,7 +335,12 @@ class MixGraph:
                     matrix[p.destination] += data[p.source]
 
         self._emitted_up_to = emit_end
-        self.presentation_input.process_incoming_audio(matrix, playhead)
+        # the emitted block covers the self-clock range [emit_start,
+        # emit_end), not the raw input block: shift the playhead so
+        # clock-aligned consumers of the presentation stream (e.g. a
+        # chained MixGraph's _ingest_aligned) place it correctly
+        emit_ph = playhead.advanced(int(emit_start) - playhead.steady_clock)
+        self.presentation_input.process_incoming_audio(matrix, emit_ph)
 
     @property
     def perf(self) -> MixPerf:

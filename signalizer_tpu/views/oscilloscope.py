@@ -283,17 +283,22 @@ class OscilloscopeProcessor:
         # scalars every dispatch costs more than the compute on a remote-TPU
         # link (one host->device transfer each)
         self._scalar_cache: dict = {}
+        # transport changes every playing frame — a one-slot cache keeps it
+        # from churning the stable window/new_samples entries above
+        self._transport_cache: Optional[tuple] = None
+        self._pair_keys = self._make_pair_keys()
+        self._state = self._init_state()
+
+    def _make_pair_keys(self):
         # pairs beyond the first draw with hue-rotated key colours
         # (ref: CHANGELOG 0.4.0 / ColourRotation)
-        if pairs > 1:
-            from signalizer_tpu.core.constant import host_view
-            from signalizer_tpu.utils.colour import pair_key_table
+        if self.pairs <= 1:
+            return None
+        from signalizer_tpu.core.constant import host_view
+        from signalizer_tpu.utils.colour import pair_key_table
 
-            kc = host_view(constant, "key_colours")
-            self._pair_keys = jnp.asarray(pair_key_table(kc[0], kc[1], pairs))
-        else:
-            self._pair_keys = None
-        self._state = self._init_state()
+        kc = host_view(self.constant, "key_colours")
+        return jnp.asarray(pair_key_table(kc[0], kc[1], self.pairs))
 
     # legacy attribute views (round-1 public surface)
     @property
@@ -344,6 +349,7 @@ class OscilloscopeProcessor:
         (ref: handleFlagUpdates' deferred resets, Oscilloscope.cpp:236-308)."""
         old_rows = self.constant.rows
         self.constant = constant
+        self._pair_keys = self._make_pair_keys()  # key colours may differ
         if constant.rows != old_rows:
             self._state = self._init_state()
 
@@ -363,28 +369,31 @@ class OscilloscopeProcessor:
             history = jnp.asarray(history, jnp.float32)
         if new_samples is None:
             new_samples = history.shape[-1]
-        window = (
-            self.window_samples
-            if self.time_mode == TimeMode.TIME
-            else self.effective_window_samples()
-        )
         cycles_live = (
             self.time_mode == TimeMode.CYCLES
             and self.constant.trigger_mode == TriggerMode.SPECTRAL
         )
         # per-value scalar caches: window and new_samples are stable across
         # live frames (cache hits); transport changes every playing frame,
-        # so its upload is inherent — cache it separately so it never
-        # evicts the stable ones
-        window_dev = (
-            self._cycle_window_dev
-            if cycles_live and self._cycle_window_dev is not None
-            else self._dev_scalar(float(window))
-        )
+        # so its upload is inherent — a one-slot cache keeps it from
+        # evicting the stable ones. When the live-cycles feedback chain is
+        # active the window stays device-resident — do NOT call
+        # effective_window_samples() here: its Cycles branch reads the
+        # detected cycleSamples back to the host, which permanently
+        # degrades remote-TPU transports to synchronous dispatch
+        if cycles_live and self._cycle_window_dev is not None:
+            window_dev = self._cycle_window_dev
+        else:
+            window = (
+                self.window_samples
+                if self.time_mode == TimeMode.TIME
+                else self.effective_window_samples()
+            )
+            window_dev = self._dev_scalar(float(window))
         frame, self._state = _osc_step(
             self.constant, self._state, history,
             window_dev,
-            self._dev_scalar(float(transport_position)),
+            self._dev_transport(float(transport_position)),
             self._dev_scalar(float(int(new_samples))),
             self._pair_keys,
         )
@@ -414,6 +423,15 @@ class OscilloscopeProcessor:
                 self._scalar_cache.clear()
             s = self._scalar_cache[value] = jnp.asarray(value, jnp.float32)
         return s
+
+    def _dev_transport(self, value: float) -> jax.Array:
+        """One-slot device cache for the transport position — it advances
+        every playing frame, so routing it through the shared value cache
+        would flush the stable window/new_samples scalars every ~64 frames."""
+        c = self._transport_cache
+        if c is None or c[0] != value:
+            self._transport_cache = c = (value, jnp.asarray(value, jnp.float32))
+        return c[1]
 
     def effective_window_samples(self) -> float:
         """The window actually displayed this frame, per time mode

@@ -145,10 +145,22 @@ class SpectrogramProcessor:
             return np.zeros((0, self.constant.axis_points, 4), np.uint8)
         # [T, pairs*2, W] -> [pairs, T, 2, W]
         stacked = frames.reshape(t, self.pairs, 2, self.constant.window_size).transpose(1, 0, 2, 3)
-        cols, self._state = _spectrogram_step(
-            self.constant, self._state, jnp.asarray(stacked), self._colours, self._ratios
-        )
-        cols = np.asarray(cols)
+        # consume in power-of-two chunks: the pacer's EMA varies the pending
+        # count tick to tick, and every distinct T is a fresh (minutes-long,
+        # through the remote tunnel) XLA compile — pow2 decomposition bounds
+        # the compiled shape set to ~log2(max T) entries with exact state
+        # (no silence padding through the decay filters)
+        outs = []
+        i = 0
+        while i < t:
+            step = 1 << ((t - i).bit_length() - 1)  # largest pow2 <= remaining
+            chunk = jnp.asarray(np.ascontiguousarray(stacked[:, i : i + step]))
+            cols, self._state = _spectrogram_step(
+                self.constant, self._state, chunk, self._colours, self._ratios
+            )
+            outs.append(np.asarray(cols))
+            i += step
+        cols = outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
         self.image.push_columns(cols)
         return cols
 

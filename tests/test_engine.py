@@ -182,3 +182,27 @@ def test_spectrogram_decay_designed_at_column_rate():
     pole2 = float(np.asarray(p2.constant.decay_poles)[0])
     assert pole2 > pole1  # faster columns -> slower per-column decay
     eng.close()
+
+def test_restored_history_capacity_reaches_presentation_stream():
+    """Restoring a larger history capacity must resize the presentation
+    stream the views read, not just the realtime input ring — otherwise
+    get_presentation_history(new_cap) raises and the restore's promise is
+    hollow."""
+    src = SignalizerEngine("cap-src")
+    eng = SignalizerEngine("cap-dst")
+    try:
+        src.config.history_capacity = 96000
+        src.realtime_input.initialize_info(
+            lambda info: setattr(info, "audio_history_capacity", 96000)
+        )
+        ar = Archive("signalizer")
+        src.serialize(ar)
+        eng.deserialize(Archive.from_bytes(ar.to_bytes()))
+        assert eng.config.history_capacity == 96000
+        block = np.zeros((2, 1024), np.float32)
+        eng.process_block(block)
+        hist = eng.get_presentation_history(96000)  # must not raise
+        assert hist.shape == (2, 96000)
+    finally:
+        src.close()
+        eng.close()

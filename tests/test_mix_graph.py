@@ -449,3 +449,94 @@ def test_deliver_native_matches_numpy_rings(monkeypatch):
     n = min(native_out.shape[1], numpy_out.shape[1])
     assert n >= 128
     np.testing.assert_array_equal(native_out[:, -n:], numpy_out[:, -n:])
+
+def test_source_channel_count_change_mid_stream():
+    """A peer reconfiguring its channel count (initialize_info) must not
+    raise into the peer's delivery thread; the mix rebuilds the source ring
+    in the new geometry and keeps mixing (regression: the per-source ring
+    was fixed at construction and every later delivery ValueError'd)."""
+    inp_a, out_a, ga = _make_instance("a")
+    inp_b, out_b, gb = _make_instance("b")
+    mix = MixGraph(ga, out_a)
+    sink = _Sink()
+    mix.presentation_output.add_listener(sink)
+    ga.topology[ga.node_id] = {PortPair(0, 0), PortPair(1, 1)}
+    ga.connect(gb.node_id, PortPair(0, 1))
+
+    a_block = np.zeros((2, 128), np.float32)
+    b2 = np.zeros((2, 128), np.float32)
+    b2[0] = 0.5
+    for i in range(3):
+        ph = Playhead(steady_clock=i * 128)
+        inp_b.process_incoming_audio(b2, ph)
+        inp_a.process_incoming_audio(a_block, ph)
+
+    # b grows to 4 channels mid-stream
+    inp_b.initialize_info(lambda info: setattr(info, "channels", 4))
+    b4 = np.zeros((4, 128), np.float32)
+    b4[0] = 0.25
+    for i in range(3, 8):
+        ph = Playhead(steady_clock=i * 128)
+        inp_b.process_incoming_audio(b4, ph)  # must not raise
+        inp_a.process_incoming_audio(a_block, ph)
+
+    got = sink.concat()
+    # after realignment settles the new-geometry audio mixes through
+    np.testing.assert_allclose(got[1, -128:], 0.25, atol=1e-6)
+    mix.close()
+
+
+def test_emitted_playhead_matches_emitted_range():
+    """The presentation block's playhead must describe the emitted range,
+    not the raw input block: consecutive deliveries tile exactly
+    (steady_clock advances by the previous block's length), so chained
+    clock-aligned consumers place the audio correctly."""
+    inp_a, out_a, ga = _make_instance("a")
+    mix = MixGraph(ga, out_a)
+
+    class _PhSink(_Sink):
+        def __init__(self):
+            super().__init__()
+            self.clocks = []
+
+        def on_stream_audio(self, ctx, block):
+            super().on_stream_audio(ctx, block)
+            self.clocks.append(ctx.playhead.steady_clock)
+
+    sink = _PhSink()
+    mix.presentation_output.add_listener(sink)
+    ga.topology[ga.node_id] = {PortPair(0, 0), PortPair(1, 1)}
+    block = np.random.default_rng(0).standard_normal((2, 96)).astype(np.float32)
+    for i in range(6):
+        inp_a.process_incoming_audio(block, Playhead(steady_clock=i * 96))
+    assert len(sink.blocks) >= 2
+    for k in range(1, len(sink.blocks)):
+        assert sink.clocks[k] == sink.clocks[k - 1] + sink.blocks[k - 1].shape[1]
+    mix.close()
+
+
+def test_threaded_listener_fault_does_not_kill_delivery():
+    """A raising listener must not kill the threaded delivery worker —
+    the stream keeps delivering to healthy listeners (Protected.h parity)."""
+    inp, out = AudioStream.create(
+        threaded=True, info=AudioStreamInfo(channels=2, audio_history_capacity=4096)
+    )
+
+    class _Bomb(_Sink):
+        def on_stream_audio(self, ctx, block):
+            raise RuntimeError("listener bug")
+
+    healthy = _Sink()
+    out.add_listener(_Bomb())
+    out.add_listener(healthy)
+    block = np.ones((2, 256), np.float32)
+    for i in range(4):
+        inp.process_incoming_audio(block, Playhead(steady_clock=i * 256))
+    assert inp._stream.wait_for_drain(timeout=5.0)
+    # the healthy listener (registered AFTER the bomb) still gets every
+    # block: containment is per listener, not per fan-out
+    assert len(healthy.blocks) == 4
+    inp.process_incoming_audio(block, Playhead(steady_clock=4 * 256))
+    assert inp._stream.wait_for_drain(timeout=5.0)
+    assert len(healthy.blocks) == 5
+    inp._stream.close()

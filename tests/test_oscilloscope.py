@@ -470,3 +470,25 @@ def test_reconfigure_resets_state_on_row_change():
         channel_mode=OscChannels.LEFT, pixels=32, autogain=True))
     env = np.asarray(proc.state.peak_env)
     assert env.shape == (1, 1) and env.max() == 0.0
+
+def test_reconfigure_updates_pair_key_colours():
+    """reconfigure() must rebuild the per-pair hue-rotated key colours from
+    the new constant — multi-pair processors used to keep rendering with
+    the construction-time colours after a colour knob change."""
+    from signalizer_tpu.views.oscilloscope import (
+        OscilloscopeProcessor,
+        make_oscilloscope_constant,
+    )
+
+    c1 = make_oscilloscope_constant(
+        pixels=32, key_colour=(1.0, 0.0, 0.0), secondary_colour=(0.0, 1.0, 0.0)
+    )
+    proc = OscilloscopeProcessor(c1, pairs=2)
+    before = np.asarray(proc._pair_keys)
+    c2 = make_oscilloscope_constant(
+        pixels=32, key_colour=(0.0, 0.0, 1.0), secondary_colour=(1.0, 1.0, 0.0)
+    )
+    proc.reconfigure(c2)
+    after = np.asarray(proc._pair_keys)
+    assert not np.allclose(before, after)
+    np.testing.assert_allclose(after[0, 0], [0.0, 0.0, 1.0], atol=1e-6)

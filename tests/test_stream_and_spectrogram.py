@@ -362,3 +362,28 @@ def test_spectrogram_debug_checkerboard_pattern():
     s2 = img2.snapshot()
     assert s2.shape == (16, 16, 4)
     np.testing.assert_array_equal(s2[0], s2[1])  # each column doubled
+
+def test_spectrogram_pull_chunking_matches_one_shot():
+    """pull() consumes pending frames in power-of-two chunks (bounding the
+    compiled shape set against pacer-driven T jitter) — the chunked path
+    must be state-exact vs pulling everything in one call."""
+    fs = 48_000.0
+    kwargs = dict(
+        pairs=1, blob_ms=10.0, axis_points=64, window_size=512, sample_rate=fs,
+        configuration=SpectrumChannels.LEFT, bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LINEAR, decay_seconds=(0.05, 0.5),
+        frames_per_second=100.0,
+    )
+    rng = np.random.default_rng(7)
+    audio = rng.standard_normal((2, 6000)).astype(np.float32) * 0.5
+
+    a = SpectrogramProcessor(**kwargs)
+    a.push(audio)
+    one_shot = a.pull()          # t = 12 -> chunks 8 + 4 internally
+    assert one_shot.shape[0] == 12
+
+    b = SpectrogramProcessor(**kwargs)
+    b.push(audio)
+    parts = [b.pull(max_frames=5), b.pull(max_frames=3), b.pull()]
+    split = np.concatenate(parts, axis=0)
+    np.testing.assert_array_equal(one_shot, split)
