@@ -124,7 +124,13 @@ def peak_hold_triggers(
     # the fire marks "first sample that no longer qualifies"; the event
     # timestamp is the previous sample (ref: peaks.push(... - 1))
     fires = jnp.moveaxis(fires, 0, -1)
+    boundary = fires[..., 0]
     fires = jnp.concatenate([fires[..., 1:], jnp.zeros_like(fires[..., :1])], axis=-1)
+    # a fall at sample 0 times the event at the PREVIOUS block's last
+    # sample (holding carried across the boundary); clamp it to sample 0
+    # rather than dropping the trigger — one sample of skew beats a lost
+    # retrigger/phase slip in envelope-hold mode
+    fires = fires.at[..., 0].set(fires[..., 0] | boundary)
     return fires, state, holding
 
 
@@ -232,10 +238,15 @@ def median_record_filter(
     omegas (the reference keys the median on the integer bin; we use omega,
     equivalent ordering up to the sub-bin offset). Returns (new_history,
     filtered_record_omega_as_record, use_median flag folded in)."""
+    # the reference computes the median over the history BEFORE inserting
+    # the new detection ("copy old filter" then "store new data"), takes
+    # the single upper-middle element (nth_element at FilterSize/2 — NOT
+    # an average of the two middles, which would blend the -1 "not yet
+    # populated" sentinels into a fundamental that does not exist), and
+    # skips the override while that element is a sentinel
+    middle = history_omega.shape[-1] // 2
+    med = jnp.sort(history_omega, axis=-1)[..., middle]
     hist = jnp.concatenate([history_omega[..., 1:], record.omega()[..., None]], axis=-1)
-    med = jnp.median(hist, axis=-1)
-    # entries < 0 mean "not yet populated" (ref inits records to index -1 and
-    # skips the median override until the filter has real data)
     use_median = (med >= 0) & (jnp.abs(record.omega() - med) > 0.5)
     omega = jnp.where(use_median, med, record.omega())
     filtered = BinRecord(

@@ -13,9 +13,13 @@ TPU-first re-formulation of the remap plan for the MXU/VPU (round 2 —
 replaces the round-1 masked-max kernel, which did O(bins x pixels) VPU
 work and measured 16 ms vs XLA's 4 ms):
 
-* tap interpolation is a dense **matmul** ``mags @ W`` with a precomputed
+* tap interpolation is a dense **matmul pair** ``|re @ W + i(im @ W)|``
+  over the COMPLEX spectrum cells (matching production's reference
+  semantics, TransformDSP.inl:588) with a precomputed
   sparse-in-structure weight matrix W [n_values, P] — gathers become MXU
-  work;
+  work (the rematch table below was measured with the earlier
+  single-matmul magnitude interpolation; the complex form adds one
+  [B,nv]x[nv,Pt] matmul per tile, bounded by ~2x on the interp stage);
 * chunked bin-max exploits that the plan's chunks are **contiguous bin
   ranges**: a Hillis-Steele *reset scan* (running max that restarts at
   each segment boundary, log2(n) static-shift steps on the VPU) produces
@@ -146,7 +150,8 @@ def pallas_supported() -> bool:
 
 
 def _kernel(
-    mags_ref,  # [Bt, nv_padded] f32
+    re_ref,  # [Bt, nv_padded] f32 spectrum real part
+    im_ref,  # [Bt, nv_padded] f32 spectrum imag part
     interp_w_ref,  # [nv_padded, Pt] f32
     end_sel_ref,  # [nv_padded, Pt] bf16
     flags_ref,  # [1, nv_padded] f32 (1.0 at segment starts)
@@ -164,14 +169,17 @@ def _kernel(
     clip_db = scalars_ref[0, 2]
     inv_size = scalars_ref[0, 3]
 
-    mags = mags_ref[:]  # [Bt, nv]
+    re = re_ref[:]  # [Bt, nv]
+    im = im_ref[:]
+    mags = jnp.sqrt(re * re + im * im)
 
-    # interpolation: MXU matmul (weights already include inv_size; abs
-    # after the sum rectifies Lanczos negative lobes, matching the
-    # reference's |interp| convention)
-    interp = jnp.abs(
-        jnp.dot(mags, interp_w_ref[:], preferred_element_type=jnp.float32)
-    )  # [Bt, Pt]
+    # interpolation: COMPLEX-cell interpolation as two MXU matmuls with
+    # |.| after (matches production/ref TransformDSP.inl:588 — weights
+    # already include inv_size; single-bin one-hot columns land on
+    # |spec[bin]| = mag, so they ride the same matmuls)
+    ire = jnp.dot(re, interp_w_ref[:], preferred_element_type=jnp.float32)
+    iim = jnp.dot(im, interp_w_ref[:], preferred_element_type=jnp.float32)
+    interp = jnp.sqrt(ire * ire + iim * iim)  # [Bt, Pt]
 
     # segment running max via Hillis-Steele reset scan over the bin axis:
     # log2(n) static shifts, each a pad+slice+select on the VPU. Flags stay
@@ -205,7 +213,8 @@ def _kernel(
 
 @functools.partial(jax.jit, static_argnames=("batch_tile", "pixel_tile", "interpret"))
 def fused_display_map(
-    mags: jax.Array,  # [B, n_values] linear bin magnitudes (pre inv_size)
+    spec_re: jax.Array,  # [B, n_values] spectrum real part (pre inv_size)
+    spec_im: jax.Array,  # [B, n_values] spectrum imag part
     state: jax.Array,  # [B, P] decay state
     operands: DisplayMapOperands,
     pole: jax.Array,
@@ -227,17 +236,18 @@ def fused_display_map(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    b, nv = mags.shape
+    b, nv = spec_re.shape
     p = state.shape[-1]
     assert b % batch_tile == 0, (b, batch_tile)
     assert p % pixel_tile == 0, (p, pixel_tile)
 
-    # pad the bin axis to the f32 lane multiple (padded bins: mags 0,
+    # pad the bin axis to the f32 lane multiple (padded bins: spec 0,
     # weights 0, flag 1 — they form their own never-selected segment)
     nv_pad = -(-nv // 128) * 128
     if nv_pad != nv:
         pad = nv_pad - nv
-        mags = jnp.pad(mags, ((0, 0), (0, pad)))
+        spec_re = jnp.pad(spec_re, ((0, 0), (0, pad)))
+        spec_im = jnp.pad(spec_im, ((0, 0), (0, pad)))
         operands = operands._replace(
             interp_w=jnp.pad(operands.interp_w, ((0, pad), (0, 0))),
             end_sel=jnp.pad(operands.end_sel, ((0, pad), (0, 0))),
@@ -261,6 +271,7 @@ def fused_display_map(
         grid=grid,
         in_specs=[
             pl.BlockSpec((batch_tile, nv), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, nv), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nv, pixel_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((nv, pixel_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nv), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
@@ -279,7 +290,8 @@ def fused_display_map(
         ),
         interpret=interpret,
     )(
-        mags,
+        spec_re,
+        spec_im,
         operands.interp_w,
         operands.end_sel,
         operands.flags,
@@ -291,10 +303,15 @@ def fused_display_map(
     return out, new_state
 
 
-def reference_display_map(mags, state, operands, pole, low_dbs, high_dbs, clip_db, inv_size):
+def reference_display_map(
+    spec_re, spec_im, state, operands, pole, low_dbs, high_dbs, clip_db, inv_size
+):
     """XLA (non-pallas) evaluation of the same formulation — used to
     validate the kernel and as the fallback on non-TPU backends."""
-    interp = jnp.abs(mags @ operands.interp_w)
+    mags = jnp.sqrt(spec_re * spec_re + spec_im * spec_im)
+    ire = spec_re @ operands.interp_w
+    iim = spec_im @ operands.interp_w
+    interp = jnp.sqrt(ire * ire + iim * iim)
 
     flags = operands.flags[0] > 0.5
 

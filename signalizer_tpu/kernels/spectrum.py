@@ -21,8 +21,9 @@ mapAndTransformDFTFilters :1297-1435). Differences by design:
 
 Known tolerated deviations from the reference (all edge-of-display,
 sub-0.1 dB): interpolation taps that fall outside the real-FFT half
-spectrum gather reflected *magnitudes* where the reference incidentally
-read raw complex mirror-half values (TransformDSP.inl:591-604), and
+spectrum gather reflected (non-conjugated) complex cells where the
+reference read raw mirror-half values from its full-size complex array
+(TransformDSP.inl:591-604), and
 Phase/Separate DC/Nyquist fixups are applied per channel instead of the
 reference's overlapping packed-slot updates (TransformDSP.inl:648-652).
 Phase-mode smoothing targets ``cancel * mag`` for *every* line graph,
@@ -115,13 +116,12 @@ def _half_spectrum(constant: SpectrumConstant, rows: jax.Array) -> jax.Array:
 
 
 def _interp(values: jax.Array, constant: SpectrumConstant) -> jax.Array:
-    """Weighted tap gather: values [..., n_values] -> [..., P]."""
+    """Weighted tap gather: values [..., n_values] -> [..., P].
+
+    Works on real or complex inputs (f32 weights broadcast over complex
+    values — complex-cell interpolation per TransformDSP.inl:588/599)."""
     g = values[..., constant.interp_indices]  # [..., P, taps]
-    w = constant.interp_weights
-    if jnp.iscomplexobj(values):
-        w = w.astype(values.real.dtype)
-        return (g * w).sum(-1)
-    return (g * w).sum(-1)
+    return (g * constant.interp_weights).sum(-1)
 
 
 def _segment_reduce(data: jax.Array, constant: SpectrumConstant, op: str) -> jax.Array:
@@ -189,11 +189,12 @@ def spectrum_values(constant: SpectrumConstant, frames: jax.Array) -> jax.Array:
         z = _pack_channels(constant, frames)  # [..., W] complex
         spec = jnp.fft.fft(z, n=constant.transform_size, axis=-1)
         mags = jnp.abs(spec)  # [..., N] — full circle, no DC/Nyq halving
-        # |.| after interpolation: the reference interpolates complex cells
-        # and takes the magnitude in post-processing, rectifying Lanczos
-        # negative lobes (ref: TransformDSP.inl:1331).
+        # interpolate COMPLEX cells, |.| after (ref: TransformDSP.inl:1331
+        # lanczosFilter<complex>): between-bin content where neighbours are
+        # near-antiphase interpolates toward cancellation (a deep notch),
+        # which magnitude interpolation would smear into a ridge
         vals = jnp.where(
-            constant.interp_mask, jnp.abs(_interp(mags, constant)), _binmax_mag(mags, constant)
+            constant.interp_mask, jnp.abs(_interp(spec, constant)), _binmax_mag(mags, constant)
         )
         return (inv * vals)[..., None, :]
 
@@ -202,8 +203,11 @@ def spectrum_values(constant: SpectrumConstant, frames: jax.Array) -> jax.Array:
     mags = jnp.abs(spec)
 
     if cfg in (SpectrumChannels.SEPARATE, SpectrumChannels.MIDSIDE):
+        # complex-cell interpolation, |.| after (ref: TransformDSP.inl:588/599
+        # linearFilter/lanczosFilter<complex> into csp, magnitude in
+        # mapAndTransformDFTFilters)
         vals = jnp.where(
-            constant.interp_mask, jnp.abs(_interp(mags, constant)), _binmax_mag(mags, constant)
+            constant.interp_mask, jnp.abs(_interp(spec, constant)), _binmax_mag(mags, constant)
         )
         return inv * vals
 
@@ -230,9 +234,9 @@ def spectrum_values(constant: SpectrumConstant, frames: jax.Array) -> jax.Array:
         cancel = jnp.where(constant.interp_mask, cancel_i, cancel_b)
         return jnp.stack([mid, cancel], axis=-2)
 
-    # mono modes — rows == 1
+    # mono modes — rows == 1 (complex-cell interpolation as above)
     vals = jnp.where(
-        constant.interp_mask, jnp.abs(_interp(mags, constant)), _binmax_mag(mags, constant)
+        constant.interp_mask, jnp.abs(_interp(spec, constant)), _binmax_mag(mags, constant)
     )
     return inv * vals
 
@@ -302,7 +306,11 @@ def post_process(
         mag_db = _db_map(constant, decayed[..., 0, :])
         phase_db = _db_map(constant, phases)
         results = jnp.stack([mag_db, phase_db], axis=-2)  # [..., T, K, rows=2, P]
-        return SpectrumResult(results, LineGraphState(new_mag_state, phase_state))
+        # write the decayed row back into the FULL-shape state: returning a
+        # rows=1 slice would change the carried pytree's shape after the
+        # first call (recompile per step; scan-carry mismatch)
+        full_mag = state.magnitude.at[..., 0:1, :].set(new_mag_state)
+        return SpectrumResult(results, LineGraphState(full_mag, phase_state))
 
     decayed, new_state = peak_decay_scan(state.magnitude, seq, poles[:, None, None], time_axis=-4)
     results = _db_map(constant, decayed)

@@ -34,6 +34,12 @@ def _encode_value(v: Any) -> Any:
         return {"__bytes__": base64.b64encode(v).decode("ascii")}
     if isinstance(v, (list, tuple)):
         return {"__list__": [_encode_value(x) for x in v]}
+    # numpy scalars BEFORE the __array__ probe (they satisfy it too) so
+    # np.int32(5) round-trips as a plain number, not a 0-d array blob
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
     if hasattr(v, "__array__"):  # numpy / jax arrays
         arr = np.asarray(v)
         return {
@@ -41,10 +47,6 @@ def _encode_value(v: Any) -> Any:
             "dtype": str(arr.dtype),
             "shape": list(arr.shape),
         }
-    if isinstance(v, (np.integer,)):
-        return int(v)
-    if isinstance(v, (np.floating,)):
-        return float(v)
     raise TypeError(f"cannot serialize {type(v)!r}")
 
 

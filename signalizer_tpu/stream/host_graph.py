@@ -105,6 +105,15 @@ class HostGraph:
         self._alive = False
         with HostGraph._registry_lock:
             HostGraph._registry.pop(self.node_id, None)
+            # leave every alias chain we joined: a dead node must never be
+            # promotable into the registry (the chains then hold only live
+            # nodes by invariant)
+            for key in list(HostGraph._alias_chains):
+                ch = HostGraph._alias_chains[key]
+                if self in ch:
+                    ch.remove(self)
+                if not ch:
+                    HostGraph._alias_chains.pop(key, None)
             chain = HostGraph._alias_chains.get(self.node_id)
             if chain:
                 # promote the next alias to the canonical identity
@@ -115,6 +124,15 @@ class HostGraph:
                 nxt.node_id = self.node_id
                 HostGraph._registry.pop(nxt_old, None)
                 HostGraph._registry[self.node_id] = nxt
+                # identity bookkeeping (Bugs.txt #1): the promoted node's
+                # self-edges follow its identity; its edges to the *dead
+                # holder* of this identity would now alias to itself —
+                # drop them instead of creating a self-loop on reload
+                with nxt._lock:
+                    self_pairs = nxt.topology.pop(nxt_old, None)
+                    nxt.topology.pop(self.node_id, None)
+                    if self_pairs:
+                        nxt.topology[self.node_id] = self_pairs
         for node in HostGraph.live_nodes():
             node._notify_topology()
 
@@ -130,14 +148,12 @@ class HostGraph:
     def connect(self, source_id: bytes, pair: PortPair) -> bool:
         """Add an edge mixing source's channel into ours
         (ref: HostGraph::connect, HostGraph.cpp:382)."""
-        if source_id == self.node_id:
-            src = self
-        else:
-            src = HostGraph.find(source_id)
-        # Bugs.txt #1: an alias resolving to ourselves must not create a
-        # self-loop through the alias identity
-        if src is self and pair.source == pair.destination and source_id != self.node_id:
-            return False
+        # (Bugs.txt #1 — alias self-loops — is defended where identities
+        # actually change: close()-promotion and assume_identity_of remap
+        # or drop edges that would alias to self; by the registry
+        # invariant find(id).node_id == id, source_id here can only
+        # resolve to self when it IS self, which is a legitimate
+        # self-monitor layout)
         if pair.destination >= self.channels or pair.source < 0 or pair.destination < 0:
             return False
         with self._lock:
@@ -238,8 +254,9 @@ class HostGraph:
                 src = bytes(e["source"])
                 pairs = {PortPair(int(a), int(b)) for a, b in e.get("pairs", [])}
                 if src == self.node_id:
-                    # Bugs.txt #1: drop self-edges that arrive via aliased
-                    # identities on reload
+                    # legitimate self-monitor edges: validate the channel
+                    # bounds (alias self-loops are defended at the
+                    # identity-change sites, not here)
                     pairs = {p for p in pairs if p.source < self.channels}
                 new_topology[src] = pairs
         with self._lock:
@@ -252,10 +269,24 @@ class HostGraph:
         GraphEditor.cpp:639-643)."""
         with HostGraph._registry_lock:
             chain = HostGraph._alias_chains.get(other_id, [])
-            if self in chain and other_id not in HostGraph._registry:
-                chain.remove(self)
-                HostGraph._registry.pop(self.node_id, None)
-                self.node_id = other_id
-                HostGraph._registry[other_id] = self
-                return True
-        return False
+            if not (self in chain and other_id not in HostGraph._registry):
+                return False
+            chain.remove(self)
+            if not chain:
+                HostGraph._alias_chains.pop(other_id, None)
+            old_id = self.node_id
+            HostGraph._registry.pop(old_id, None)
+            self.node_id = other_id
+            HostGraph._registry[other_id] = self
+            with self._lock:
+                # self-edges follow the identity; edges to the previous
+                # (dead) holder of other_id would self-loop — drop them
+                # (Bugs.txt #1)
+                self_pairs = self.topology.pop(old_id, None)
+                self.topology.pop(other_id, None)
+                if self_pairs:
+                    self.topology[other_id] = self_pairs
+        # peers with edges to other_id must learn it is live again
+        for node in HostGraph.live_nodes():
+            node._notify_topology()
+        return True

@@ -122,7 +122,9 @@ def spectrum_values_oracle(
         mags = np.abs(spec)
         out = np.zeros((1, P))
         for x in range(break_x):
-            out[0, x] = abs(interp_at(mags, f[x] * freq_to_bin, interpolation, full_circle=True))
+            # reference interpolates COMPLEX cells, |.| after
+            # (TransformDSP.inl:1331)
+            out[0, x] = abs(interp_at(spec, f[x] * freq_to_bin, interpolation, full_circle=True))
         old_bin = int(f[break_x] * freq_to_bin)
         for x in range(break_x, P):
             b = min(int(f[x] * freq_to_bin), N - 1)
@@ -162,11 +164,13 @@ def spectrum_values_oracle(
             old_bin = b
         return out
 
-    # magnitude rows (mono, separate, midside)
+    # magnitude rows (mono, separate, midside): the reference interpolates
+    # complex cells into csp and takes |.| in mapAndTransformDFTFilters
+    # (TransformDSP.inl:588/599)
     out = np.zeros((len(rows), P))
-    for row_i, m in enumerate(mags):
+    for row_i, (s, m) in enumerate(zip(specs, mags)):
         for x in range(break_x):
-            out[row_i, x] = abs(interp_at(m, f[x] * freq_to_bin, interpolation))
+            out[row_i, x] = abs(interp_at(s, f[x] * freq_to_bin, interpolation))
         old_bin = int(f[break_x] * freq_to_bin)
         for x in range(break_x, P):
             b = min(int(f[x] * freq_to_bin), num_bins)

@@ -540,3 +540,70 @@ def test_threaded_listener_fault_does_not_kill_delivery():
     assert inp._stream.wait_for_drain(timeout=5.0)
     assert len(healthy.blocks) == 5
     inp._stream.close()
+
+def test_closed_alias_is_never_promoted():
+    """An alias that closed before the canonical node must be dropped from
+    the chain — promoting it would install a dead node in the registry
+    under the canonical identity, permanently (regression)."""
+    _, _, original = _make_instance("orig")
+    ar = Archive()
+    original.serialize(ar)
+    _, _, clone1 = _make_instance("clone1")
+    clone1.deserialize(Archive.from_bytes(ar.to_bytes()))
+    _, _, clone2 = _make_instance("clone2")
+    clone2.deserialize(Archive.from_bytes(ar.to_bytes()))
+    orig_id = original.node_id
+    clone1.close()  # first alias dies BEFORE the canonical node
+    original.close()
+    survivor = HostGraph.find(orig_id)
+    assert survivor is clone2 and survivor._alive
+    assert all(n._alive for n in HostGraph.live_nodes())
+
+
+def test_promotion_drops_edges_to_dead_holder():
+    """Bugs.txt #1: when an alias is promoted to the canonical identity,
+    its edges to the DEAD holder of that identity must not become
+    self-loops; its self-edges must follow its identity."""
+    _, _, original = _make_instance("orig")
+    ar = Archive()
+    original.serialize(ar)
+    _, _, clone = _make_instance("clone")
+    clone.deserialize(Archive.from_bytes(ar.to_bytes()))
+    old_clone_id = clone.node_id
+    # clone mixes from the original (a genuine cross-edge) and monitors
+    # itself
+    clone.topology[original.node_id] = {PortPair(0, 0)}
+    clone.topology[old_clone_id] = {PortPair(1, 1)}
+    original.close()  # clone promoted to original's identity
+    assert clone.node_id == original.node_id
+    # the cross-edge to the dead holder did NOT become a self-loop...
+    assert clone.topology.get(clone.node_id) == {PortPair(1, 1)}
+    # ...and the old-identity self-edge followed the identity change
+    assert old_clone_id not in clone.topology
+
+
+def test_assume_identity_notifies_peers():
+    """assume_identity_of must broadcast a topology change (peers with
+    edges to the assumed identity have to learn it is live again), move
+    the node's self-edges to the new identity, and drop edges that would
+    self-loop (Bugs.txt #1)."""
+    import uuid as _uuid
+
+    _, _, b = _make_instance("b")
+    _, _, watcher = _make_instance("w")
+    dead_id = _uuid.uuid4().bytes  # an identity with no live holder
+    HostGraph._alias_chains[dead_id] = [b]
+    old_id = b.node_id
+    b.topology[old_id] = {PortPair(0, 0)}      # self-monitor
+    b.topology[dead_id] = {PortPair(1, 1)}     # edge to the dead holder
+    watcher.connect(dead_id, PortPair(0, 0))
+    fired = []
+    watcher.add_topology_listener(lambda: fired.append(1))
+    assert b.assume_identity_of(dead_id)
+    assert fired, "peers must be notified when an identity resurrects"
+    assert HostGraph.find(dead_id) is b
+    assert dead_id not in HostGraph._alias_chains  # chain cleaned up
+    # self-edges followed the identity; the dead-holder edge did not
+    # become a self-loop
+    assert b.topology.get(dead_id) == {PortPair(0, 0)}
+    assert old_id not in b.topology

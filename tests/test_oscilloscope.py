@@ -492,3 +492,24 @@ def test_reconfigure_updates_pair_key_colours():
     after = np.asarray(proc._pair_keys)
     assert not np.allclose(before, after)
     np.testing.assert_allclose(after[0, 0], [0.0, 0.0, 1.0], atol=1e-6)
+
+def test_median_filter_ignores_warmup_sentinels():
+    """The median filter must take the single upper-middle record of the
+    PRE-insert history and skip the override while it is the -1 sentinel
+    (ref: OscilloscopeDSP.inl:187-213 nth_element + index != -1 check) —
+    averaging the sentinels would override a stable tone with a
+    fundamental that does not exist."""
+    import jax.numpy as jnp
+
+    from signalizer_tpu.kernels.oscilloscope import BinRecord, median_record_filter
+
+    hist = jnp.full((8,), -1.0)
+    rec = BinRecord(
+        index=jnp.asarray(40, jnp.int32),
+        value=jnp.asarray(1.0, jnp.float32),
+        offset=jnp.asarray(0.0, jnp.float32),
+    )
+    for _ in range(8):
+        hist, filtered, used = median_record_filter(hist, rec)
+        assert not bool(used)
+        assert float(filtered.omega()) == 40.0

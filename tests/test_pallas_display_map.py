@@ -39,11 +39,12 @@ def _constant(axis_points=256, window=1024, interp=BinInterpolation.LINEAR):
     )
 
 
-def _mags(constant, b=8, seed=0):
+def _spec(constant, b=8, seed=0):
     rng = np.random.default_rng(seed)
     frames = rng.standard_normal((b, 2, constant.window_size)).astype(np.float32) * 0.3
     rows = _pack_channels(constant, jnp.asarray(frames))
-    return jnp.abs(_half_spectrum(constant, rows))[:, 0, :], frames
+    spec = _half_spectrum(constant, rows)[:, 0, :]
+    return jnp.real(spec), jnp.imag(spec), frames
 
 
 @pytest.mark.parametrize("interp", [BinInterpolation.NONE, BinInterpolation.LINEAR, BinInterpolation.LANCZOS])
@@ -52,10 +53,10 @@ def test_dense_formulation_matches_production_pipeline(interp):
     pipeline's post-processed output."""
     constant = _constant(interp=interp)
     operands = make_display_map_operands(constant)
-    mags, frames = _mags(constant)
+    re, im, frames = _spec(constant)
     state = jnp.zeros((8, constant.axis_points), jnp.float32)
     out, new_state = reference_display_map(
-        mags, state, operands,
+        re, im, state, operands,
         constant.decay_poles[0], constant.low_dbs, constant.high_dbs,
         constant.clip_db, constant.inv_size,
     )
@@ -78,7 +79,7 @@ def test_pallas_kernel_matches_dense_reference_interpret():
 
     constant = _constant(axis_points=256, window=512)
     operands = make_display_map_operands(constant)
-    mags, _ = _mags(constant, b=8, seed=3)
+    re, im, _ = _spec(constant, b=8, seed=3)
     state = jnp.asarray(np.random.default_rng(4).random((8, 256)).astype(np.float32))
     args = (
         constant.decay_poles[0],
@@ -87,9 +88,9 @@ def test_pallas_kernel_matches_dense_reference_interpret():
         constant.clip_db,
         constant.inv_size,
     )
-    want, want_state = reference_display_map(mags, state, operands, *args)
+    want, want_state = reference_display_map(re, im, state, operands, *args)
     out, new_state = fused_display_map(
-        mags, state, operands, *args, batch_tile=8, pixel_tile=128, interpret=True
+        re, im, state, operands, *args, batch_tile=8, pixel_tile=128, interpret=True
     )
     # kernel casts the scanned values to bf16 for the selector matmuls;
     # the dense reference keeps them f32 — ~0.4% relative on the state
@@ -106,10 +107,10 @@ def test_single_bin_pixels_read_raw_magnitude():
     if not single.any():
         pytest.skip("no single-bin pixels in this configuration")
     operands = make_display_map_operands(constant)
-    mags, frames = _mags(constant, b=4, seed=9)
+    re, im, frames = _spec(constant, b=4, seed=9)
     state = jnp.zeros((4, constant.axis_points), jnp.float32)
     out, _ = reference_display_map(
-        mags, state, operands,
+        re, im, state, operands,
         constant.decay_poles[0], constant.low_dbs, constant.high_dbs,
         constant.clip_db, constant.inv_size,
     )

@@ -228,3 +228,72 @@ def test_zero_db_range_enforces_minimum():
     r = analyze_frames(c, init_line_graph_state(c, (1,)),
                        jnp.ones((1, 1, 2, 256), jnp.float32) * 0.5)
     assert np.isfinite(np.asarray(r.results)).all()
+
+def test_phase_mode_state_shape_stable():
+    """PHASE mode must return a LineGraphState with the same pytree shapes
+    it was given — a rows=1 slice would recompile every jitted step and
+    break scan carries (regression)."""
+    import jax
+
+    constant = make_spectrum_constant(
+        axis_points=64,
+        window_size=256,
+        sample_rate=48_000.0,
+        configuration=SpectrumChannels.PHASE,
+        bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LINEAR,
+    )
+    state = init_line_graph_state(constant, (1,))
+    frames = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 3, 2, 256)).astype(np.float32)
+    )
+    r1 = analyze_frames(constant, state, frames)
+    assert jax.tree_util.tree_structure(r1.state) == jax.tree_util.tree_structure(state)
+    for a, b in zip(jax.tree_util.tree_leaves(r1.state), jax.tree_util.tree_leaves(state)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+    # and it must be a valid scan carry
+    def body(st, _):
+        return analyze_frames(constant, st, frames).state, None
+    jax.lax.scan(body, state, None, length=2)
+
+def test_between_bin_tone_interpolates_complex_notch():
+    """A windowed tone exactly between two bins leaves the neighbouring
+    bins near-antiphase; the reference's complex-cell interpolation
+    (TransformDSP.inl:588) therefore dips toward cancellation midway,
+    where magnitude interpolation would draw a smooth ridge tens of dB
+    higher. Pin the notch."""
+    from signalizer_tpu.core.constant import host_view
+    from signalizer_tpu.kernels.spectrum import spectrum_values
+    from tests.oracle import interp_at
+
+    fs, w = 48_000.0, 256
+    constant = make_spectrum_constant(
+        axis_points=512,
+        window_size=w,
+        sample_rate=fs,
+        configuration=SpectrumChannels.LEFT,
+        bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LINEAR,
+    )
+    n = constant.transform_size
+    f_tone = 32.5 * fs / n  # exactly between bins 32 and 33
+    t = np.arange(w) / fs
+    x = np.sin(2 * np.pi * f_tone * t).astype(np.float32)
+    frames = jnp.asarray(np.stack([x, np.zeros_like(x)])[None])
+    vals = np.asarray(spectrum_values(constant, frames))[0, 0]  # [P]
+
+    freqs = np.asarray(host_view(constant, "mapped_frequencies"))
+    freq_to_bin = (n // 2) / (fs / 2.0)
+    pos = freqs * freq_to_bin
+    mask = np.asarray(host_view(constant, "interp_mask")).astype(bool)
+    px = int(np.argmin(np.abs(pos - 32.5)))  # nearest pixel to the midpoint
+    assert mask[px] and abs(pos[px] - 32.5) < 0.15
+    mid = [px]
+    # magnitude-interp strawman at the same pixel
+    from tests.oracle import half_spectrum
+    win = np.asarray(host_view(constant, "window_kernel"), np.float64)
+    spec = half_spectrum(np.asarray(x, np.float64), win, n)
+    for px in mid:
+        mag_interp = abs(interp_at(np.abs(spec), pos[px], "linear"))
+        kernel_val = vals[px] / float(host_view(constant, "inv_size"))
+        assert kernel_val < 0.25 * mag_interp  # >12 dB notch vs the ridge
