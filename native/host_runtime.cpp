@@ -248,6 +248,7 @@ int sz_mix_accumulate(const SzRing* r, int64_t end_clock, int64_t src_channel,
 
 }  // extern "C"
 
+#include <cerrno>
 #include <semaphore.h>
 #include <time.h>
 
@@ -326,12 +327,27 @@ int sz_pq_push(SzPacketQueue* q, const float* block, int64_t n,
 // Returns 0 ok, -1 timeout, -2 closed-and-drained.
 int sz_pq_pop(SzPacketQueue* q, float* out, int64_t* meta_out, double* bpm_out,
               int64_t timeout_ms) {
+    // CLOCK_MONOTONIC deadline: a wall-clock step (NTP/admin) must not
+    // stretch or truncate the consumer's wait; retry on EINTR so a signal
+    // is not misreported as a timeout.
     struct timespec ts;
+#if defined(__GLIBC__) && ((__GLIBC__ > 2) || (__GLIBC__ == 2 && __GLIBC_MINOR__ >= 30))
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    ts.tv_sec += timeout_ms / 1000;
+    ts.tv_nsec += (timeout_ms % 1000) * 1000000L;
+    if (ts.tv_nsec >= 1000000000L) { ts.tv_sec += 1; ts.tv_nsec -= 1000000000L; }
+    int rc;
+    while ((rc = sem_clockwait(&q->items, CLOCK_MONOTONIC, &ts)) != 0 &&
+           errno == EINTR) {}
+#else
     clock_gettime(CLOCK_REALTIME, &ts);
     ts.tv_sec += timeout_ms / 1000;
     ts.tv_nsec += (timeout_ms % 1000) * 1000000L;
     if (ts.tv_nsec >= 1000000000L) { ts.tv_sec += 1; ts.tv_nsec -= 1000000000L; }
-    if (sem_timedwait(&q->items, &ts) != 0) {
+    int rc;
+    while ((rc = sem_timedwait(&q->items, &ts)) != 0 && errno == EINTR) {}
+#endif
+    if (rc != 0) {
         return q->alive.load(std::memory_order_acquire) ? -1 : -2;
     }
     const int64_t tail = q->tail.load(std::memory_order_relaxed);

@@ -63,10 +63,15 @@ def cmd_analyze(args) -> int:
                            history_capacity=max(48_000, int(fs)))
     try:
         if args.preset:
-            applied = eng.load_reference_preset(args.preset) \
-                if str(args.preset).endswith(".sgn") else None
-            if applied is None:
-                eng.load_preset(str(args.preset))
+            if str(args.preset).endswith(".sgn"):
+                applied = eng.load_reference_preset(args.preset)
+                ok = bool(applied)
+            else:
+                ok = eng.load_preset(str(args.preset))
+            if not ok:
+                print(f"error: preset not found or applied no views: "
+                      f"{args.preset}", file=sys.stderr)
+                return 2
             print(f"preset applied: {args.preset}")
         session = AnalysisSession(eng, views=views,
                                   axis_points=args.axis_points,
@@ -74,7 +79,7 @@ def cmd_analyze(args) -> int:
         hop = 1024
         n = audio.shape[1]
         frame = None
-        for i in range(0, max(n - hop, 1), hop):
+        for i in range(0, n, hop):  # every sample, including the tail block
             block = audio[:2, i : i + hop]
             session.feed(block, Playhead(position_samples=i, steady_clock=i,
                                          is_playing=True))
@@ -148,8 +153,9 @@ def cmd_analyze_batch(args) -> int:
         if fs_i != fs:
             print(f"note: {args.inputs[i]} has fs={fs_i:.0f}, batch assumes {fs:.0f}")
         take = min(window, audio.shape[1])
-        frames[i, 0, :, -take:] = audio[:2, -take:]
-        tails[i, :, -take:] = audio[:2, -take:]
+        ch = min(2, audio.shape[0])  # mono: zero-filled right surrogate,
+        frames[i, 0, :ch, -take:] = audio[:ch, -take:]  # same as analyze
+        tails[i, :ch, -take:] = audio[:ch, -take:]
 
     constant = make_spectrum_constant(
         axis_points=args.axis_points,
@@ -191,17 +197,25 @@ def cmd_presets(_args) -> int:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="python -m signalizer_tpu")
+    # --cpu works both before AND after the subcommand (the docstring's
+    # trailing-flag form routes to the subparser)
+    common = argparse.ArgumentParser(add_help=False)
+    # SUPPRESS: a subparser default would otherwise overwrite a --cpu
+    # given before the subcommand
+    common.add_argument("--cpu", action="store_true", default=argparse.SUPPRESS,
+                        help="force the CPU backend (authoritative jax.config)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (authoritative jax.config)")
     sub = parser.add_subparsers(dest="cmd", required=True)
-    pb = sub.add_parser("analyze-batch",
+    pb = sub.add_parser("analyze-batch", parents=[common],
                         help="analyse many files as ONE device batch")
     pb.add_argument("inputs", nargs="+")
     pb.add_argument("--out", default="analysis_out")
     pb.add_argument("--axis-points", type=int, default=1024)
     pb.add_argument("--seconds", type=float, default=None)
     pb.set_defaults(fn=cmd_analyze_batch)
-    pa = sub.add_parser("analyze", help="analyse an audio file offline")
+    pa = sub.add_parser("analyze", parents=[common],
+                        help="analyse an audio file offline")
     pa.add_argument("input")
     pa.add_argument("--out", default="analysis_out")
     pa.add_argument("--views",

@@ -40,9 +40,15 @@ def unity_scale_exp(x, lo, hi):
 
 
 def unity_scale_exp_inv(y, lo, hi):
-    import math
+    # backend-dispatching log: jnp for jax arrays/tracers (np.log would
+    # read a device array back to the host, or fail on a tracer), np for
+    # host scalars/arrays (math.log would reject arrays outright)
+    import numpy as np
 
-    return math.log(y / lo) / math.log(hi / lo)
+    import jax
+
+    log = jax.numpy.log if isinstance(y, jax.Array) else np.log
+    return log(y / lo) / log(np.asarray(hi / lo))
 
 
 def peak_decay_pole(decay_seconds: float, frames_per_second: float, fraction: float = 0.1) -> float:

@@ -57,8 +57,11 @@ def gradient_map(intensity: jax.Array, colours: jax.Array, ratios: jax.Array) ->
     rgb = c_lo * (1.0 - mix[..., None]) + c_hi * mix[..., None]
     # full-scale pixels take the last stop exactly (ref: :157-160)
     rgb = jnp.where((x >= 0.999)[..., None], colours[-1], rgb)
-    # negative intensities stay at the background stop
-    rgb = jnp.where((intensity < 0)[..., None], colours[0], rgb)
+    # negative intensities contribute NOTHING to the accumulation
+    # (ref: SpectrumDSP.cpp:124-125 `if (intensity < 0) continue;` over a
+    # zero-initialized buffer) — black, not the background stop, so a
+    # silent pair never tints the multi-pair ONE_MINUS_SRC_COLOR blend
+    rgb = jnp.where((intensity < 0)[..., None], 0.0, rgb)
     return rgb
 
 

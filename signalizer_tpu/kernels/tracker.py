@@ -50,10 +50,12 @@ def track_peak(
     """
     mags = np.asarray(magnitudes, np.float64)
     n = len(mags)
-    center = int(round(cursor_fraction * (n - 1)))
+    # clamp the cursor into the view: dragging past either edge must
+    # search the edge window, not slice an empty (or wrapped) range
+    center = int(round(min(max(cursor_fraction, 0.0), 1.0) * (n - 1)))
     half_window = max(1, int(round(search_tolerance * n)))
-    lo = max(0, center - half_window)
-    hi = min(n, center + half_window + 1)
+    lo = max(0, min(center - half_window, n - 1))
+    hi = min(n, max(center + half_window + 1, lo + 1))
 
     peak = lo + int(np.argmax(mags[lo:hi] ** 2))
     if peak == lo:
@@ -270,10 +272,11 @@ def track_display_peak(
     """
     row = np.asarray(row, np.float64)
     p = len(row)
-    center = int(round(cursor_fraction * (p - 1)))
+    # clamp the cursor into the view (see track_peak)
+    center = int(round(min(max(cursor_fraction, 0.0), 1.0) * (p - 1)))
     half = max(1, int(round(search_tolerance * p)))
-    lo = max(0, center - half)
-    hi = min(p, center + half + 1)
+    lo = max(0, min(center - half, p - 1))
+    hi = min(p, max(center + half + 1, lo + 1))
     peak = lo + int(np.argmax(row[lo:hi]))
     if peak == lo:
         while peak > 0 and row[peak - 1] >= row[peak]:

@@ -91,10 +91,12 @@ def lissajous_vertices(frames: jax.Array, *, rotation: float = 0.0, gain=1.0) ->
     left = frames[..., 0, :]
     right = frames[..., 1, :]
     x, y = right, left
-    if rotation:
-        th = 2.0 * math.pi * rotation
-        c, s = math.cos(th), math.sin(th)
-        x, y = c * x - s * y, s * x + c * y
+    # rotation may be a TRACED scalar (a draggable knob must not be a jit
+    # compile key — each distinct value would recompile, minutes per step
+    # on remote TPUs); with a python 0.0 XLA constant-folds the identity
+    th = 2.0 * jnp.pi * rotation
+    c, s = jnp.cos(th), jnp.sin(th)
+    x, y = c * x - s * y, s * x + c * y
     fade = jnp.linspace(-1.0, 0.0, w, dtype=frames.dtype)
     fade = jnp.broadcast_to(fade, x.shape)
     return jnp.stack([gain * x, gain * y, fade], axis=-1)
@@ -185,8 +187,13 @@ def meter_readout(state: VectorscopeMeterState):
     bal_r = state.balance[..., 1]
     # atan(R/L)/(pi/2); L == 0 with R > 0 is a hard-right +inf ratio -> 1.0
     # (the reference relies on IEEE atan(+inf) = pi/2); only 0/0 is
-    # degenerate and falls back to center.
+    # degenerate and falls back to center. An exactly-zero result also
+    # snaps to center: the reference guards with !std::isnormal, and 0.0
+    # is not a normal float — so a mathematically hard-left signal whose
+    # R envelope reads EXACTLY 0 displays center (a real decaying
+    # envelope is merely tiny, so live hard-left still reads ~0.0).
     raw = jnp.arctan(bal_r / jnp.where(bal_l == 0, 1.0, bal_l)) / (jnp.pi * 0.5)
+    raw = jnp.where(raw == 0.0, 0.5, raw)
     balance = jnp.where(bal_l > 0, raw, jnp.where(bal_r > 0, 1.0, 0.5))
     corr_bar = state.phase * 0.5 + 0.5
     return {"balance": balance, "correlation": corr_bar}

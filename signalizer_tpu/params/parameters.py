@@ -68,6 +68,11 @@ class ExponentialRange(Transformer):
         return self.lo * (self.hi / self.lo) ** n
 
     def normalize(self, v):
+        # clamp into the (same-signed) range first: out-of-domain input
+        # (e.g. a user typing "0" into a 20..20k Hz knob) must clamp like
+        # the linear ranges do, not raise out of set_from_text
+        if (v / self.lo) <= 0:
+            return 0.0
         n = math.log(v / self.lo) / math.log(self.hi / self.lo)
         return min(1.0, max(0.0, n))
 

@@ -84,14 +84,18 @@ class WindowSizeTransformatter(AudioHistoryTransformatter):
     """Oscilloscope window size with per-time-mode semantics
     (ref: OscilloscopeParameters.h:189-240):
 
-    * TIME: exponential 100 .. capacity samples
-    * CYCLES: exponential 1 .. 32 cycles
-    * BEATS: power-of-two quantized reciprocal 1 .. 32 bars
+    * TIME: exponential curve over [100, capacity] samples linearly
+      rescaled onto [2, capacity] (n=0 is a 2-sample window)
+    * CYCLES: exponential 1 .. 32 cycles ("r" parses radians)
+    * BEATS: the transformed value is the pow2-quantized beat DIVISION
+      nextPow2Inc(round(32^(1-n))), formatted "1/N"; parse accepts
+      fractions ("1/8") and "bars" (= 4 beats), stored as the reciprocal
     """
 
     MIN_TIME_SAMPLES = 100.0
     MAX_CYCLES = 32.0
     MAX_BEATS = 32
+    _TAU = 2.0 * math.pi
 
     def __init__(self, sample_rate: float = 48_000.0, capacity: int = 48_000):
         super().__init__(sample_rate, capacity, minimum=self.MIN_TIME_SAMPLES)
@@ -99,48 +103,82 @@ class WindowSizeTransformatter(AudioHistoryTransformatter):
 
     def transform(self, n: float) -> float:
         if self.time_mode == TimeMode.TIME:
-            return self.minimum * (self.capacity / self.minimum) ** n
+            # exp curve over [100, cap], linearly rescaled onto [2, cap]
+            # (ref: OscilloscopeParameters.h:199-210 — n=0 gives a
+            # 2-sample window, not 100)
+            cap = self.capacity
+            exp_samples = self.minimum * (cap / self.minimum) ** n
+            frac = (exp_samples - self.minimum) / max(cap - self.minimum, 1e-9)
+            return 2.0 + frac * (cap - 2.0)
         if self.time_mode == TimeMode.CYCLES:
             return 1.0 * self.MAX_CYCLES**n
-        # BEATS: quantized powers of two, descending (32 bars .. 1 bar)
-        exp = round((1.0 - n) * math.log2(self.MAX_BEATS))
-        return float(2**exp)
+        # BEATS: the transformed value is the beat DIVISION (denominator):
+        # nextPow2Inc(round(32^(1-n))) (ref: :226-229)
+        raw = int(round(self.MAX_BEATS ** (1.0 - n)))
+        return float(self._next_pow2(max(raw, 1)))
+
+    @staticmethod
+    def _next_pow2(v: int) -> int:
+        """Smallest power of two >= v (ref: cpl nextPow2Inc)."""
+        return 1 << (v - 1).bit_length()
 
     def normalize(self, v: float) -> float:
         if self.time_mode == TimeMode.TIME:
-            return super().normalize(v)
+            cap = self.capacity
+            v = max(2.0, min(v, cap))
+            frac = (v - 2.0) / max(cap - 2.0, 1e-9)
+            exp_samples = self.minimum + frac * (cap - self.minimum)
+            return math.log(exp_samples / self.minimum) / math.log(cap / self.minimum)
         if self.time_mode == TimeMode.CYCLES:
             v = max(1.0, min(v, self.MAX_CYCLES))
             return math.log(v) / math.log(self.MAX_CYCLES)
-        exp = max(0, min(int(round(math.log2(max(v, 1.0)))), int(math.log2(self.MAX_BEATS))))
-        return 1.0 - exp / math.log2(self.MAX_BEATS)
+        v = self._next_pow2(max(int(round(min(max(v, 1.0), self.MAX_BEATS))), 1))
+        return 1.0 - math.log(v) / math.log(self.MAX_BEATS)
 
     def format(self, value: float) -> str:
         if self.time_mode == TimeMode.TIME:
             return super().format(value)
         if self.time_mode == TimeMode.CYCLES:
-            return f"{value:.2f} r"
-        return f"{int(value)} bars"
+            # cycles with the radian equivalent in parens (ref: :100-104)
+            return f"{value:.2f} ({self._TAU * value:.2f} r)"
+        return f"1/{value:.0f}"  # beat division (ref: :106-110)
 
     def parse(self, text: str) -> Optional[float]:
         t = text.strip().lower()
-        m = re.match(r"([-+0-9.e]+)\s*(smps|samples|ms|s|r|cycles|bars|beats)?", t)
-        if not m:
-            return None
-        try:
-            v = float(m.group(1))
-        except ValueError:
-            return None
-        unit = m.group(2)
-        if unit in ("r", "cycles"):
+        if self.time_mode == TimeMode.BEATS:
+            # "1/8" fractions, optional "bars" (= 4 beats); the transformed
+            # value is the reciprocal — the beat division (ref: :134-158)
+            frac = re.match(r"\s*([-+0-9.e]+)\s*/\s*([-+0-9.e]+)", t)
+            if frac:
+                try:
+                    v = float(frac.group(1)) / float(frac.group(2))
+                except (ValueError, ZeroDivisionError):
+                    return None
+            else:
+                m = re.match(r"\s*([-+0-9.e]+)", t)
+                if not m:
+                    return None
+                try:
+                    v = float(m.group(1))
+                except ValueError:
+                    return None
+            if "bar" in t:
+                v /= 4.0
+            return 1.0 / v if v != 0 else None
+        if self.time_mode == TimeMode.CYCLES:
+            m = re.match(r"\s*([-+0-9.e]+)", t)
+            if not m:
+                return None
+            try:
+                v = float(m.group(1))
+            except ValueError:
+                return None
+            if "r" in t:  # radians -> cycles (ref: :125-129)
+                v /= self._TAU
             return v
-        if unit in ("bars", "beats"):
-            return v
-        if unit == "ms":
-            return v * 1e-3 * self.sample_rate
-        if unit == "s":
-            return v * self.sample_rate
-        return v
+        # TIME: the parent handles ms/s/smps and interprets a bare number
+        # per the display mode (milliseconds by default)
+        return super().parse(text)
 
 
 _NOTE_OFFSETS = {"c": -9, "d": -7, "e": -5, "f": -4, "g": -2, "a": 0, "b": 2}
@@ -194,5 +232,7 @@ class LinearHzFormatter(Formatter):
             # radians per sample -> Hz
             return v * self.sample_rate / (2.0 * math.pi)
         if unit in ("beats", "bars"):
-            return (self.bpm / 60.0) / v if v != 0 else None
+            # beats -> Hz: v beats per minute-fraction (ref:
+            # OscilloscopeParameters.h:331-334 — (v * bpm) / 60)
+            return v * self.bpm / 60.0
         return v

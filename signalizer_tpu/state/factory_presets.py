@@ -242,10 +242,13 @@ def _make_archive(configure: Callable, view: Optional[str]) -> Archive:
             full.remove_child("Engine")
             full.remove_child("host-graph")
             return full
-        # per-view preset: keep only that view's parameter subtree
+        # per-view preset: keep only that view's parameter subtree —
+        # including dropping the Editor subtree, which would otherwise
+        # clobber the user's editor settings with authoring defaults
         slim = Archive.from_bytes(full.to_bytes())  # deep copy
         slim.remove_child("Engine")
         slim.remove_child("host-graph")
+        slim.remove_child("Editor")
         params = slim.find_child("Parameters")
         for name, _ in list(params.children()):
             if name != view:
@@ -262,7 +265,9 @@ def generate_factory_presets(directory=FACTORY_DIR, *, overwrite: bool = True) -
     manager = PresetManager(directory)
     written = 0
     for name, (configure, view) in FACTORY_PRESETS.items():
-        if not overwrite and manager.try_load(name) is not None:
+        # existence by FILE in the target directory — try_load falls back
+        # to the shipped factory corpus and would skip everything
+        if not overwrite and manager._path(name).exists():
             continue
         manager.save(name, _make_archive(configure, view))
         written += 1

@@ -56,10 +56,14 @@ class RingBuffer:
         if block.ndim != 2 or block.shape[0] != self.channels:
             raise ValueError(f"expected [{self.channels}, n] block, got {block.shape}")
         n = block.shape[1]
-        self._written += n
+        # data and head land BEFORE the clock advances: a concurrent
+        # reader (threaded python-fallback stream) that sees the new
+        # _written must also see the samples it implies — advancing the
+        # clock first would let it attribute stale data to the new clock
         if n >= self.capacity:
             self._data[:] = block[:, n - self.capacity :]
             self._head = 0
+            self._written += n
             return
         first = min(n, self.capacity - self._head)
         self._data[:, self._head : self._head + first] = block[:, :first]
@@ -67,6 +71,7 @@ class RingBuffer:
         if rest:
             self._data[:, :rest] = block[:, first:]
         self._head = (self._head + n) % self.capacity
+        self._written += n
 
     def latest(self, n: int, out: Optional[np.ndarray] = None) -> np.ndarray:
         """Trailing window [channels, n] ending at the newest sample.

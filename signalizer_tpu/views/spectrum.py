@@ -53,6 +53,10 @@ class SpectrumProcessor:
 
     @property
     def state(self) -> LineGraphState:
+        """Current decay state. NOTE: ``process`` donates these buffers to
+        XLA — a reference held across the next ``process`` call points at
+        deleted device memory. Read (``np.asarray``) before processing
+        again, or copy with ``jax.tree_util.tree_map(jnp.copy, ...)``."""
         return self._state
 
     def reset(self) -> None:

@@ -58,10 +58,10 @@ def vs_step_impl(
     stereo_pole: jax.Array,
     user_gain: jax.Array,
     peak_coeff: jax.Array,
+    rotation: jax.Array = 0.0,
     *,
     mode: OperationalMode,
     autogain: AutoGain,
-    rotation: float,
     scale_to_fill: bool,
 ):
     new_state = update_meters(
@@ -86,7 +86,7 @@ def vs_step_impl(
 
 
 _vs_step = functools.partial(
-    jax.jit, static_argnames=("mode", "autogain", "rotation", "scale_to_fill")
+    jax.jit, static_argnames=("mode", "autogain", "scale_to_fill")
 )(vs_step_impl)
 
 
@@ -139,19 +139,22 @@ class VectorscopeProcessor:
         if not isinstance(frames, jax.Array):
             frames = jnp.asarray(frames, jnp.float32)
         w = frames.shape[-1]
-        key = (w, self.envelope_pole, self.stereo_pole, self.user_gain)
+        key = (w, self.envelope_pole, self.stereo_pole, self.user_gain, self.rotation)
         scalars = self._scalar_cache.get(key)
         if scalars is None:
             if len(self._scalar_cache) > 64:
                 self._scalar_cache.clear()
             # peak autogain decay scaled per visible buffer per frame
             # (ref: VectorscopeRendering.cpp:839-842) — host math, then one
-            # upload, cached
+            # upload, cached. rotation rides as a TRACED scalar: a
+            # draggable knob in the jit compile key would recompile per
+            # distinct value (minutes each over the remote-TPU tunnel)
             scalars = (
                 jnp.asarray(self.envelope_pole, jnp.float32),
                 jnp.asarray(self.stereo_pole, jnp.float32),
                 jnp.asarray(self.user_gain, jnp.float32),
                 jnp.asarray(self.envelope_pole ** (w / self.frame_rate), jnp.float32),
+                jnp.asarray(self.rotation, jnp.float32),
             )
             self._scalar_cache[key] = scalars
         frame, self._state, self._peak_env = _vs_step(
@@ -161,7 +164,6 @@ class VectorscopeProcessor:
             *scalars,
             mode=self.mode,
             autogain=self.autogain,
-            rotation=self.rotation,
             scale_to_fill=self.scale_to_fill,
         )
         return frame

@@ -166,13 +166,27 @@ def test_audio_history_transformatter():
 def test_window_size_transformatter_modes():
     t = WindowSizeTransformatter(48_000.0, 48_000)
     t.time_mode = TimeMode.TIME
-    assert t.transform(0.0) == 100.0
+    # exp over [100, cap] linearly rescaled onto [2, cap]
+    # (ref: OscilloscopeParameters.h:199-210)
+    assert t.transform(0.0) == 2.0
+    assert abs(t.transform(1.0) - 48_000.0) < 1e-6
+    assert abs(t.normalize(t.transform(0.37)) - 0.37) < 1e-9
     t.time_mode = TimeMode.CYCLES
     assert t.transform(0.0) == 1.0
     assert t.transform(1.0) == 32.0
+    assert t.format(4.0) == "4.00 (25.13 r)"  # ref: "%.2f (%.2f r)"
+    assert abs(t.parse("6.28318530718 r") - 1.0) < 1e-9  # radians -> cycles
     t.time_mode = TimeMode.BEATS
     vals = {t.transform(n) for n in np.linspace(0, 1, 21)}
     assert vals <= {1.0, 2.0, 4.0, 8.0, 16.0, 32.0}  # pow2 quantized
+    # nextPow2Inc(round(32^(1-n))): n=0.5 -> round(5.66)=6 -> 8
+    assert t.transform(0.5) == 8.0
+    assert t.format(8.0) == "1/8"  # ref: "1/%.0f"
+    # interpret: "1/8" -> reciprocal -> division 8; "2 bars" -> 8 beats
+    # -> 1/2... ref: /4 then reciprocal
+    assert t.parse("1/8") == 8.0
+    assert t.parse("2 bars") == 2.0
+    assert abs(t.normalize(8.0) - (1.0 - np.log(8) / np.log(32))) < 1e-9
 
 
 def test_linear_hz_formatter_notes():
@@ -312,7 +326,7 @@ def test_time_mode_switches_transformatter_and_window():
     assert oc.window_transformatter.time_mode == TimeMode.TIME
     oc.time_mode.set_normalized(1.0)  # beats
     assert oc.window_transformatter.time_mode == TimeMode.BEATS
-    assert oc.window_size.get_display_text().endswith("bars")
+    assert oc.window_size.get_display_text().startswith("1/")  # ref "1/%.0f"
 
     oc.window_size.set_normalized(1.0)  # 1 bar
     proc = eng.make_oscilloscope_processor(pixels=32)
@@ -437,3 +451,44 @@ def test_history_capacity_restores_to_live_stream():
     assert e1.host_graph.node_id != e3.host_graph.node_id
     for e in (e1, e2, e3):
         e.close()
+
+def test_linear_hz_formatter_beats_and_exponential_clamp():
+    """Beats parse multiplies (v * bpm / 60) — the reference's interpret
+    (OscilloscopeParameters.h:331-334) — and an exponential-range knob
+    clamps out-of-domain typed input instead of raising."""
+    from signalizer_tpu.params.parameters import ExponentialRange
+
+    f = LinearHzFormatter(48_000.0, bpm=120.0)
+    assert abs(f.parse("2 beats") - 4.0) < 1e-9  # (2 * 120) / 60
+    r = ExponentialRange(20.0, 20_000.0)
+    assert r.normalize(0.0) == 0.0       # typed "0": clamp, don't raise
+    assert r.normalize(-5.0) == 0.0
+    assert r.normalize(40_000.0) == 1.0
+
+def test_per_view_factory_preset_preserves_editor_settings():
+    """Per-view factory presets must not carry an Editor subtree — loading
+    one would silently clobber the user's editor settings with the
+    authoring engine's defaults."""
+    from signalizer_tpu.engine import SignalizerEngine
+
+    eng = SignalizerEngine("editor-keep")
+    try:
+        eng.editor_settings.refresh_rate_ms = 250.0
+        assert eng.load_preset("polar.vectorscope")
+        assert eng.editor_settings.refresh_rate_ms == 250.0
+    finally:
+        eng.close()
+
+
+def test_generate_factory_presets_into_fresh_directory(tmp_path):
+    """generate_factory_presets(dir, overwrite=False) must check existence
+    in the TARGET directory — the loader's factory-corpus fallback made it
+    skip everything and write nothing."""
+    from signalizer_tpu.state.factory_presets import (
+        FACTORY_PRESETS,
+        generate_factory_presets,
+    )
+
+    n = generate_factory_presets(tmp_path, overwrite=False)
+    assert n == len(FACTORY_PRESETS)
+    assert len(list(tmp_path.glob("*.sgz"))) == n

@@ -196,7 +196,8 @@ def _gradient_oracle(intensity, colours, ratios):
     out = np.zeros((len(intensity), 3))
     for i, x in enumerate(intensity):
         if x < 0:
-            out[i] = colours[0]
+            # ref: `if (intensity < 0) continue;` over a zero-initialized
+            # accumulation buffer — contributes nothing (black)
             continue
         if x >= 0.999:
             out[i] = colours[-1]
