@@ -27,7 +27,7 @@ from signalizer_tpu.views.render import (
 
 def main(out_dir="demo_out"):
     out = pathlib.Path(out_dir)
-    out.mkdir(exist_ok=True)
+    out.mkdir(parents=True, exist_ok=True)
     fs = 48_000.0
     eng = SignalizerEngine("demo")
 
@@ -40,11 +40,13 @@ def main(out_dir="demo_out"):
     right = np.roll(left, 9) * 0.8
     eng.process_block(np.stack([left, right]))
 
+    from signalizer_tpu.core.constant import host_view
+
     sp = eng.make_spectrum_processor(axis_points=800)
     res = sp.process(eng.get_presentation_history(sp.constant.window_size)[None])
     render_spectrum(
         np.asarray(res)[0, 0, 0],
-        __import__("signalizer_tpu.core.constant", fromlist=["host_view"]).host_view(sp.constant, "mapped_frequencies"),
+        host_view(sp.constant, "mapped_frequencies"),
         path=out / "spectrum.png",
     )
 

@@ -31,13 +31,15 @@ class SignalGenerator:
     def __init__(self, fs: float):
         self.fs = fs
         self.t = 0
+        self._phase = 0.0  # oscillator phase carries ACROSS blocks
 
     def block(self, n: int) -> np.ndarray:
         i = np.arange(self.t, self.t + n)
         self.t += n
         sec = i / self.fs
         f0 = 220.0 * 2.0 ** (0.5 * np.sin(2 * np.pi * 0.1 * sec))  # slow glide
-        phase = 2 * np.pi * np.cumsum(f0) / self.fs
+        phase = self._phase + 2 * np.pi * np.cumsum(f0) / self.fs
+        self._phase = float(phase[-1]) % (2 * np.pi)
         burst = (np.sin(2 * np.pi * 2.0 * sec) > 0.9).astype(np.float64)
         left = 0.6 * np.sin(phase) + 0.2 * burst * np.sin(2 * np.pi * 3000 * sec)
         right = 0.5 * np.sin(phase + 0.6) + 0.1 * np.sin(2 * np.pi * 880 * sec)
@@ -81,7 +83,7 @@ def draw(ax_img, view, frame, session, eng):
         ax.set_ylim(-1.2, 1.2)
         ax.set_title("vectorscope")
     elif view == "spectrogram":
-        sg = session._processors.get("spectrogram")
+        sg = session.processor("spectrogram")
         if sg is not None:
             img = np.asarray(sg.image.snapshot())  # [time, freq, rgba]
             ax.imshow(np.transpose(img, (1, 0, 2))[::-1], aspect="auto",
@@ -96,7 +98,7 @@ def run_headless(out_dir: str, n_frames: int) -> int:
     import matplotlib.pyplot as plt
 
     out = pathlib.Path(out_dir)
-    out.mkdir(exist_ok=True)
+    out.mkdir(parents=True, exist_ok=True)
     eng, session, gen, playhead = build()
     try:
         fig, ax = plt.subplots(figsize=(8, 4), dpi=80)

@@ -2,9 +2,9 @@
 mesh through the ShardedAnalysisPipeline.
 
 Runs anywhere: on a CPU-only box it builds an 8-virtual-device mesh
-(pass --cpu or have no TPU); on a pod slice it uses every chip.
+(pass --tpu to run on real TPU hardware; by default (or with no TPU)); on a pod slice it uses every chip.
 
-Usage: python examples/multichip_demo.py [--cpu]
+Usage: python examples/multichip_demo.py [--tpu]
 """
 
 import pathlib

@@ -47,7 +47,7 @@ def main(out_dir: str = "gallery_out", limit: int = 0) -> int:
         print("reference preset corpus not mounted; nothing to do")
         return 0
     out = pathlib.Path(out_dir)
-    out.mkdir(exist_ok=True)
+    out.mkdir(parents=True, exist_ok=True)
 
     files = sorted(corpus.glob("*.sgn"))
     if limit:
@@ -56,6 +56,7 @@ def main(out_dir: str = "gallery_out", limit: int = 0) -> int:
     for path in files:
         view = path.stem.rsplit(".", 1)[-1]
         eng = SignalizerEngine(f"gallery-{path.stem}")
+        session = None
         try:
             eng.load_reference_preset(path)
             mix = make_mix(eng.config.sample_rate)
@@ -78,19 +79,25 @@ def main(out_dir: str = "gallery_out", limit: int = 0) -> int:
                                     path=str(out / f"{stem}.oscilloscope.png"))
                 rendered += 1
             if frame.vectorscope is not None and view in ("vectorscope", "main"):
-                mode = ("lissajous", "polar")[
-                    int(eng.vectorscope.operational_mode.get_transformed())]
+                from signalizer_tpu.views.vectorscope import OperationalMode
+
+                mode = OperationalMode(
+                    int(eng.vectorscope.operational_mode.get_transformed())
+                ).name.lower()
                 hints = eng.vectorscope.make_render_hints()
                 render_vectorscope(frame.vectorscope, mode=mode, hints=hints,
                                    path=str(out / f"{stem}.vectorscope.png"))
                 rendered += 1
-            sg = session._processors.get("spectrogram")
+            sg = session.processor("spectrogram")
             if sg is not None and view in ("spectrum", "main"):
                 render_spectrogram(sg.image, path=str(out / f"{stem}.spectrogram.png"))
                 rendered += 1
-            session.close()
             print(f"{path.name}: ok")
         finally:
+            # session.close() also closes the engine (idempotent); the
+            # eng.close() covers a failure before the session existed
+            if session is not None:
+                session.close()
             eng.close()
     print(f"gallery: {rendered} renders from {len(files)} presets -> {out}")
     return 0
@@ -108,4 +115,4 @@ if __name__ == "__main__":
         i = args.index("--limit")
         limit = int(args[i + 1])
         del args[i : i + 2]
-    sys.exit(main(*(args or ["gallery_out"]), limit=limit))
+    sys.exit(main(args[0] if args else "gallery_out", limit=limit))

@@ -94,13 +94,16 @@ def cmd_analyze(args) -> int:
                 frame.oscilloscope, hints=eng.oscilloscope.make_render_hints(),
                 path=str(out / f"{stem}.oscilloscope.png")))
         if frame.vectorscope is not None and "vectorscope" in views:
-            mode = ("lissajous", "polar")[
-                int(eng.vectorscope.operational_mode.get_transformed())]
+            from signalizer_tpu.views.vectorscope import OperationalMode
+
+            mode = OperationalMode(
+                int(eng.vectorscope.operational_mode.get_transformed())
+            ).name.lower()
             written.append(render_vectorscope(
                 frame.vectorscope, mode=mode,
                 hints=eng.vectorscope.make_render_hints(),
                 path=str(out / f"{stem}.vectorscope.png")))
-        sg = session._processors.get("spectrogram")
+        sg = session.processor("spectrogram")
         if sg is not None and "spectrogram" in views:
             written.append(render_spectrogram(
                 sg.image, path=str(out / f"{stem}.spectrogram.png")))

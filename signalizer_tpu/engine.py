@@ -397,6 +397,11 @@ class SignalizerEngine(SerializableObject):
         }
 
     def close(self) -> None:
+        # idempotent: AnalysisSession.close() closes its engine, and
+        # embedders commonly also close in their own finally block
+        if getattr(self, "_closed", False):
+            return
+        self._closed = True
         self.mix_graph.close()
         self.host_graph.close()
         self.realtime_output._stream.close()

@@ -146,6 +146,12 @@ class AnalysisSession:
             self._sg_listener = _SgFeed()
             eng.presentation_output.add_listener(self._sg_listener)
 
+    def processor(self, view: str):
+        """The live processor behind a view ("spectrum", "oscilloscope",
+        "vectorscope", "spectrogram"), or None when inactive — the public
+        accessor for embedders (e.g. the spectrogram's scrolled image)."""
+        return self._processors.get(view)
+
     # --- audio cadence ------------------------------------------------------
     def feed(self, block: np.ndarray, playhead: Optional[Playhead] = None) -> None:
         """Real-time audio entry: engine ingest (the spectrogram hopper is

@@ -37,12 +37,21 @@ class AxisLine:
 
 
 def db_meter_axis(low_dbs: float, high_dbs: float, max_divisions: int = 10) -> List[AxisLine]:
-    """dB grid with 1-2-5-10 quantized steps (ref: DBMeterAxis)."""
-    step = suitable_axis_division(high_dbs - low_dbs, max_divisions)
-    first = math.ceil(low_dbs / step) * step
+    """dB grid with 1-2-5-10 quantized steps (ref: DBMeterAxis).
+
+    Supports inverted bounds (high < low: the axis renders reversed, the
+    line graph flood-fills the other way); a degenerate equal-bounds pair
+    (both knobs automated to the same value) yields no grid lines rather
+    than dividing by zero."""
+    if high_dbs == low_dbs:
+        return []
+    inverted = high_dbs < low_dbs
+    lo, hi = (high_dbs, low_dbs) if inverted else (low_dbs, high_dbs)
+    step = suitable_axis_division(hi - lo, max_divisions)
+    first = math.ceil(lo / step) * step
     lines = []
     v = first
-    while v <= high_dbs + 1e-9:
+    while v <= hi + 1e-9:
         pos = (v - low_dbs) / (high_dbs - low_dbs)
         lines.append(AxisLine(pos, v, f"{v:g} dB"))
         v += step
