@@ -17,9 +17,7 @@ work and measured 16 ms vs XLA's 4 ms):
   over the COMPLEX spectrum cells (matching production's reference
   semantics, TransformDSP.inl:588) with a precomputed
   sparse-in-structure weight matrix W [n_values, P] — gathers become MXU
-  work (the rematch table below was measured with the earlier
-  single-matmul magnitude interpolation; the complex form adds one
-  [B,nv]x[nv,Pt] matmul per tile, bounded by ~2x on the interp stage);
+  work;
 * chunked bin-max exploits that the plan's chunks are **contiguous bin
   ranges**: a Hillis-Steele *reset scan* (running max that restarts at
   each segment boundary, log2(n) static-shift steps on the VPU) produces
@@ -36,14 +34,20 @@ per-pixel-tile operands (W/E/S) stay resident in VMEM while the batch
 sweeps (pallas skips reloads when the block index is unchanged).
 
 **Measured rematch verdict (TPU v5 litepod, B=1024, P=1024, 8193 bins,
-warm cache, 16-deep chained dispatch):**
+warm cache, 16-deep chained dispatch; re-measure with
+tools/pallas_rematch_bench.py):**
 
 ==================================  ========
 round-1 masked-max kernel           16.0 ms
-this kernel (reset-scan + MXU)       3.83 ms
-XLA production tail (gather/
-scatter pipeline, same inputs)       1.90 ms
+this kernel (reset-scan + MXU,
+complex-cell interp, two matmuls)    3.93 ms
+XLA dense formulation
+(same complex interp)                1.81 ms
 ==================================  ========
+
+(The complex-cell upgrade — a second [B,nv]x[nv,Pt] matmul per tile —
+cost only ~0.1 ms over the single-matmul magnitude version: the MXU
+absorbs it; the bin-max reset scan still dominates.)
 
 max display error vs production: 6.4e-4 (bf16 chunk-max selection,
 ~0.05 dB). The scan+one-hot formulation closed 4.2x of the round-1 gap,
