@@ -57,6 +57,7 @@ class SignalizerEngine(SerializableObject):
         history_capacity: int = DEFAULT_HISTORY_SIZE,
         threaded: bool = False,
         preset_dir: Optional[str] = None,
+        load_default_preset: bool = True,
     ):
         if channels > MAX_INPUT_CHANNELS:
             raise ValueError(f"at most {MAX_INPUT_CHANNELS} channels")
@@ -119,9 +120,10 @@ class SignalizerEngine(SerializableObject):
         # factory corpus always available; user dir optional
         # (ref: default.main loaded at construction, PluginProcessor.cpp:83-101)
         self.presets = PresetManager(preset_dir)
-        default = self.presets.load_default()
-        if default is not None:
-            self.deserialize(default)
+        if load_default_preset:
+            default = self.presets.load_default()
+            if default is not None:
+                self.deserialize(default)
 
         self._playhead = Playhead()
 

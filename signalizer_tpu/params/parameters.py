@@ -44,6 +44,17 @@ class UnityRange(Transformer):
         return float(min(1.0, max(0.0, v)))
 
 
+class ReverseUnityRange(Transformer):
+    """transform(n) = 1 - n (ref: cpl reverseUnitRange(1, 0), used for
+    ViewRight/ViewBottom so dragging 'outward' automates 0 -> 1)."""
+
+    def transform(self, n):
+        return 1.0 - float(min(1.0, max(0.0, n)))
+
+    def normalize(self, v):
+        return 1.0 - float(min(1.0, max(0.0, v)))
+
+
 class LinearRange(Transformer):
     def __init__(self, lo: float, hi: float):
         self.lo, self.hi = float(lo), float(hi)
@@ -135,6 +146,32 @@ class UnitFormatter(BasicFormatter):
 class DBFormatter(UnitFormatter):
     def __init__(self, digits: int = 2):
         super().__init__("dB", digits)
+
+
+class AmplitudeDBFormatter(Formatter):
+    """LINEAR-amplitude value displayed/parsed in dB (ref: cpl dbFormatter
+    over linear ranges — e.g. the trigger threshold, amplitude 0..4 shown
+    as dB; the line decay fraction shown as dB/s)."""
+
+    def __init__(self, unit: str = "dB", digits: int = 2):
+        self.unit = unit
+        self.digits = digits
+
+    def format(self, value):
+        if value <= 0:
+            return f"-inf {self.unit}"
+        return f"{20.0 * math.log10(value):.{self.digits}f} {self.unit}"
+
+    def parse(self, text):
+        t = text.strip().lower()
+        for suffix in (self.unit.lower(), "db"):
+            if t.endswith(suffix):
+                t = t[: -len(suffix)].strip()
+                break
+        try:
+            return 10.0 ** (float(t) / 20.0)
+        except ValueError:
+            return None
 
 
 class PercentageFormatter(Formatter):

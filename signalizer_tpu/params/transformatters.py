@@ -20,11 +20,16 @@ from signalizer_tpu.params.parameters import Formatter, Transformer
 
 
 class AudioHistoryTransformatter(Transformer, Formatter):
-    """Normalized knob <-> window size in samples, exponential against the
-    *current* history capacity; rescales when stream properties change
-    (ref: onStreamPropertiesChanged, CommonSignalizer.h:326 — the
-    transformed value tracks capacity so the knob keeps its relative
-    position when the capacity grows)."""
+    """Normalized knob <-> window size in samples, LINEAR against the
+    *current* history capacity — transform(n) = round(n * capacity),
+    normalize(v) = v / capacity (ref: CommonSignalizer.h:408-441) — and
+    rescales when stream properties change (onStreamPropertiesChanged,
+    CommonSignalizer.h:326: the transformed value tracks capacity so the
+    knob keeps its relative position when the capacity grows).
+
+    Deviation: transform floors at 1 sample (the reference returns 0 at
+    n=0 and guards downstream; our constant builders take the window size
+    directly)."""
 
     class Mode(enum.IntEnum):
         MILLISECONDS = 0
@@ -34,7 +39,7 @@ class AudioHistoryTransformatter(Transformer, Formatter):
                  minimum: float = 128.0, mode: "AudioHistoryTransformatter.Mode" = None):
         self.sample_rate = float(sample_rate)
         self.capacity = float(capacity)
-        self.minimum = float(minimum)
+        self.minimum = float(minimum)  # used by the WindowSize subclass
         self.mode = mode if mode is not None else self.Mode.MILLISECONDS
 
     def set_stream_properties(self, sample_rate: float, capacity: int) -> None:
@@ -42,11 +47,10 @@ class AudioHistoryTransformatter(Transformer, Formatter):
         self.capacity = float(capacity)
 
     def transform(self, n: float) -> float:
-        return self.minimum * (self.capacity / self.minimum) ** n
+        return max(1.0, round(n * self.capacity))
 
     def normalize(self, v: float) -> float:
-        v = max(self.minimum, min(v, self.capacity))
-        return math.log(v / self.minimum) / math.log(self.capacity / self.minimum)
+        return min(1.0, max(0.0, v / self.capacity))
 
     def format(self, value: float) -> str:
         if self.mode == self.Mode.MILLISECONDS:

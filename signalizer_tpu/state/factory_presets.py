@@ -54,7 +54,7 @@ def _constant_q_spectrum(e) -> None:
 def _impulse_spectrum(e) -> None:
     """Short-window transient view: linear scale, fast decay."""
     sc = e.spectrum
-    sc.window_size.set_normalized(0.15)
+    sc.window_size.set_normalized(1024.0 / 48_000.0)  # short (linear range)
     _norm_choice(sc.view_scaling, 0, 2)  # linear
     sc.lines[0][0].set_normalized(0.02)
     sc.flood_fill_alpha.set_normalized(0.4)
@@ -128,7 +128,7 @@ def _impulse_oscilloscope(e) -> None:
     """Zero-crossing trigger armed above a threshold — transients."""
     oc = e.oscilloscope
     _norm_choice(oc.trigger_mode, 4, 5)  # zero crossing
-    oc.trigger_threshold.set_normalized(0.25)
+    oc.trigger_threshold.set_normalized(0.25 / 4.0)  # amplitude 0.25 of the (0,4) range
     oc.window_size.set_normalized(0.2)
 
 
@@ -136,7 +136,7 @@ def _peak_trigger_oscilloscope(e) -> None:
     """Envelope-hold (peak) triggering with hysteresis."""
     oc = e.oscilloscope
     _norm_choice(oc.trigger_mode, 3, 5)  # envelope hold
-    oc.trigger_threshold.set_normalized(0.1)
+    oc.trigger_threshold.set_normalized(0.1 / 4.0)  # amplitude 0.1
     oc.trigger_hysteresis.set_normalized(0.3)
 
 
@@ -146,7 +146,7 @@ def _sub_investigation_oscilloscope(e) -> None:
     oc.window_size.set_normalized(0.9)
     _norm_choice(oc.trigger_mode, 1, 5)  # spectral
     oc.trigger_on_custom_frequency.set_normalized(1.0)
-    oc.custom_trigger_frequency.set_normalized(0.25)  # ~40 Hz
+    oc.custom_trigger_frequency.set_normalized((40.0 - 5.0) / 47_995.0)  # 40 Hz
     _norm_choice(oc.auto_gain, 1, 3)  # rms
     oc.envelope_window.set_normalized(0.8)
 
@@ -230,7 +230,10 @@ FACTORY_PRESETS: Dict[str, tuple] = {
 def _make_archive(configure: Callable, view: Optional[str]) -> Archive:
     from signalizer_tpu.engine import SignalizerEngine
 
-    engine = SignalizerEngine("preset-author")
+    # author from CONSTRUCTION defaults: loading the shipped default.main
+    # here would freeze a previous corpus's (possibly stale) normalized
+    # values into the regenerated one
+    engine = SignalizerEngine("preset-author", load_default_preset=False)
     try:
         configure(engine)
         full = Archive()

@@ -41,8 +41,9 @@ Fidelity notes / deliberate inferences:
   reference's ranges, so transformed values agree where ranges agree.
 * ``ViewRight``/``ViewBottom`` knobs use a **reversed** unit range in the
   reference (ref: OscilloscopeParameters.h:369,421-422,
-  SpectrumParameters.h:128); ours are plain unit ranges, so those slots
-  are flipped (``1 - n``) on import.
+  SpectrumParameters.h:128); ours carry the same ReverseUnityRange, so
+  the serialized normalized values apply verbatim (the "pr"/"offs-r"
+  slot kinds remain for archives that need an explicit flip).
 * cpl's window-type list has 18 entries (back-solved from the quantized
   choice values in the corpus: round(n*17) lands exactly on integers);
   ours has 16. :data:`REF_WINDOW_TABLE` maps them, substituting the
@@ -259,12 +260,13 @@ _OSCILLOSCOPE_SLOTS = [
     ("p", "trigger_phase_offset"),
     ("p", "trigger_mode"),
     ("p", "time_mode"),
-    # viewOffsets: Left, Top plain; Right, Bottom reversed
-    # (ref: OscilloscopeParameters.h:419-422)
+    # viewOffsets: Left, Top plain; Right, Bottom carry the
+    # reverseUnitRange IN the parameter now (matching the reference), so
+    # the serialized normalized value applies verbatim
     ("offs", 0),
     ("offs", 1),
-    ("offs-r", 2),
-    ("offs-r", 3),
+    ("offs", 2),
+    ("offs", 3),
     ("p", "dot_samples"),
     ("p", "trigger_on_custom_frequency"),
     ("p", "custom_trigger_frequency"),
@@ -307,7 +309,7 @@ _SPECTRUM_SLOTS = [
     ("grad", 4),
     ("p", "bin_interpolation"),
     ("p", "view_left"),
-    ("pr", "view_right"),  # reverseUnitRange (ref: SpectrumParameters.h:128)
+    ("p", "view_right"),  # the param itself is reverseUnitRange (ref :128)
     ("w", "dsp_win"),
     ("p", "free_q"),
     ("p", "spectrum_stretching"),

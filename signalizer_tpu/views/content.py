@@ -33,6 +33,7 @@ from signalizer_tpu.core.constant import (
     make_spectrum_constant,
 )
 from signalizer_tpu.params.parameters import (
+    AmplitudeDBFormatter,
     BasicFormatter,
     BooleanFormatter,
     BooleanRange,
@@ -44,6 +45,7 @@ from signalizer_tpu.params.parameters import (
     Parameter,
     ParameterSet,
     PercentageFormatter,
+    ReverseUnityRange,
     UnitFormatter,
     UnityRange,
 )
@@ -79,6 +81,18 @@ def _choice(name: str, options, default_index: int = 0) -> Parameter:
     )
 
 
+def _decay_fraction_to_seconds(fraction: float) -> float:
+    """Line-decay knob (the fraction reached after 0.1 s; ref:
+    setDecayAsFraction(fraction, 0.1), Spectrum.cpp:393) -> the
+    seconds-to-10% parameter our constant builder takes. Exact:
+    pole^(0.1*fps) = fraction  <=>  0.1^(1/(t*fps)) = fraction^(1/(0.1*fps))
+    with t = 0.1*ln(0.1)/ln(fraction)."""
+    import math
+
+    fraction = min(max(fraction, 1e-9), 1.0 - 1e-9)
+    return 0.1 * math.log(0.1) / math.log(fraction)
+
+
 class SpectrumContent(SerializableObject):
     """ref: SpectrumParameters.h:38-441 (~40 parameters)."""
 
@@ -88,7 +102,8 @@ class SpectrumContent(SerializableObject):
     def __init__(self, sample_rate: float = 48_000.0, history_capacity: int = 48_000):
         ps = self.parameter_set = ParameterSet(self.NAME, self.PREFIX)
         self.audio_history_transformatter = AudioHistoryTransformatter(
-            sample_rate, history_capacity
+            sample_rate, history_capacity,
+            mode=AudioHistoryTransformatter.Mode.SAMPLES,  # ref: Samples
         )
         dyn = LinearRange(MIN_DBS, MAX_DBS)
 
@@ -110,15 +125,20 @@ class SpectrumContent(SerializableObject):
         )
         self.low_dbs = ps.register_parameter(Parameter("LowerBound", dyn, DBFormatter(), dyn.normalize(-96.0)))
         self.high_dbs = ps.register_parameter(Parameter("UpperBound", dyn, DBFormatter(), dyn.normalize(0.0)))
+        # linear n*capacity transformatter (ref base); default lands the
+        # classic 4096-sample analysis window
         self.window_size = ps.register_parameter(
-            Parameter("WindowSize", self.audio_history_transformatter, self.audio_history_transformatter, 0.5)
+            Parameter("WindowSize", self.audio_history_transformatter,
+                      self.audio_history_transformatter,
+                      min(4096.0 / max(history_capacity, 1), 1.0))
         )
-        self.pct_for_division = ps.register_parameter(Parameter("PctDivision", UnityRange(), PercentageFormatter(), 0.5))
+        # ref: pctForDivision uses basicFormatter (SpectrumParameters.h:120)
+        self.pct_for_division = ps.register_parameter(Parameter("PctDivision", UnityRange(), BasicFormatter(), 0.5))
         self.blob_size = ps.register_parameter(
             Parameter("BlobSize", ExponentialRange(0.5, 1000.0), UnitFormatter("ms"), 0.5)
         )
         self.frame_update_smoothing = ps.register_parameter(
-            Parameter("FrameSmoothing", LinearRange(0.0, 0.996), PercentageFormatter(), 0.1)
+            Parameter("FrameSmoothing", LinearRange(0.0, 0.996), BasicFormatter(), 0.1)
         )
         self.spectrum_stretching = ps.register_parameter(
             Parameter("SpectrumStretch", LinearRange(1.0, 20.0), BasicFormatter(), 0.0)
@@ -132,8 +152,10 @@ class SpectrumContent(SerializableObject):
         self.reference_tuning = ps.register_parameter(
             Parameter("RefTuning", LinearRange(220.0, 880.0), UnitFormatter("Hz"), (440.0 - 220.0) / 660.0)
         )
-        self.view_left = ps.register_parameter(Parameter("ViewLeft", UnityRange(), PercentageFormatter(), 0.0))
-        self.view_right = ps.register_parameter(Parameter("ViewRight", UnityRange(), PercentageFormatter(), 1.0))
+        self.view_left = ps.register_parameter(Parameter("ViewLeft", UnityRange(), BasicFormatter(), 0.0))
+        # reverseUnitRange: normalized 0 = right edge (ref:
+        # SpectrumParameters.h:98,128 — automation 0->1 zooms inward)
+        self.view_right = ps.register_parameter(Parameter("ViewRight", ReverseUnityRange(), BasicFormatter(), 0.0))
         self.free_q = ps.register_parameter(Parameter("FreeQ", BooleanRange(), BooleanFormatter(), 0.0))
         self.diagnostics = ps.register_parameter(Parameter("Diagnostics", BooleanRange(), BooleanFormatter(), 0.0))
         self.tracker_smoothing = ps.register_parameter(
@@ -152,11 +174,15 @@ class SpectrumContent(SerializableObject):
         ]
         self.widget_colour = ps.register_bundle(ColourValue("Widget"))
 
-        # 2 line graphs x (decay + 2 colours), ref: lines[LineEnd]
+        # 2 line graphs x (decay + 2 colours), ref: lines[LineEnd].
+        # The knob's transformed value is the decay FRACTION reached after
+        # 0.1 s (ref: unitRange + dbSecFormatter, SpectrumParameters.h:151;
+        # consumed by setDecayAsFraction(fraction, 0.1), Spectrum.cpp:393);
+        # default 0.794 ~= decay to 10% in 1 s
         self.lines = []
         for i in range(NUM_LINE_GRAPHS):
             decay = ps.register_parameter(
-                Parameter(f"Line{i}Decay", LinearRange(0.0, 10.0), UnitFormatter("s"), 0.1)
+                Parameter(f"Line{i}Decay", UnityRange(), AmplitudeDBFormatter("dB/s"), 0.794)
             )
             one = ps.register_bundle(ColourValue(f"Line{i}One"))
             two = ps.register_bundle(ColourValue(f"Line{i}Two"))
@@ -200,7 +226,9 @@ class SpectrumContent(SerializableObject):
             clip_db=MIN_DBS,
             slope_a=a,
             slope_b=b,
-            decay_seconds=tuple(l[0].get_transformed() for l in self.lines),
+            decay_seconds=tuple(
+                _decay_fraction_to_seconds(l[0].get_transformed()) for l in self.lines
+            ),
             frames_per_second=frames_per_second,
         )
 
@@ -271,8 +299,9 @@ class OscilloscopeContent(SerializableObject):
         self.window_transformatter = WindowSizeTransformatter(sample_rate, history_capacity)
         hz_fmt = LinearHzFormatter(sample_rate)
 
+        # ref: windowRange is LINEAR (0, 1000) ms (OscilloscopeParameters.h:364)
         self.envelope_window = ps.register_parameter(
-            Parameter("EnvelopeWindow", ExponentialRange(0.001, 1000.0), UnitFormatter("ms"), 0.5)
+            Parameter("EnvelopeWindow", LinearRange(0.0, 1000.0), UnitFormatter("ms"), 0.5)
         )
         self.input_gain = ps.register_parameter(
             Parameter("InputGain", LinearRange(-120.0, 120.0), DBFormatter(), 0.5)
@@ -293,26 +322,34 @@ class OscilloscopeContent(SerializableObject):
         self.trigger_on_custom_frequency = ps.register_parameter(
             Parameter("CustomTrigger", BooleanRange(), BooleanFormatter(), 0.0)
         )
+        # ref: customTriggerRange is LINEAR (5, 48000) Hz (:369)
         self.custom_trigger_frequency = ps.register_parameter(
-            Parameter("CustomTriggerFrequency", ExponentialRange(5.0, 20_000.0), hz_fmt, 0.5)
+            Parameter("CustomTriggerFrequency", LinearRange(5.0, 48_000.0), hz_fmt, 0.5)
         )
         self.overlay_channels = ps.register_parameter(Parameter("OverlayChannels", BooleanRange(), BooleanFormatter(), 1.0))
         self.colour_smoothing = ps.register_parameter(
-            Parameter("ColourSmoothing", ExponentialRange(0.1, 1000.0), UnitFormatter("ms"), 0.5)
+            Parameter("ColourSmoothing", ExponentialRange(0.001, 1000.0), UnitFormatter("ms"), 0.5)
         )
         self.cursor_tracker = ps.register_parameter(Parameter("CursorTracker", BooleanRange(), BooleanFormatter(), 0.0))
         self.frequency_colouring_blend = ps.register_parameter(
             Parameter("FColourBlend", UnityRange(), PercentageFormatter(), 0.0)
         )
         self.trigger_hysteresis = ps.register_parameter(Parameter("THysteresis", UnityRange(), PercentageFormatter(), 0.0))
-        self.trigger_threshold = ps.register_parameter(Parameter("TThreshold", UnityRange(), PercentageFormatter(), 0.0))
+        # ref: triggerThresholdRange LINEAR (0, 4) amplitude shown in dB
+        # (:371,402); triggerChannelRange is 1-BASED (1, 16) (:372,403)
+        self.trigger_threshold = ps.register_parameter(
+            Parameter("TThreshold", LinearRange(0.0, 4.0), AmplitudeDBFormatter(), 0.0)
+        )
         self.triggering_channel = ps.register_parameter(
-            Parameter("TriggeringChannel", IntegerLinearRange(0, 16), BasicFormatter(), 0.0)
+            Parameter("TriggeringChannel", IntegerLinearRange(1, 16), BasicFormatter(), 0.0)
         )
         self.show_legend = ps.register_parameter(Parameter("ShowLegend", BooleanRange(), BooleanFormatter(), 1.0))
+        # ViewRight/ViewBottom use reverseUnitRange (normalized 0 = the
+        # far edge; ref: :420-423), all four with basicFormatter
         self.view_offsets = [
-            ps.register_parameter(Parameter(f"View{n}", UnityRange(), PercentageFormatter(), d))
-            for n, d in (("Left", 0.0), ("Top", 0.0), ("Right", 1.0), ("Bottom", 1.0))
+            ps.register_parameter(Parameter(f"View{n}", rng, BasicFormatter(), 0.0))
+            for n, rng in (("Left", UnityRange()), ("Top", UnityRange()),
+                           ("Right", ReverseUnityRange()), ("Bottom", ReverseUnityRange()))
         ]
         self.auto_gain = ps.register_parameter(_choice("AutoGain", ["none", "rms", "peak decay"]))
         self.channel_configuration = ps.register_parameter(
@@ -409,7 +446,9 @@ class OscilloscopeContent(SerializableObject):
             secondary_colour=tuple(self.secondary_colour.get_rgb()),
             colour_blend=1.0 - self.frequency_colouring_blend.get_transformed(),
             manual_gain=10.0 ** (self.input_gain.get_transformed() / 20.0),
-            trigger_channel=int(self.triggering_channel.get_transformed()),
+            # the knob is 1-based like the reference (trigger1Base - 1,
+            # OscilloscopeDSP.inl:496-501); kernels index 0-based
+            trigger_channel=max(0, int(self.triggering_channel.get_transformed()) - 1),
             custom_trigger=self.trigger_on_custom_frequency.get_transformed() > 0.5,
             custom_trigger_frequency=self.custom_trigger_frequency.get_transformed(),
             time_mode=TimeMode(int(self.time_mode.get_transformed())),
@@ -439,17 +478,22 @@ class VectorScopeContent(SerializableObject):
         ps = self.parameter_set = ParameterSet(self.NAME, self.PREFIX)
         self.audio_history_transformatter = AudioHistoryTransformatter(sample_rate, history_capacity)
 
+        # ref: windowRange is LINEAR (0, 1000) ms (VectorscopeParameters.h:50)
+        # — the kernels consume get_normalized() as seconds, which with a
+        # linear ms range is exactly the displayed value / 1000
         self.envelope_window = ps.register_parameter(
-            Parameter("EnvelopeWindow", ExponentialRange(0.001, 1000.0), UnitFormatter("ms"), 0.5)
+            Parameter("EnvelopeWindow", LinearRange(0.0, 1000.0), UnitFormatter("ms"), 0.5)
         )
         self.stereo_window = ps.register_parameter(
-            Parameter("StereoWindow", ExponentialRange(0.001, 1000.0), UnitFormatter("ms"), 0.5)
+            Parameter("StereoWindow", LinearRange(0.0, 1000.0), UnitFormatter("ms"), 0.5)
         )
         self.input_gain = ps.register_parameter(
             Parameter("InputGain", LinearRange(-120.0, 120.0), DBFormatter(), 0.5)
         )
         self.window_size = ps.register_parameter(
-            Parameter("WindowSize", self.audio_history_transformatter, self.audio_history_transformatter, 0.5)
+            Parameter("WindowSize", self.audio_history_transformatter,
+                      self.audio_history_transformatter,
+                      min(4096.0 / max(history_capacity, 1), 1.0))
         )
         self.wave_z_rotation = ps.register_parameter(
             Parameter("WaveZRotation", LinearRange(0.0, 360.0), UnitFormatter("deg"), 0.0)

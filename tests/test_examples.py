@@ -1,6 +1,7 @@
 """The shipped examples must keep running (CPU, subprocess-isolated)."""
 
 import pathlib
+import re
 import subprocess
 import sys
 
@@ -23,7 +24,8 @@ def test_demo_renders_all_views(tmp_path):
     names = {p.name for p in tmp_path.iterdir()}
     assert {"spectrum.png", "oscilloscope.png", "vectorscope.png",
             "spectrogram.png", "session_line_graph.png"} <= names
-    assert "tracker: 440.0 Hz" in proc.stdout
+    m = re.search(r"tracker: (\d+\.\d) Hz", proc.stdout)
+    assert m and abs(float(m.group(1)) - 440.0) < 1.0, proc.stdout
 
 
 def test_multichip_demo_runs():
@@ -110,4 +112,5 @@ def test_embedding_host_runs():
     proc = _run("embedding_host.py", "--cpu")
     assert proc.returncode == 0, proc.stderr[-800:]
     assert "state round-trip exact: True" in proc.stdout
-    assert "tracker: 440.0 Hz" in proc.stdout
+    m = re.search(r"tracker: (\d+\.\d) Hz", proc.stdout)
+    assert m and abs(float(m.group(1)) - 440.0) < 1.0, proc.stdout

@@ -154,8 +154,10 @@ def test_transform_value_matrix():
 
 
 def test_audio_history_transformatter():
-    t = AudioHistoryTransformatter(48_000.0, 48_000, minimum=128)
-    assert t.transform(0.0) == 128.0
+    # LINEAR n*capacity (ref: CommonSignalizer.h:408-441); floors at 1
+    t = AudioHistoryTransformatter(48_000.0, 48_000)
+    assert t.transform(0.0) == 1.0  # ref returns 0; we floor (documented)
+    assert t.transform(0.5) == 24_000.0
     assert t.transform(1.0) == 48_000.0
     assert abs(t.normalize(t.transform(0.37)) - 0.37) < 1e-9
     assert t.format(4800.0) == "100.0 ms"
@@ -492,3 +494,55 @@ def test_generate_factory_presets_into_fresh_directory(tmp_path):
     n = generate_factory_presets(tmp_path, overwrite=False)
     assert n == len(FACTORY_PRESETS)
     assert len(list(tmp_path.glob("*.sgz"))) == n
+
+def test_reference_knob_range_parity():
+    """Pin the knob range/formatter semantics that must match the
+    reference headers (a host automates NORMALIZED values and .sgn
+    presets carry them, so the normalized->transformed map IS the
+    compatibility contract)."""
+    from signalizer_tpu.views.content import (
+        OscilloscopeContent,
+        SpectrumContent,
+        VectorScopeContent,
+    )
+
+    sc = SpectrumContent(48_000.0, 48_000)
+    # AudioHistoryTransformatter: linear n*capacity (CommonSignalizer.h:408)
+    sc.window_size.set_normalized(0.5)
+    assert sc.window_size.get_transformed() == 24_000.0
+    # ViewRight: reverseUnitRange (SpectrumParameters.h:98,128)
+    sc.view_right.set_normalized(0.0)
+    assert sc.view_right.get_transformed() == 1.0
+    sc.view_right.set_normalized(1.0)
+    assert sc.view_right.get_transformed() == 0.0
+    # line decay: unit fraction shown as dB (dbSecFormatter)
+    sc.lines[0][0].set_normalized(0.5)
+    assert sc.lines[0][0].get_display_text().endswith("dB/s")
+    # pctForDivision/FrameSmoothing: basicFormatter, not percent
+    assert "%" not in sc.pct_for_division.get_display_text()
+    assert "%" not in sc.frame_update_smoothing.get_display_text()
+
+    oc = OscilloscopeContent(48_000.0, 48_000)
+    # triggerThresholdRange (0, 4) amplitude shown in dB (:371,402)
+    oc.trigger_threshold.set_normalized(0.5)
+    assert oc.trigger_threshold.get_transformed() == 2.0
+    assert oc.trigger_threshold.get_display_text().endswith("dB")
+    # customTriggerRange LINEAR (5, 48000) (:369)
+    oc.custom_trigger_frequency.set_normalized(0.5)
+    assert oc.custom_trigger_frequency.get_transformed() == pytest.approx(24_002.5)
+    # triggerChannelRange 1-based (1, 16) (:372); kernels get 0-based
+    oc.triggering_channel.set_normalized(0.0)
+    assert oc.triggering_channel.get_transformed() == 1
+    assert oc.make_processor_kwargs()["trigger_channel"] == 0
+    # envelope window LINEAR (0, 1000) ms (:364)
+    oc.envelope_window.set_normalized(0.5)
+    assert oc.envelope_window.get_transformed() == 500.0
+    # ViewRight/ViewBottom reversed (:420-423)
+    oc.view_offsets[2].set_normalized(0.0)
+    assert oc.view_offsets[2].get_transformed() == 1.0
+
+    vc = VectorScopeContent(48_000.0, 48_000)
+    vc.envelope_window.set_normalized(0.25)
+    assert vc.envelope_window.get_transformed() == 250.0  # display 250 ms
+    # kernels consume normalized as seconds = displayed/1000
+    assert vc.make_processor_kwargs()["envelope_window"] == pytest.approx(0.25)
