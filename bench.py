@@ -375,6 +375,17 @@ def main(only: str = None) -> None:
         dt = _timeit(lambda f: fused_step(s5, v5, f)[0], f5)
         out["cfg5_fused8ch192k_frames_per_sec"] = round(4 * t5 / dt, 1)
 
+        def fused_body(c):
+            state, vstate, acc = c
+            results, wave, mins, maxs, corr, ns, nv = fused_step(state, vstate, f5)
+            keep = (jnp.sum(results) + jnp.sum(wave) + jnp.sum(mins)
+                    + jnp.sum(maxs) + jnp.sum(corr))
+            return ns, nv, acc + keep
+
+        out["cfg5_on_device_frames_per_sec"] = round(
+            4 * t5 / _scan_rate(fused_body, (s5, v5, jnp.float32(0.0))), 1
+        )
+
     if want("cfg6"):
         # informational (not a BASELINE config): the RSNT resonator bank —
         # runs on TPU as of round 2 (complex math inside jit, real-pair
