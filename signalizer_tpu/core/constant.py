@@ -110,7 +110,10 @@ def build_remap_plan(
     top_frequency = sample_rate / 2.0
     freq_to_bin = num_bins / top_frequency
     n_values = N if full_circle else num_bins + 1
-    fft_bandwidth = 1.0 / num_bins
+    # Complex (full-circle) mode switches to bin-max at TWICE the pixel
+    # density: fftBandwidth = 1/(numBins*2) (ref: TransformDSP.inl:995,
+    # vs 1/numBins in the half-spectrum paths :562/875)
+    fft_bandwidth = 1.0 / (num_bins * 2) if full_circle else 1.0 / num_bins
 
     f = np.asarray(mapped_frequencies, dtype=np.float64)
 

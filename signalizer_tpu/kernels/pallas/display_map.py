@@ -13,11 +13,11 @@ TPU-first re-formulation of the remap plan for the MXU/VPU (round 2 —
 replaces the round-1 masked-max kernel, which did O(bins x pixels) VPU
 work and measured 16 ms vs XLA's 4 ms):
 
-* tap interpolation is a dense **matmul pair** ``|re @ W + i(im @ W)|``
-  over the COMPLEX spectrum cells (matching production's reference
-  semantics, TransformDSP.inl:588) with a precomputed
-  sparse-in-structure weight matrix W [n_values, P] — gathers become MXU
-  work;
+* tap interpolation is a dense **matmul** ``|mags @ W|`` over the
+  spectrum MAGNITUDES (the reference abs()'s csf before its loops,
+  TransformDSP.inl:557-560; |.| is computed in-kernel from the (re, im)
+  inputs) with a precomputed sparse-in-structure weight matrix
+  W [n_values, P] — gathers become MXU work;
 * chunked bin-max exploits that the plan's chunks are **contiguous bin
   ranges**: a Hillis-Steele *reset scan* (running max that restarts at
   each segment boundary, log2(n) static-shift steps on the VPU) produces
@@ -39,15 +39,13 @@ tools/pallas_rematch_bench.py):**
 
 ==================================  ========
 round-1 masked-max kernel           16.0 ms
-this kernel (reset-scan + MXU,
-complex-cell interp, two matmuls)    3.93 ms
-XLA dense formulation
-(same complex interp)                1.81 ms
+this kernel (reset-scan + MXU)       3.83 ms
+XLA dense formulation                1.81 ms
 ==================================  ========
 
-(The complex-cell upgrade — a second [B,nv]x[nv,Pt] matmul per tile —
-cost only ~0.1 ms over the single-matmul magnitude version: the MXU
-absorbs it; the bin-max reset scan still dominates.)
+(A complex-cell two-matmul interpolation variant was also measured at
+3.93 ms before being retired — the reference's loops run over abs()'d
+cells, so magnitude interpolation is the faithful form.)
 
 max display error vs production: 6.4e-4 (bf16 chunk-max selection,
 ~0.05 dB). The scan+one-hot formulation closed 4.2x of the round-1 gap,
@@ -175,15 +173,17 @@ def _kernel(
 
     re = re_ref[:]  # [Bt, nv]
     im = im_ref[:]
+    # |.| in-kernel: the reference abs()'s every spectrum cell BEFORE its
+    # interpolation loops (TransformDSP.inl:557-560 etc.), so the matmul
+    # runs over MAGNITUDES; taking (re, im) as inputs just saves a
+    # host-side abs pass + an extra HBM stream
     mags = jnp.sqrt(re * re + im * im)
 
-    # interpolation: COMPLEX-cell interpolation as two MXU matmuls with
-    # |.| after (matches production/ref TransformDSP.inl:588 — weights
-    # already include inv_size; single-bin one-hot columns land on
-    # |spec[bin]| = mag, so they ride the same matmuls)
-    ire = jnp.dot(re, interp_w_ref[:], preferred_element_type=jnp.float32)
-    iim = jnp.dot(im, interp_w_ref[:], preferred_element_type=jnp.float32)
-    interp = jnp.sqrt(ire * ire + iim * iim)  # [Bt, Pt]
+    # interpolation: one MXU matmul (weights already include inv_size;
+    # |.| after the sum rectifies Lanczos negative lobes)
+    interp = jnp.abs(
+        jnp.dot(mags, interp_w_ref[:], preferred_element_type=jnp.float32)
+    )  # [Bt, Pt]
 
     # segment running max via Hillis-Steele reset scan over the bin axis:
     # log2(n) static shifts, each a pad+slice+select on the VPU. Flags stay
@@ -313,9 +313,7 @@ def reference_display_map(
     """XLA (non-pallas) evaluation of the same formulation — used to
     validate the kernel and as the fallback on non-TPU backends."""
     mags = jnp.sqrt(spec_re * spec_re + spec_im * spec_im)
-    ire = spec_re @ operands.interp_w
-    iim = spec_im @ operands.interp_w
-    interp = jnp.sqrt(ire * ire + iim * iim)
+    interp = jnp.abs(mags @ operands.interp_w)
 
     flags = operands.flags[0] > 0.5
 

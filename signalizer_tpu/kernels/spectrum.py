@@ -21,9 +21,9 @@ mapAndTransformDFTFilters :1297-1435). Differences by design:
 
 Known tolerated deviations from the reference (all edge-of-display,
 sub-0.1 dB): interpolation taps that fall outside the real-FFT half
-spectrum gather reflected (non-conjugated) complex cells where the
-reference read raw mirror-half values from its full-size complex array
-(TransformDSP.inl:591-604), and
+spectrum gather reflected magnitudes where the reference read raw
+mirror-half cells from its full-size array (TransformDSP.inl:591-604),
+and
 Phase/Separate DC/Nyquist fixups are applied per channel instead of the
 reference's overlapping packed-slot updates (TransformDSP.inl:648-652).
 Phase-mode smoothing targets ``cancel * mag`` for *every* line graph,
@@ -118,8 +118,10 @@ def _half_spectrum(constant: SpectrumConstant, rows: jax.Array) -> jax.Array:
 def _interp(values: jax.Array, constant: SpectrumConstant) -> jax.Array:
     """Weighted tap gather: values [..., n_values] -> [..., P].
 
-    Works on real or complex inputs (f32 weights broadcast over complex
-    values — complex-cell interpolation per TransformDSP.inl:588/599)."""
+    Works on real or complex inputs (f32 weights broadcast; the PHASE
+    cancellation pass interpolates complex cells, every other mode
+    interpolates magnitudes — the reference abs()'s csf before its
+    loops, TransformDSP.inl:557-560/866-869/999-1002)."""
     g = values[..., constant.interp_indices]  # [..., P, taps]
     return (g * constant.interp_weights).sum(-1)
 
@@ -189,12 +191,13 @@ def spectrum_values(constant: SpectrumConstant, frames: jax.Array) -> jax.Array:
         z = _pack_channels(constant, frames)  # [..., W] complex
         spec = jnp.fft.fft(z, n=constant.transform_size, axis=-1)
         mags = jnp.abs(spec)  # [..., N] — full circle, no DC/Nyq halving
-        # interpolate COMPLEX cells, |.| after (ref: TransformDSP.inl:1331
-        # lanczosFilter<complex>): between-bin content where neighbours are
-        # near-antiphase interpolates toward cancellation (a deep notch),
-        # which magnitude interpolation would smear into a ridge
+        # interpolate MAGNITUDES: the reference abs()'s every csf cell
+        # BEFORE its interpolation loops (`csf[i] = std::abs(csf[i])`,
+        # TransformDSP.inl:999-1002 — the <complex> filter template is a
+        # storage type, the data is real); |.| outside rectifies Lanczos
+        # negative lobes
         vals = jnp.where(
-            constant.interp_mask, jnp.abs(_interp(spec, constant)), _binmax_mag(mags, constant)
+            constant.interp_mask, jnp.abs(_interp(mags, constant)), _binmax_mag(mags, constant)
         )
         return (inv * vals)[..., None, :]
 
@@ -203,11 +206,10 @@ def spectrum_values(constant: SpectrumConstant, frames: jax.Array) -> jax.Array:
     mags = jnp.abs(spec)
 
     if cfg in (SpectrumChannels.SEPARATE, SpectrumChannels.MIDSIDE):
-        # complex-cell interpolation, |.| after (ref: TransformDSP.inl:588/599
-        # linearFilter/lanczosFilter<complex> into csp, magnitude in
-        # mapAndTransformDFTFilters)
+        # magnitude interpolation: csf is abs()'d before the loops
+        # (ref: TransformDSP.inl:866-869)
         vals = jnp.where(
-            constant.interp_mask, jnp.abs(_interp(spec, constant)), _binmax_mag(mags, constant)
+            constant.interp_mask, jnp.abs(_interp(mags, constant)), _binmax_mag(mags, constant)
         )
         return inv * vals
 
@@ -234,9 +236,10 @@ def spectrum_values(constant: SpectrumConstant, frames: jax.Array) -> jax.Array:
         cancel = jnp.where(constant.interp_mask, cancel_i, cancel_b)
         return jnp.stack([mid, cancel], axis=-2)
 
-    # mono modes — rows == 1 (complex-cell interpolation as above)
+    # mono modes — rows == 1; magnitude interpolation (csf abs()'d before
+    # the loops, ref: TransformDSP.inl:557-560)
     vals = jnp.where(
-        constant.interp_mask, jnp.abs(_interp(spec, constant)), _binmax_mag(mags, constant)
+        constant.interp_mask, jnp.abs(_interp(mags, constant)), _binmax_mag(mags, constant)
     )
     return inv * vals
 

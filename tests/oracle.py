@@ -101,7 +101,9 @@ def spectrum_values_oracle(
     num_bins = N // 2
     top = sample_rate / 2.0
     freq_to_bin = num_bins / top
-    fft_bw = 1.0 / num_bins
+    # Complex mode switches to bin-max at TWICE the pixel density
+    # (ref: fftBandwidth = 1/(numBins*2), TransformDSP.inl:995)
+    fft_bw = 1.0 / (num_bins * 2) if config == "complex" else 1.0 / num_bins
     P = len(mapped_frequencies)
     f = np.asarray(mapped_frequencies, dtype=np.float64)
     window_size = len(window)
@@ -122,9 +124,9 @@ def spectrum_values_oracle(
         mags = np.abs(spec)
         out = np.zeros((1, P))
         for x in range(break_x):
-            # reference interpolates COMPLEX cells, |.| after
-            # (TransformDSP.inl:1331)
-            out[0, x] = abs(interp_at(spec, f[x] * freq_to_bin, interpolation, full_circle=True))
+            # reference interpolates MAGNITUDES: every csf cell is abs()'d
+            # before the loops (TransformDSP.inl:999-1002)
+            out[0, x] = abs(interp_at(mags, f[x] * freq_to_bin, interpolation, full_circle=True))
         old_bin = int(f[break_x] * freq_to_bin)
         for x in range(break_x, P):
             b = min(int(f[x] * freq_to_bin), N - 1)
@@ -164,13 +166,13 @@ def spectrum_values_oracle(
             old_bin = b
         return out
 
-    # magnitude rows (mono, separate, midside): the reference interpolates
-    # complex cells into csp and takes |.| in mapAndTransformDFTFilters
-    # (TransformDSP.inl:588/599)
+    # magnitude rows (mono, separate, midside): csf is abs()'d before the
+    # interpolation loops (TransformDSP.inl:557-560, 866-869) — the
+    # <complex> filter template is a storage type, the data is magnitudes
     out = np.zeros((len(rows), P))
-    for row_i, (s, m) in enumerate(zip(specs, mags)):
+    for row_i, m in enumerate(mags):
         for x in range(break_x):
-            out[row_i, x] = abs(interp_at(s, f[x] * freq_to_bin, interpolation))
+            out[row_i, x] = abs(interp_at(m, f[x] * freq_to_bin, interpolation))
         old_bin = int(f[break_x] * freq_to_bin)
         for x in range(break_x, P):
             b = min(int(f[x] * freq_to_bin), num_bins)

@@ -414,7 +414,13 @@ def test_envelope_window_controls_peak_decay_rate():
     fast = gain_after(1.0)     # short window: envelope decays fast -> big gain
     slow = gain_after(5000.0)  # long window: still remembers the loud peak
     assert fast > slow * 5.0
-    assert slow == pytest.approx(np.exp(-4096 / (5.0 * FS)), rel=0.05)
+    # exact closed form: env holds peak^2 and decays pole^n, so
+    # gain = (1/peak) * exp(n / (2 * win_s * fs)) — 1.0086 here, which a
+    # deleted decay (gain exactly 1/peak) must fail
+    peak = float(np.max(np.abs(loud[0, 0])))
+    expected = (1.0 / peak) * np.exp(4096 / (2.0 * 5.0 * FS))
+    assert slow == pytest.approx(expected, rel=1e-3)
+    assert slow > (1.0 / peak) * 1.003  # the decay actually advanced
 
 
 def test_separate_mode_per_row_key_colours():
@@ -513,3 +519,33 @@ def test_median_filter_ignores_warmup_sentinels():
         hist, filtered, used = median_record_filter(hist, rec)
         assert not bool(used)
         assert float(filtered.omega()) == 40.0
+
+def test_sinc_resample_boundary_matches_direct_sum():
+    """Boundary behavior (edge taps clamp to the frame) against a direct
+    per-pixel numpy tap sum — the gather path and the matrix path shared
+    their edge convention, so neither alone could catch a shared clamp
+    bug (review finding)."""
+    from signalizer_tpu.kernels.oscilloscope import sinc_resample
+
+    rng = np.random.default_rng(11)
+    w, a, num_out = 64, 10, 48
+    x = rng.standard_normal(w).astype(np.float32)
+
+    def direct(start, step):
+        out = np.zeros(num_out)
+        for p in range(num_out):
+            pos = start + p * step
+            i0 = np.floor(pos)
+            acc = 0.0
+            for k in range(-a + 1, a + 1):
+                tap = i0 + k
+                t = pos - tap
+                if abs(t) < a:
+                    wgt = np.sinc(t) * np.sinc(t / a)
+                    acc += x[int(np.clip(tap, 0, w - 1))] * wgt
+            out[p] = acc
+        return out
+
+    for start, step in ((0.0, 0.37), (-3.2, 0.5), (w - 5.5, 0.25)):
+        got = np.asarray(sinc_resample(jnp.asarray(x), start, step, num_out, a))
+        np.testing.assert_allclose(got, direct(start, step), rtol=2e-4, atol=2e-5)

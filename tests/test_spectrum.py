@@ -256,12 +256,14 @@ def test_phase_mode_state_shape_stable():
         return analyze_frames(constant, st, frames).state, None
     jax.lax.scan(body, state, None, length=2)
 
-def test_between_bin_tone_interpolates_complex_notch():
-    """A windowed tone exactly between two bins leaves the neighbouring
-    bins near-antiphase; the reference's complex-cell interpolation
-    (TransformDSP.inl:588) therefore dips toward cancellation midway,
-    where magnitude interpolation would draw a smooth ridge tens of dB
-    higher. Pin the notch."""
+def test_between_bin_tone_interpolates_magnitudes():
+    """A windowed tone exactly between two bins: the reference abs()'s
+    every spectrum cell BEFORE its interpolation loops
+    (`csf[i] = std::abs(csf[i])`, TransformDSP.inl:557-560), so the
+    midway pixel interpolates the two bin MAGNITUDES into a smooth ridge
+    — NOT the near-antiphase complex cells (which would cancel into a
+    deep notch tens of dB lower; the <complex> filter template is a
+    storage type, the data is real). Pin the ridge."""
     from signalizer_tpu.core.constant import host_view
     from signalizer_tpu.kernels.spectrum import spectrum_values
     from tests.oracle import interp_at
@@ -288,12 +290,14 @@ def test_between_bin_tone_interpolates_complex_notch():
     mask = np.asarray(host_view(constant, "interp_mask")).astype(bool)
     px = int(np.argmin(np.abs(pos - 32.5)))  # nearest pixel to the midpoint
     assert mask[px] and abs(pos[px] - 32.5) < 0.15
-    mid = [px]
-    # magnitude-interp strawman at the same pixel
+
     from tests.oracle import half_spectrum
     win = np.asarray(host_view(constant, "window_kernel"), np.float64)
     spec = half_spectrum(np.asarray(x, np.float64), win, n)
-    for px in mid:
-        mag_interp = abs(interp_at(np.abs(spec), pos[px], "linear"))
-        kernel_val = vals[px] / float(host_view(constant, "inv_size"))
-        assert kernel_val < 0.25 * mag_interp  # >12 dB notch vs the ridge
+    mag_interp = abs(interp_at(np.abs(spec), pos[px], "linear"))
+    complex_interp = abs(interp_at(spec, pos[px], "linear"))
+    kernel_val = vals[px] / float(host_view(constant, "inv_size"))
+    # the ridge: matches magnitude interpolation...
+    assert kernel_val == pytest.approx(mag_interp, rel=1e-4)
+    # ...and sits far above the would-be complex-cancellation notch
+    assert kernel_val > 2.0 * complex_interp

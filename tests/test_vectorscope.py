@@ -131,11 +131,20 @@ def test_meter_filters_match_sequential():
 
     np.testing.assert_allclose(float(new.envelope[0]), _onepole_oracle(0, lsq, env_pole), rtol=1e-4)
     np.testing.assert_allclose(float(new.envelope[1]), _onepole_oracle(0, rsq, env_pole), rtol=1e-4)
+    # FULL [speed, channel] matrix + both phase speeds: a transposed
+    # broadcast or a wrong slow pole must not hide behind the diagonal
     np.testing.assert_allclose(float(new.balance[0, 0]), _onepole_oracle(0, lsq, st_pole), rtol=1e-4)
+    np.testing.assert_allclose(float(new.balance[0, 1]), _onepole_oracle(0, rsq, st_pole), rtol=1e-4)
+    np.testing.assert_allclose(
+        float(new.balance[1, 0]), _onepole_oracle(0, lsq, st_pole**0.25), rtol=5e-4
+    )
     np.testing.assert_allclose(
         float(new.balance[1, 1]), _onepole_oracle(0, rsq, st_pole**0.25), rtol=5e-4
     )
     np.testing.assert_allclose(float(new.phase[0]), _onepole_oracle(0, corr, st_pole), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        float(new.phase[1]), _onepole_oracle(0, corr, st_pole**0.25), rtol=1e-3, atol=1e-5
+    )
 
 
 def test_meter_state_carries_across_blocks():
