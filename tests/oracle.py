@@ -10,6 +10,17 @@ conventions and dB mapping.
 Edge-tap convention: interpolation taps outside [0, num_bins] reflect into
 the half spectrum (|X| is even-symmetric for real input) — matching the
 framework's documented convention (see kernels/spectrum.py module docs).
+
+Independence boundary (be honest about what this validates): the
+break-point walk, +0.5 centering, chunk ownership and edge-tap reflection
+here intentionally encode the SAME plan semantics as
+core/constant.build_remap_plan — both were written from the reference's
+loops, so this oracle proves the vectorized gather/segment EXECUTION and
+the per-mode value math, not the plan semantics themselves. The plan
+semantics are covered separately: each convention cites its reference
+line and deviations are documented in kernels/spectrum.py; the trigger
+and meter oracles elsewhere in tests/ are fully independent per-sample
+state machines.
 """
 
 from __future__ import annotations
