@@ -383,7 +383,17 @@ class SignalizerEngine(SerializableObject):
             "vectorscope": self.vectorscope.waveform_colour,
             "spectrum": self.spectrum.lines[0][1],
         }[view].get_rgb()
-        return Legend.for_pairs(names[:want], tuple(float(c) for c in base), pairs)
+        # the oscilloscope colours right channels with the secondary
+        # colour (ref: Oscilloscope.cpp:322/326)
+        second = (
+            tuple(float(c) for c in self.oscilloscope.secondary_colour.get_rgb())
+            if view == "oscilloscope"
+            else None
+        )
+        return Legend.for_pairs(
+            names[:want], tuple(float(c) for c in base), pairs,
+            secondary_colour=second,
+        )
 
     def perf_snapshot(self) -> Dict[str, float]:
         """BASELINE observability metrics."""

@@ -69,7 +69,18 @@ def frequency_axis(
     if hi <= lo:
         return []
     lines: List[AxisLine] = []
-    # decade ladder with 1-2-5 subdivisions
+    # a LINEAR pixel->frequency map gets evenly spaced 1-2-5 divisions
+    # (ref: FrequencyAxis under setScaling(Linear), Spectrum.cpp:541) —
+    # the decade ladder would bunch sub-hertz lines at pixel 0
+    if np.max(np.abs(f - np.linspace(lo, hi, len(f)))) <= 1e-6 * max(hi - lo, 1.0):
+        step = suitable_axis_division(hi - lo, max_divisions)
+        v = math.ceil(lo / step) * step
+        while v <= hi + 1e-9:
+            label = f"{v/1000:g} kHz" if v >= 1000 else f"{v:g} Hz"
+            lines.append(AxisLine((v - lo) / (hi - lo), v, label))
+            v += step
+        return lines
+    # log maps: decade ladder with 1-2-5 subdivisions
     decade = 10.0 ** math.floor(math.log10(max(lo, 1e-3)))
     candidates = []
     while decade <= hi:
@@ -115,18 +126,27 @@ def cursor_readout(
     time_fraction: float,
     window_seconds: float,
     sample_rate: float,
+    *,
+    trigger_centered: bool = False,
 ) -> dict:
     """Oscilloscope cursor tracker readout (ref: cursor text box,
     OscilloscopeRendering.cpp:157-235): amplitude, dB, time in ms and
-    samples at the cursor position."""
-    import math
+    samples at the cursor position.
 
+    ``trigger_centered``: in the triggering modes the reference centers
+    the time axis on the trigger — it subtracts half the
+    (effectiveWindowSize - 1)-sample window so mid-screen reads 0
+    (:205-212). Samples use the (N - 1) fence convention throughout."""
     dbs = 20.0 * math.log10(abs(y_value)) if y_value != 0 else float("-inf")
-    t = time_fraction * window_seconds
+    total = max(window_seconds * sample_rate - 1.0, 0.0)  # N - 1 intervals
+    smp = time_fraction * total
+    if trigger_centered:
+        smp -= total * 0.5
+    t = smp / sample_rate if sample_rate else 0.0
     return {
         "amplitude": y_value,
         "dbs": dbs,
         "time_ms": t * 1e3,
-        "samples": t * sample_rate,
-        "text": f"y: {y_value:+.4f} ({dbs:+.1f} dB)  t: {t*1e3:.2f} ms ({t*sample_rate:.0f} smps)",
+        "samples": smp,
+        "text": f"y: {y_value:+.4f} ({dbs:+.1f} dB)  t: {t*1e3:.2f} ms ({smp:.0f} smps)",
     }

@@ -74,10 +74,23 @@ class Legend:
 
     @classmethod
     def for_pairs(
-        cls, channel_names: Sequence[str], base_colour: Sequence[float], pairs: int
+        cls,
+        channel_names: Sequence[str],
+        base_colour: Sequence[float],
+        pairs: int,
+        secondary_colour: Sequence[float] = None,
     ) -> "Legend":
+        """Left channels take the primary colour, right channels the
+        secondary (ref: Oscilloscope.cpp:322/326 primaryRotation[c] vs
+        secondaryRotation[c]), each hue-rotated per pair."""
         rot = ColourRotation(base_colour, max(pairs, 1))
+        rot2 = (
+            ColourRotation(secondary_colour, max(pairs, 1))
+            if secondary_colour is not None
+            else rot
+        )
         entries = []
         for i, name in enumerate(channel_names):
-            entries.append(LegendEntry(name, tuple(rot[i // 2])))
+            table = rot if i % 2 == 0 else rot2
+            entries.append(LegendEntry(name, tuple(table[i // 2])))
         return cls(entries)

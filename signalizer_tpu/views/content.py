@@ -254,6 +254,9 @@ class SpectrumContent(SerializableObject):
             low_dbs=self.low_dbs.get_transformed(),
             high_dbs=self.high_dbs.get_transformed(),
             divisions_pct=self.pct_for_division.get_transformed(),
+            configuration=SpectrumChannels(
+                int(self.channel_configuration.get_transformed())
+            ),
         )
 
     def make_tracker(self, sample_rate: float = 48_000.0, *,

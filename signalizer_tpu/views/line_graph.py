@@ -45,8 +45,8 @@ class LineGraphFrame(NamedTuple):
 
     floods: List[FloodFill]
     strips: List[LineStrip]
-    grid: List[AxisLine]  # frequency divisions (x) in pixel space
-    db_grid: List[AxisLine]  # dB divisions (y) in display space
+    grid: List[AxisLine]  # frequency divisions, positions normalized [0, 1]
+    db_grid: List[AxisLine]  # dB divisions, positions normalized [0, 1]
     legend: Optional[Legend]
     primitive_size: float
     grid_colour: np.ndarray  # [4]
@@ -76,7 +76,9 @@ class LineGraphRenderFeed:
         high_dbs: float = 0.0,
         channel_names: Sequence[str] = ("left", "right"),
         divisions_pct: float = 0.5,
+        configuration=None,
     ):
+        self.configuration = configuration  # SpectrumChannels or None
         self.mapped_frequencies = np.asarray(mapped_frequencies, np.float64)
         self.pairs = int(pairs)
         self.flood_fill_alpha = float(flood_fill_alpha)
@@ -115,6 +117,27 @@ class LineGraphRenderFeed:
     def _rgba(self, rgb: np.ndarray, alpha: float) -> np.ndarray:
         return np.asarray([rgb[0], rgb[1], rgb[2], alpha], np.float32)
 
+    def _row_layout(self, rows: int):
+        """(result row, colour slot, legend name) per displayed row, in
+        display order — the reference's per-configuration legend/colour
+        conventions (Spectrum.cpp:660-706): Right and Side draw with the
+        'two' colour slot; composite modes name their signal algebra."""
+        l, r = (self.channel_names + ("left", "right"))[:2]
+        cfg = getattr(self.configuration, "name", None)
+        if rows > 1:
+            names = {
+                "MIDSIDE": (f"{l} + {r}", f"{l} - {r}"),
+                "PHASE": (f"|{l}| + |{r}|", f"{l} / {r}"),
+            }.get(cfg, (l, r))
+            return [(0, 0, names[0]), (1, 1, names[1])]
+        single = {
+            "RIGHT": (0, 1, r),
+            "SIDE": (0, 1, f"{l} - {r}"),
+            "MERGE": (0, 0, f"{l} + {r}"),
+            "COMPLEX": (0, 0, f"{l} + i*{r}"),
+        }.get(cfg, (0, 0, l))
+        return [single]
+
     def build(self, results: np.ndarray) -> LineGraphFrame:
         """results [pairs, K, rows, P] (one time step of the display values,
         e.g. ``SpectrumProcessor.process(...)[:, -1]``) -> frame."""
@@ -133,15 +156,20 @@ class LineGraphRenderFeed:
 
         graph_names = ["main", "second"] + [f"line{k}" for k in range(2, k_graphs)]
 
-        # back to front: k descending; within each k the 'two' row first
-        # (z=-0.5), then the 'one' row (z=0) — ref fall-through order
+        row_layout = self._row_layout(rows)
+        # back to front: k descending; within each k the 'two'-slot row
+        # first (z=-0.5), then the 'one' slot (z=0) — ref fall-through
+        # order. (Deviation: the reference composites pair-major —
+        # pair 1's whole graph over pair 0's — while this frame batches
+        # floods before strips; with default alphas the visual difference
+        # is the strip/flood interleave between pairs only.)
         for k in range(k_graphs - 1, -1, -1):
             for pair in range(pairs):
-                row_specs = []
-                if rows > 1:
-                    row_specs.append((1, self._two[k][pair], self._alphas[k][1], -0.5, 1))
-                row_specs.append((0, self._one[k][pair], self._alphas[k][0], 0.0, 0))
-                for row, rgb, alpha, z, name_idx in row_specs:
+                for row, slot, name in reversed(row_layout):
+                    table = self._two if slot == 1 else self._one
+                    rgb = table[k][pair]
+                    alpha = self._alphas[k][slot]
+                    z = -0.5 if slot == 1 else 0.0
                     y = results[pair, k, row].astype(np.float32)
                     if self.flood_fill_alpha > 0.0:
                         fv = np.empty((2 * p, 3), np.float32)
@@ -155,12 +183,17 @@ class LineGraphRenderFeed:
                             FloodFill(fv, self._rgba(rgb, self.flood_fill_alpha))
                         )
                     sv = np.stack([x, y, np.full(p, z, np.float32)], axis=-1)
-                    name = self.channel_names[name_idx % len(self.channel_names)]
                     label = f"pair{pair} {name} {graph_names[k]}" if pairs > 1 else f"{name} {graph_names[k]}"
                     strips.append(LineStrip(sv, self._rgba(rgb, alpha), label))
-                    legend_entries.append(LegendEntry(label, tuple(rgb)))
+        # legend ascending (ref: recalculateLegend's ascending pair loop)
+        for pair in range(pairs):
+            for k in range(k_graphs):
+                for row, slot, name in row_layout:
+                    table = self._two if slot == 1 else self._one
+                    label = f"pair{pair} {name} {graph_names[k]}" if pairs > 1 else f"{name} {graph_names[k]}"
+                    legend_entries.append(LegendEntry(label, tuple(table[k][pair])))
 
-        legend = Legend(list(reversed(legend_entries))) if self.show_legend else None
+        legend = Legend(legend_entries) if self.show_legend else None
         return LineGraphFrame(
             floods=floods,
             strips=strips,

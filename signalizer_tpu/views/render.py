@@ -74,7 +74,6 @@ def render_line_graph_frame(frame, *, path: Optional[str] = None):
     # flood fills: GL_LINES vertex pairs (x, y_top) -> (x, y_end)
     for flood in frame.floods:
         v = flood.vertices
-        p = v.shape[0] // 2
         x = v[0::2, 0] / max(v[-2, 0], 1.0)
         ax.fill_between(
             x, v[1::2, 1], v[0::2, 1],
@@ -135,20 +134,23 @@ def render_oscilloscope(frame, *, hints: Optional[dict] = None, path: Optional[s
     marker = "." if h.get("dot_samples") else None
     bg = h.get("background_colour")
     gc = h.get("graph_colour")
+    # every pair draws, with its hue-rotated colours (ref: the per-pair
+    # drawWavePlot loop, OscilloscopeRendering.cpp:328-365)
     for r in range(rows):
         ax = axes[0 if overlay else r, 0]
         if bg is not None:
             ax.set_facecolor(tuple(np.clip(np.asarray(bg)[:3], 0, 1)))
-        ax.fill_between(x, lo[0, r], hi[0, r], alpha=0.15, color="C0")
-        ax.plot(
-            x, wave[0, r], lw=lw, marker=marker, markersize=lw * 2,
-            color=tuple(np.clip(colours[0, r, p // 2], 0, 1)),
-            label=(
-                (legend.entries[r].name if legend and r < len(legend.entries)
-                 else ("left", "right")[r % 2])
-                if h.get("show_legend") else None
-            ),
-        )
+        for pair in range(pairs):
+            ax.fill_between(x, lo[pair, r], hi[pair, r], alpha=0.15, color="C0")
+            idx = pair * rows + r
+            name = (legend.entries[idx].name
+                    if legend and idx < len(legend.entries)
+                    else ("left", "right")[r % 2] + (f" p{pair}" if pairs > 1 else ""))
+            ax.plot(
+                x, wave[pair, r], lw=lw, marker=marker, markersize=lw * 2,
+                color=tuple(np.clip(colours[pair, r, p // 2], 0, 1)),
+                label=name if h.get("show_legend") else None,
+            )
         ax.set_xlim(vl * (p - 1), vr * (p - 1))
         # vertical view box: vt crops from the top, vb from the bottom
         # (ViewTop/ViewBottom, already un-reversed by the content layer)
@@ -157,7 +159,9 @@ def render_oscilloscope(frame, *, hints: Optional[dict] = None, path: Optional[s
             ax.grid(True, alpha=0.3, color=tuple(np.clip(np.asarray(gc)[:3], 0, 1)))
         else:
             ax.grid(True, alpha=0.3)
-    if h.get("show_legend") and overlay:
+    # the reference paints the legend in every overlay mode
+    # (OscilloscopeRendering.cpp:152-155)
+    if h.get("show_legend"):
         axes[0, 0].legend(loc="upper right", fontsize=7)
     fig.tight_layout()
     if path:
@@ -177,23 +181,39 @@ def render_vectorscope(frame, *, mode: str = "lissajous", hints: Optional[dict] 
     names."""
     plt = _plt()
     h = hints or {}
-    v = np.asarray(frame.vertices)[0]
-    if "transform" in h:
-        matrix, translation = h["transform"]
-        v = v @ np.asarray(matrix, v.dtype).T + np.asarray(translation, v.dtype)
+    verts = np.asarray(frame.vertices)  # [pairs, W, 3]
     fig, ax = plt.subplots(figsize=(5.5, 5.5), dpi=100)
     bg = h.get("background_colour")
     if bg is not None:
         ax.set_facecolor(tuple(np.clip(np.asarray(bg)[:3], 0, 1)))
     size = max(float(h.get("primitive_size", 0.1)) * 10.0, 0.5)
     fade = h.get("fade_older_points", True)
-    age = (v[:, 2] + 1.0).clip(0, 1) if fade else np.ones(len(v))
     wf = h.get("waveform_colour")
-    if h.get("interconnect_samples", False):
-        colour = tuple(np.clip(np.asarray(wf)[:3], 0, 1)) if wf is not None else "C0"
-        ax.plot(v[:, 0], v[:, 1], lw=size * 0.5, color=colour, alpha=0.7)
-    else:
-        ax.scatter(v[:, 0], v[:, 1], s=size, c=age, cmap="viridis", alpha=0.7)
+    base = np.clip(np.asarray(wf)[:3], 0, 1) if wf is not None else np.asarray([0.12, 0.47, 0.71])
+    # every pair draws, hue-rotated beyond the first (ref: the per-pair
+    # loop + ColourRotation, VectorscopeRendering.cpp:169-180)
+    from signalizer_tpu.utils.colour import ColourRotation
+
+    pair_colours = ColourRotation(base, max(verts.shape[0], 1)).as_array()
+    for pair in range(verts.shape[0]):
+        v = verts[pair]
+        # age fade is a MODEL-space convention (z = -1 oldest .. 0
+        # newest, ref fadeHistory) — read it BEFORE the view transform
+        age = (v[:, 2] + 1.0).clip(0, 1) if fade else np.ones(len(v))
+        if "transform" in h:
+            matrix, translation = h["transform"]
+            v = v @ np.asarray(matrix, v.dtype).T + np.asarray(translation, v.dtype)
+        colour = np.clip(pair_colours[pair], 0, 1)
+        if h.get("interconnect_samples", False):
+            ax.plot(v[:, 0], v[:, 1], lw=size * 0.5, color=tuple(colour), alpha=0.7)
+        else:
+            # the reference draws in the waveform colour, faded toward
+            # black by age (colour * fade), not through a colormap
+            # (VectorscopeRendering.cpp:455-462)
+            rgba = np.concatenate(
+                [colour[None, :] * age[:, None], np.full((len(v), 1), 0.7)], axis=1
+            )
+            ax.scatter(v[:, 0], v[:, 1], s=size, c=rgba)
     ax.set_xlim(-1.1, 1.1)
     ax.set_ylim(-1.1, 1.1)
     ax.set_aspect("equal")

@@ -128,18 +128,33 @@ def test_colour_rotation():
 def test_legend():
     lg = Legend.for_pairs(["left", "right", "sc left", "sc right"], (0.0, 1.0, 0.0), 2)
     assert len(lg.entries) == 4
-    assert lg.entries[0].colour == lg.entries[1].colour  # same pair
+    assert lg.entries[0].colour == lg.entries[1].colour  # same pair, one base
     assert lg.entries[0].colour != lg.entries[2].colour  # next pair rotated
+    # with a secondary colour, right channels take it
+    # (ref: Oscilloscope.cpp:322/326 primary vs secondary rotations)
+    lg2 = Legend.for_pairs(
+        ["left", "right"], (0.0, 1.0, 0.0), 1, secondary_colour=(1.0, 0.0, 0.0)
+    )
+    assert lg2.entries[0].colour == (0.0, 1.0, 0.0)
+    assert lg2.entries[1].colour == (1.0, 0.0, 0.0)
 
 
 def test_cursor_readout():
     from signalizer_tpu.utils.axis import cursor_readout
 
+    # (N - 1) fence convention (ref: (effectiveWindowSize - 1) sample
+    # span, OscilloscopeRendering.cpp:205-212): 480-sample window has 479
+    # intervals, so fraction 0.25 reads 119.75 samples
     r = cursor_readout(0.5, 0.25, 0.010, 48_000.0)
     assert abs(r["dbs"] + 6.02) < 0.01
-    assert abs(r["time_ms"] - 2.5) < 1e-9
-    assert abs(r["samples"] - 120.0) < 1e-9
+    assert abs(r["samples"] - 0.25 * 479.0) < 1e-9
+    assert abs(r["time_ms"] - 0.25 * 479.0 / 48.0) < 1e-9
     assert "smps" in r["text"]
+    # trigger-centered modes read 0 at mid-screen
+    c = cursor_readout(0.5, 0.5, 0.010, 48_000.0, trigger_centered=True)
+    assert abs(c["samples"]) < 1e-9 and abs(c["time_ms"]) < 1e-9
+    left = cursor_readout(0.5, 0.0, 0.010, 48_000.0, trigger_centered=True)
+    assert abs(left["samples"] + 479.0 / 2) < 1e-9
 
 
 def test_polar_scale_to_fill():
