@@ -406,6 +406,12 @@ class SignalizerEngine(SerializableObject):
             "mix_discontinuities": mix.discontinuities,
             "stream_dropped_frames": stream.dropped_frames,
             "stream_in_flight": stream.in_flight_packets,
+            # the diagnostics-HUD percentages (ref: producer/consumer
+            # usage + overhead, SpectrumRendering.cpp:163-184)
+            "stream_producer_usage": stream.producer_usage,
+            "stream_producer_overhead": stream.producer_overhead,
+            "stream_consumer_usage": stream.consumer_usage,
+            "stream_consumer_overhead": stream.consumer_overhead,
         }
 
     def close(self) -> None:

@@ -68,13 +68,29 @@ class AudioStreamInfo:
 
 @dataclass
 class PerfMeasures:
-    """ref: AudioStream::getPerfMeasures (producer/consumer usage,
-    dropped frames)."""
+    """ref: AudioStream::getPerfMeasures — producer/consumer usage AND
+    overhead percentages plus dropped frames, the numbers the reference's
+    diagnostics HUD prints (SpectrumRendering.cpp:163-184).
+
+    Usage/overhead are fractions of the *real-time budget* (block duration
+    at the stream sample rate), EMA-smoothed: ``usage`` is time spent doing
+    useful work (history write + listener DSP), ``overhead`` is time spent
+    inside the transport machinery itself (packetization, queue push/pop).
+    """
 
     producer_usage: float = 0.0
+    producer_overhead: float = 0.0
     consumer_usage: float = 0.0
+    consumer_overhead: float = 0.0
     dropped_frames: int = 0
     in_flight_packets: int = 0
+
+
+_PERF_EMA = 0.9  # ~10-block smoothing, like the reference's CBoxFilter HUD
+
+
+def _ema(prev: float, value: float) -> float:
+    return _PERF_EMA * prev + (1.0 - _PERF_EMA) * value
 
 
 class StreamListener(Protocol):
@@ -286,6 +302,8 @@ class AudioStream:
         self._history.write(block)
         ph = playhead or self._playhead
         self._playhead = ph.advanced(block.shape[1])
+        budget = block.shape[1] / max(self.info.sample_rate, 1.0)
+        t_q0 = time.perf_counter()
         if self._threaded:
             if self._native_queue is not None:
                 # packetize at STREAM_PACKET_SIZE (ref: AudioStream<_, 256>);
@@ -318,12 +336,29 @@ class AudioStream:
                     self._perf.dropped_frames += 1
         else:
             self.output._deliver(block, ph)
-        self._perf.producer_usage = time.perf_counter() - t0
+        now = time.perf_counter()
+        # threaded: everything after t_q0 is transport machinery (the
+        # listener DSP happens on the worker thread). sync: delivery IS the
+        # work — machinery is effectively zero, and the consumer counters
+        # are updated here since there is no worker.
+        if self._threaded:
+            self._perf.producer_overhead = _ema(
+                self._perf.producer_overhead, (now - t_q0) / budget
+            )
+        else:
+            self._perf.consumer_usage = _ema(
+                self._perf.consumer_usage, (now - t_q0) / budget
+            )
+        self._perf.producer_usage = _ema(self._perf.producer_usage, (now - t0) / budget)
 
     def _run(self) -> None:
         if self._native_queue is not None:
             while True:
                 q = self._native_queue
+                # pop time counts as machinery overhead only when a packet
+                # was already waiting — blocking on an empty queue is idle
+                qsize = q.size
+                t_pop0 = time.perf_counter()
                 try:
                     item = q.pop(timeout_ms=100)
                 except StopIteration:
@@ -335,12 +370,14 @@ class AudioStream:
                 if item is None:
                     continue
                 chunk, position, steady, bpm, playing = item
+                pop_time = (time.perf_counter() - t_pop0) if qsize > 0 else 0.0
                 ph = Playhead(
                     position_samples=position,
                     steady_clock=steady,
                     bpm=bpm,
                     is_playing=playing,
                 )
+                budget = chunk.shape[1] / max(self.info.sample_rate, 1.0)
                 t0 = time.perf_counter()
                 try:
                     # a listener fault must not kill the delivery thread —
@@ -352,14 +389,23 @@ class AudioStream:
                     )
                 finally:
                     self._delivered += 1
-                self._perf.consumer_usage = time.perf_counter() - t0
+                self._perf.consumer_usage = _ema(
+                    self._perf.consumer_usage, (time.perf_counter() - t0) / budget
+                )
+                self._perf.consumer_overhead = _ema(
+                    self._perf.consumer_overhead, pop_time / budget
+                )
                 self._perf.in_flight_packets = self._native_queue.size
             return
         while True:
+            qsize = self._queue.qsize()
+            t_pop0 = time.perf_counter()
             item = self._queue.get()
             if item is None:
                 return
+            pop_time = (time.perf_counter() - t_pop0) if qsize > 0 else 0.0
             block, ph = item
+            budget = block.shape[1] / max(self.info.sample_rate, 1.0)
             t0 = time.perf_counter()
             try:
                 protected_call(
@@ -368,7 +414,12 @@ class AudioStream:
                 )
             finally:
                 self._delivered += 1
-            self._perf.consumer_usage = time.perf_counter() - t0
+            self._perf.consumer_usage = _ema(
+                self._perf.consumer_usage, (time.perf_counter() - t0) / budget
+            )
+            self._perf.consumer_overhead = _ema(
+                self._perf.consumer_overhead, pop_time / budget
+            )
             self._perf.in_flight_packets = self._queue.qsize()
 
     def close(self) -> None:

@@ -89,5 +89,15 @@ def test_sustained_session_all_views():
     perf = eng.perf_snapshot()
     assert perf["mix_synchronized"] == 1.0
     assert perf["stream_dropped_frames"] == 0
+    # diagnostics-HUD percentages exist and look like fractions of the
+    # real-time budget (ref HUD row: usage AND overhead)
+    for key in (
+        "stream_producer_usage",
+        "stream_producer_overhead",
+        "stream_consumer_usage",
+        "stream_consumer_overhead",
+    ):
+        assert perf[key] >= 0.0, key
+    assert perf["stream_producer_usage"] > 0.0  # audio was ingested
     assert sg.batcher.dropped_frames == 0
     eng.close()
