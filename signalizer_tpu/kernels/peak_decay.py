@@ -34,7 +34,7 @@ def _combine(a, b):
 
 
 def peak_decay_scan(
-    state0: jax.Array, xs: jax.Array, pole, *, time_axis: int = None
+    state0: jax.Array, xs: jax.Array, pole, *, time_axis: int = None, valid=None
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the decay recurrence over a time-sequence of frames.
 
@@ -46,6 +46,11 @@ def peak_decay_scan(
         time axis equals ``state0.shape``. Pass ``time_axis`` explicitly
         when ambiguous.
       pole: decay coefficient(s), broadcastable against ``state0``.
+      valid: optional [T] bool along the time axis; ``False`` frames are
+        identity steps (state passes through unchanged — host-side padding
+        for bucketed batch shapes). Requires non-negative ``xs`` (true for
+        every magnitude path; the identity element under max-decay is
+        ``(pole=1, x=0)``).
 
     Returns ``(decayed, final_state)`` where ``decayed`` has ``xs``'s shape
     and holds the post-update state per frame (the reference computes each
@@ -61,7 +66,13 @@ def peak_decay_scan(
     T = t.shape[0]
     pole_b = jnp.broadcast_to(jnp.asarray(pole, t.dtype), state0.shape)
 
+    if valid is not None:
+        vt = jnp.asarray(valid).reshape((T,) + (1,) * (t.ndim - 1))
+        t = jnp.where(vt, t, 0.0)
+
     if T == 1:
+        if valid is not None:
+            pole_b = jnp.where(valid[0], pole_b, 1.0)
         new = peak_decay_step(state0, t[0], pole_b)
         return jnp.expand_dims(new, time_axis), new
 
@@ -71,6 +82,9 @@ def peak_decay_scan(
     t = jnp.broadcast_to(t, (T,) + full)
     state_full = jnp.broadcast_to(state0, full)
     poles = jnp.broadcast_to(pole_b, t.shape)
+    if valid is not None:
+        vt = jnp.asarray(valid).reshape((T,) + (1,) * (len(full)))
+        poles = jnp.where(vt, poles, 1.0)
     ones = jnp.ones_like(state_full)[None]
     elems = (
         jnp.concatenate([ones, poles], axis=0),

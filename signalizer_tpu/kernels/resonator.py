@@ -122,7 +122,7 @@ def make_resonator_constant(
     # a real sine contributes half its amplitude at +omega
     gain = 1.0 / np.maximum(np.abs(resp) * 0.5, 1e-20)
 
-    return ResonatorConstant(
+    constant = ResonatorConstant(
         num_pixels=p,
         vectors=v,
         poles=jnp.asarray(
@@ -131,6 +131,11 @@ def make_resonator_constant(
         combine=jnp.asarray(comb, jnp.float32),
         gain=jnp.asarray(gain, jnp.float32),
     )
+    # host mirror for block-plan precomputation (make_block_plan) — the
+    # remote-TPU tunnel forbids device->host readbacks (see CLAUDE.md), so
+    # the complex poles are kept host-side at design time
+    object.__setattr__(constant, "_host_poles", poles)
+    return constant
 
 
 def init_resonator_state(
@@ -139,6 +144,42 @@ def init_resonator_state(
     """Real (re, im) state pairs [..., P, V, 2] — see ResonatorConstant on
     why complex never crosses the jit boundary."""
     return jnp.zeros(batch_shape + (constant.num_pixels, constant.vectors, 2), jnp.float32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ResonatorBlockPlan:
+    """Precomputed pole-power ramp for a fixed block length W.
+
+    ``resonate_block``'s closed form needs ``c^(W-1-n)`` for every pole —
+    ~P*V*W complex powers. They depend only on (bank, W), so recomputing
+    them inside every dispatch wastes both device FLOPs and (without a
+    surrounding scan for XLA to hoist them out of) most of the step time.
+    Design once on the host, ship as constants.
+    """
+
+    block: int = dataclasses.field(metadata=dict(static=True))
+    ramp: jax.Array  # [P, V, W, 2] (re, im) = c^(W-1-n)
+    decay: jax.Array  # [P, V, 2] (re, im) = c^W
+
+
+def make_block_plan(constant: ResonatorConstant, block: int) -> ResonatorBlockPlan:
+    """Host-side plan precomputation (no device readbacks: uses the
+    design-time host mirror of the poles)."""
+    poles = getattr(constant, "_host_poles", None)
+    if poles is None:
+        raise ValueError(
+            "make_block_plan needs a constant built by make_resonator_constant "
+            "(host pole mirror missing)"
+        )
+    n = np.arange(block)
+    ramp = poles[..., None] ** (block - 1 - n)  # [P, V, W] complex128
+    decay = poles**block
+    return ResonatorBlockPlan(
+        block=int(block),
+        ramp=jnp.asarray(np.stack([ramp.real, ramp.imag], axis=-1), jnp.float32),
+        decay=jnp.asarray(np.stack([decay.real, decay.imag], axis=-1), jnp.float32),
+    )
 
 
 def _poles_c(constant: ResonatorConstant) -> jax.Array:
@@ -154,7 +195,10 @@ def _to_pairs(z: jax.Array) -> jax.Array:
 
 
 def resonate_block(
-    constant: ResonatorConstant, state: jax.Array, x: jax.Array
+    constant: ResonatorConstant,
+    state: jax.Array,
+    x: jax.Array,
+    plan: ResonatorBlockPlan = None,
 ) -> jax.Array:
     """Advance the bank over a block: state [..., P, V, 2], x [..., W] real.
 
@@ -162,17 +206,71 @@ def resonate_block(
     per batch element — batched, this is an MXU matmul. The input x is
     real, so the drive is computed as two REAL matmuls (re/im ramps) —
     no complex values at the jit boundary and full MXU throughput.
+
+    ``plan``: precomputed ramp (:func:`make_block_plan`). Without it the
+    ramp is recomputed in-graph — correct, but ~P*V*W transcendental ops
+    that dominate a single-block dispatch.
     """
     w = x.shape[-1]
-    n = jnp.arange(w, dtype=jnp.float32)
-    # c^(W-1-n) ramp: [P, V, W] complex, internal only
-    ramp = _poles_c(constant)[..., None] ** (w - 1 - n)
+    if plan is not None:
+        if plan.block != w:
+            raise ValueError(f"plan is for block {plan.block}, got {w}")
+        ramp_re, ramp_im = plan.ramp[..., 0], plan.ramp[..., 1]
+        decay = jax.lax.complex(plan.decay[..., 0], plan.decay[..., 1])
+    else:
+        n = jnp.arange(w, dtype=jnp.float32)
+        # c^(W-1-n) ramp: [P, V, W] complex, internal only
+        ramp = _poles_c(constant)[..., None] ** (w - 1 - n)
+        ramp_re, ramp_im = jnp.real(ramp), jnp.imag(ramp)
+        decay = _poles_c(constant) ** float(w)
     hi = jax.lax.Precision.HIGHEST
-    driven_re = jnp.einsum("pvw,...w->...pv", jnp.real(ramp), x, precision=hi)
-    driven_im = jnp.einsum("pvw,...w->...pv", jnp.imag(ramp), x, precision=hi)
-    decay = _poles_c(constant) ** float(w)
+    driven_re = jnp.einsum("pvw,...w->...pv", ramp_re, x, precision=hi)
+    driven_im = jnp.einsum("pvw,...w->...pv", ramp_im, x, precision=hi)
     z = _to_c(state) * decay + jax.lax.complex(driven_re, driven_im)
     return _to_pairs(z)
+
+
+def resonate_chunks(
+    constant: ResonatorConstant,
+    state: jax.Array,
+    chunks: jax.Array,
+    valid: jax.Array = None,
+    plan: ResonatorBlockPlan = None,
+    emit_readouts: bool = False,
+):
+    """Advance the bank over T time-ordered chunks in ONE traced scan.
+
+    The production streaming path (ref: continuous resonate over blob
+    chunks, TransformDSP.inl:1163-1211): a render tick consumes every
+    pending chunk in a single dispatch instead of one dispatch per chunk.
+
+    Args:
+      chunks: [..., T, W] — T sequential blocks per batch element.
+      valid: optional [T] bool; False chunks leave the state untouched
+        (host-side padding to a bucketed T keeps the jit shape set small).
+      plan: precomputed ramp for W (strongly recommended: inside the scan
+        XLA hoists a recomputed ramp, but the plan also skips the
+        first-dispatch transcendental burst).
+      emit_readouts: also return the windowed magnitude readout after
+        every chunk [T, ..., P] (the RSNT spectrogram semantic — one
+        column per blob).
+
+    Returns final state, or ``(final_state, readouts)``.
+    """
+    xs_t = jnp.moveaxis(chunks, -2, 0)  # [T, ..., W]
+
+    def body(st, xs):
+        if valid is None:
+            new = resonate_block(constant, st, xs, plan)
+        else:
+            x, v = xs
+            new = jnp.where(v, resonate_block(constant, st, x, plan), st)
+        y = resonator_readout(constant, new) if emit_readouts else None
+        return new, y
+
+    xs = xs_t if valid is None else (xs_t, valid)
+    final, ys = jax.lax.scan(body, state, xs)
+    return (final, ys) if emit_readouts else final
 
 
 def resonator_readout(constant: ResonatorConstant, state: jax.Array) -> jax.Array:

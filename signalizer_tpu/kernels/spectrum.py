@@ -274,7 +274,7 @@ class SpectrumResult(NamedTuple):
 
 
 def post_process(
-    constant: SpectrumConstant, state: LineGraphState, vals: jax.Array
+    constant: SpectrumConstant, state: LineGraphState, vals: jax.Array, valid=None
 ) -> SpectrumResult:
     """Apply per-line-graph peak decay + dB mapping over a time-sequence.
 
@@ -282,6 +282,10 @@ def post_process(
     :func:`spectrum_values`); the decay recurrence
     ``state = max(pole * state, new)`` (ref: TransformDSP.inl:1336-1341) runs
     as an associative scan over T, parallel over everything else.
+
+    ``valid``: optional [T] bool — False frames are host padding and leave
+    every filter state untouched (their result rows are garbage; callers
+    slice them off).
     """
     poles = constant.decay_poles  # [K]
     # [..., T, K, rows, P]
@@ -291,20 +295,27 @@ def post_process(
         mag_seq = seq[..., 0:1, :] * 0.5  # ref: consts::half at :1407
         cancel_seq = seq[..., 1:2, :]
         decayed, new_mag_state = peak_decay_scan(
-            state.magnitude[..., 0:1, :], mag_seq, poles[:, None, None], time_axis=-4
+            state.magnitude[..., 0:1, :], mag_seq, poles[:, None, None],
+            time_axis=-4, valid=valid,
         )
         # phase smoothing: one-pole toward (cancel * mag) with pole^0.3
         # (ref: TransformDSP.inl:1395-1419)
         phase_target = cancel_seq[..., 0, :] * mag_seq[..., 0, :]  # [..., T, K, P]
         phase_pole = poles[:, None] ** 0.3
 
-        def smooth_step(carry, target):
-            out = target + phase_pole * (carry - target)
+        def smooth_step(carry, xs):
+            target, v = xs
+            out = jnp.where(v, target + phase_pole * (carry - target), carry)
             return out, out
 
         # time axis must lead for lax.scan: [..., T, K, P] -> [T, ..., K, P]
         pt = jnp.moveaxis(phase_target, -3, 0)
-        phase_state, phases = jax.lax.scan(smooth_step, state.phase, pt)
+        v = (
+            jnp.asarray(valid)
+            if valid is not None
+            else jnp.ones(pt.shape[0], bool)
+        )
+        phase_state, phases = jax.lax.scan(smooth_step, state.phase, (pt, v))
         phases = jnp.moveaxis(phases, 0, -3)  # [..., T, K, P]
         mag_db = _db_map(constant, decayed[..., 0, :])
         phase_db = _db_map(constant, phases)
@@ -315,20 +326,23 @@ def post_process(
         full_mag = state.magnitude.at[..., 0:1, :].set(new_mag_state)
         return SpectrumResult(results, LineGraphState(full_mag, phase_state))
 
-    decayed, new_state = peak_decay_scan(state.magnitude, seq, poles[:, None, None], time_axis=-4)
+    decayed, new_state = peak_decay_scan(
+        state.magnitude, seq, poles[:, None, None], time_axis=-4, valid=valid
+    )
     results = _db_map(constant, decayed)
     return SpectrumResult(results, LineGraphState(new_state, state.phase))
 
 
 def analyze_frames(
-    constant: SpectrumConstant, state: LineGraphState, frames: jax.Array
+    constant: SpectrumConstant, state: LineGraphState, frames: jax.Array, valid=None
 ) -> SpectrumResult:
     """Full pipeline: frames [..., T, C, W] -> display results.
 
     The jittable forward step of the Spectrum view (compose of
     :func:`spectrum_values` + :func:`post_process`); equivalent to the
     reference's per-frame audioEntryPoint -> addAudioFrame chain
-    (ref: TransformDSP.inl:1163-1211, :1137-1148).
+    (ref: TransformDSP.inl:1163-1211, :1137-1148). ``valid`` [T] masks
+    host-padded frames out of the filter states (see :func:`post_process`).
     """
     vals = spectrum_values(constant, frames)  # [..., T, rows, P]
-    return post_process(constant, state, vals)
+    return post_process(constant, state, vals, valid=valid)

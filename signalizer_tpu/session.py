@@ -193,10 +193,11 @@ class AnalysisSession:
                 if isinstance(proc, ResonatorSpectrumProcessor):
                     # RSNT consumes a *continuous* stream (each sample
                     # exactly once — re-reading history would double-drive
-                    # the stateful bank). Consume the audio that arrived
-                    # since the last tick in fixed-size chunks so the jit
-                    # shape set stays bounded; a sub-chunk remainder waits
-                    # for the next tick.
+                    # the stateful bank). One tick = ONE dispatch: every
+                    # pending fixed-size chunk rides a single scanned step
+                    # (bucketed to powers of two + a validity mask so the
+                    # jit shape set stays bounded); a sub-chunk remainder
+                    # waits for the next tick.
                     chunk = 1024
                     cap = eng.presentation_output.info.audio_history_capacity
                     pending = clock - self._res_consumed
@@ -206,11 +207,14 @@ class AnalysisSession:
                     n_chunks = pending // chunk
                     if n_chunks > 0:
                         hist = eng.get_presentation_history(pending)  # [2, pending]
-                        out = None
-                        for i in range(n_chunks):
-                            out = proc.process(
-                                hist[None, :2, i * chunk:(i + 1) * chunk]
-                            )
+                        bucket = 1 << (n_chunks - 1).bit_length()
+                        blocks = np.zeros((1, 2, bucket, chunk), np.float32)
+                        blocks[0, :, :n_chunks] = hist[:2, : n_chunks * chunk].reshape(
+                            2, n_chunks, chunk
+                        )
+                        valid = np.zeros(bucket, bool)
+                        valid[:n_chunks] = True
+                        out = proc.process_chunks(blocks, valid)
                         self._res_consumed += n_chunks * chunk
                         self._res_spectrum = np.asarray(out)[0, -1]
                     return self._res_spectrum  # [K, rows, P] (None pre-audio)

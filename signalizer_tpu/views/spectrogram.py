@@ -51,9 +51,14 @@ def _spectrogram_step(
     frames: jax.Array,
     colours: jax.Array,
     ratios: jax.Array,
+    valid: jax.Array,
 ):
-    """frames [pairs, T, C, W] -> (columns [T, P, 4] uint8, new state)."""
-    result = analyze_frames(constant, state, frames)
+    """frames [pairs, T, C, W] -> (columns [T, P, 4] uint8, new state).
+
+    ``valid`` [T] bool: False frames are host padding (bucketed batch
+    shape); they leave the decay state untouched and their columns are
+    sliced off by the caller."""
+    result = analyze_frames(constant, state, frames, valid=valid)
     # spectrogram uses the main line graph's decayed dB row
     # (ref: addAudioFrame uses LineMain, TransformDSP.inl:1144-1147)
     intensity = result.results[:, :, 0, 0, :]  # [pairs, T, P]
@@ -145,22 +150,28 @@ class SpectrogramProcessor:
             return np.zeros((0, self.constant.axis_points, 4), np.uint8)
         # [T, pairs*2, W] -> [pairs, T, 2, W]
         stacked = frames.reshape(t, self.pairs, 2, self.constant.window_size).transpose(1, 0, 2, 3)
-        # consume in power-of-two chunks: the pacer's EMA varies the pending
-        # count tick to tick, and every distinct T is a fresh (minutes-long,
-        # through the remote tunnel) XLA compile — pow2 decomposition bounds
-        # the compiled shape set to ~log2(max T) entries with exact state
-        # (no silence padding through the decay filters)
-        outs = []
-        i = 0
-        while i < t:
-            step = 1 << ((t - i).bit_length() - 1)  # largest pow2 <= remaining
-            chunk = jnp.asarray(np.ascontiguousarray(stacked[:, i : i + step]))
-            cols, self._state = _spectrogram_step(
-                self.constant, self._state, chunk, self._colours, self._ratios
-            )
-            outs.append(np.asarray(cols))
-            i += step
-        cols = outs[0] if len(outs) == 1 else np.concatenate(outs, axis=0)
+        # ONE dispatch per tick: the pacer's EMA varies the pending count
+        # tick to tick, and every distinct T is a fresh (minutes-long,
+        # through the remote tunnel) XLA compile — pad T up to the next
+        # power of two with masked frames, so the compiled shape set stays
+        # ~log2(max T) entries, the filter states stay exact (masked
+        # frames are identity steps), and a tick never pays more than one
+        # dispatch round trip (round-2's pow2 *decomposition* paid up to
+        # log2(T) of them)
+        bucket = 1 << (t - 1).bit_length()
+        padded = np.zeros((self.pairs, bucket, 2, self.constant.window_size), np.float32)
+        padded[:, :t] = stacked
+        valid = np.zeros(bucket, bool)
+        valid[:t] = True
+        cols, self._state = _spectrogram_step(
+            self.constant,
+            self._state,
+            jnp.asarray(padded),
+            self._colours,
+            self._ratios,
+            jnp.asarray(valid),
+        )
+        cols = np.asarray(cols)[:t]
         self.image.push_columns(cols)
         return cols
 

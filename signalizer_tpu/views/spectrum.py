@@ -94,6 +94,53 @@ class SpectrumProcessor:
 # ---------------------------------------------------------------------------
 
 
+def _mix_rsnt(cfg, block: jax.Array) -> jax.Array:
+    """[pairs, 2, ...] -> [pairs, rows, ...] per resonatingDispatch
+    (ref: TransformDSP.inl:1213-1295; the RSNT path does NOT halve
+    Mid/Side, unlike prepareTransform)."""
+    from signalizer_tpu.core.config import SpectrumChannels
+
+    left, right = block[:, 0], block[:, 1]
+    if cfg == SpectrumChannels.LEFT:
+        return left[:, None]
+    if cfg == SpectrumChannels.RIGHT:
+        return right[:, None]
+    if cfg == SpectrumChannels.MERGE:
+        return (left + right)[:, None]
+    if cfg == SpectrumChannels.SIDE:
+        return (left - right)[:, None]
+    if cfg == SpectrumChannels.MIDSIDE:
+        # ref quirk: RSNT MidSide packs (side, mid) in that order
+        # (TransformDSP.inl:1277: pair{left - right, left + right})
+        return jnp.stack([left - right, left + right], axis=1)
+    return block[:, :2]  # PHASE / SEPARATE / COMPLEX
+
+
+@functools.partial(jax.jit, donate_argnums=(2, 3))
+def _rsnt_chunks_step(
+    constant: SpectrumConstant,
+    resonator,
+    res_state: jax.Array,
+    graph_state: LineGraphState,
+    blocks: jax.Array,
+    valid: jax.Array,
+    plan,
+):
+    """ONE dispatch for a whole tick's pending audio: mix -> scanned
+    resonate over T chunks -> final windowed readout -> decay+dB.
+
+    blocks [pairs, 2, T, W] time-ordered; valid [T] bool (False = padding,
+    state untouched). Returns (results [pairs, 1, K, rows, P], res_state,
+    graph_state)."""
+    from signalizer_tpu.kernels.resonator import resonate_chunks, resonator_readout
+
+    mixed = _mix_rsnt(constant.configuration, blocks)  # [pairs, rows, T, W]
+    st = resonate_chunks(resonator, res_state, mixed, valid=valid, plan=plan)
+    mags = resonator_readout(resonator, st)  # [pairs, rows, P]
+    result = post_process(constant, graph_state, mags[:, None])
+    return result.results, st, result.state
+
+
 class ResonatorSpectrumProcessor:
     """Spectrum view driven by the resonator bank instead of the FFT
     (ref: TransformAlgorithm::RSNT). Consumes a *continuous* sample stream
@@ -132,6 +179,15 @@ class ResonatorSpectrumProcessor:
         )
         self._res_state = init_resonator_state(self.resonator, (pairs, self.rows))
         self._graph_state = init_line_graph_state(constant, (pairs,))
+        self._plans: dict = {}  # chunk length -> ResonatorBlockPlan
+
+    def _plan(self, block: int):
+        from signalizer_tpu.kernels.resonator import make_block_plan
+
+        plan = self._plans.get(block)
+        if plan is None:
+            plan = self._plans[block] = make_block_plan(self.resonator, block)
+        return plan
 
     def reset(self) -> None:
         from signalizer_tpu.kernels.resonator import init_resonator_state
@@ -141,33 +197,43 @@ class ResonatorSpectrumProcessor:
 
     def _mix(self, block: jax.Array) -> jax.Array:
         """[pairs, 2, n] -> [pairs, rows, n] per resonatingDispatch."""
-        from signalizer_tpu.core.config import SpectrumChannels
-
-        cfg = self.constant.configuration
-        left, right = block[:, 0], block[:, 1]
-        if cfg == SpectrumChannels.LEFT:
-            return left[:, None]
-        if cfg == SpectrumChannels.RIGHT:
-            return right[:, None]
-        if cfg == SpectrumChannels.MERGE:
-            return (left + right)[:, None]
-        if cfg == SpectrumChannels.SIDE:
-            return (left - right)[:, None]
-        if cfg == SpectrumChannels.MIDSIDE:
-            # ref quirk: RSNT MidSide packs (side, mid) in that order
-            # (TransformDSP.inl:1277: pair{left - right, left + right})
-            return jnp.stack([left - right, left + right], axis=1)
-        return block[:, :2]  # PHASE / SEPARATE / COMPLEX
+        return _mix_rsnt(self.constant.configuration, block)
 
     def process(self, block) -> jax.Array:
-        """block [pairs, 2, n] -> display results [pairs, 1, K, rows, P]."""
-        from signalizer_tpu.kernels.resonator import resonate_block, resonator_readout
+        """block [pairs, 2, n] -> display results [pairs, 1, K, rows, P].
 
+        One chunk, one dispatch (via :meth:`process_chunks`)."""
         block = jnp.asarray(block, jnp.float32)
-        mixed = self._mix(block)
-        self._res_state = resonate_block(self.resonator, self._res_state, mixed)
-        mags = resonator_readout(self.resonator, self._res_state)  # [pairs, rows, P]
-        vals = mags[:, None]  # one time step: [pairs, T=1, rows, P]
-        result = post_process(self.constant, self._graph_state, vals)
-        self._graph_state = result.state
-        return result.results
+        return self.process_chunks(block[:, :, None, :])
+
+    def process_chunks(self, blocks, valid=None) -> jax.Array:
+        """Consume a whole tick's pending audio in ONE device dispatch.
+
+        ``blocks`` [pairs, 2, T, W]: T time-ordered chunks of W samples
+        each (each sample exactly once — the bank is stateful).
+        ``valid`` [T] bool or None: False entries are host-side padding
+        (bucketing T to a power of two bounds the compiled shape set);
+        they advance nothing. Returns the display results after the last
+        valid chunk, [pairs, 1, K, rows, P].
+
+        Replaces the round-2 per-chunk Python dispatch loop (one ~ms
+        round trip per 1024 samples on a remote link) with one scanned
+        dispatch per tick (ref: continuous resonate,
+        TransformDSP.inl:1163-1211).
+        """
+        blocks = jnp.asarray(blocks, jnp.float32)
+        t = blocks.shape[-2]
+        if valid is None:
+            valid = np.ones(t, bool)
+        valid = jnp.asarray(valid, bool)
+        plan = self._plan(blocks.shape[-1])
+        results, self._res_state, self._graph_state = _rsnt_chunks_step(
+            self.constant,
+            self.resonator,
+            self._res_state,
+            self._graph_state,
+            blocks,
+            valid,
+            plan,
+        )
+        return results

@@ -7,8 +7,10 @@ import pytest
 from signalizer_tpu.core.windows import WindowType
 from signalizer_tpu.kernels.resonator import (
     init_resonator_state,
+    make_block_plan,
     make_resonator_constant,
     resonate_block,
+    resonate_chunks,
     resonator_readout,
 )
 
@@ -61,6 +63,110 @@ def test_chunked_equals_single_block():
     s1 = np.asarray(_run(constant, x, chunks=1))
     s4 = np.asarray(_run(constant, x, chunks=4))
     np.testing.assert_allclose(s1, s4, rtol=2e-3, atol=1e-3)
+
+
+def test_block_plan_matches_in_graph_ramp():
+    """Precomputed ramp plan == the in-graph power computation."""
+    freqs = np.linspace(200, 5000, 16)
+    c = make_resonator_constant(freqs, FS, window_size=512)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(128).astype(np.float32))
+    s0 = init_resonator_state(c)
+    plain = np.asarray(resonate_block(c, s0, x))
+    planned = np.asarray(resonate_block(c, s0, x, make_block_plan(c, 128)))
+    np.testing.assert_allclose(plain, planned, rtol=1e-4, atol=1e-5)
+
+
+def test_resonate_chunks_scan_matches_sequential():
+    """One scanned dispatch over padded+masked chunks == per-chunk calls."""
+    freqs = np.linspace(200, 5000, 16)
+    c = make_resonator_constant(freqs, FS, window_size=512)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 3, 4, 128)).astype(np.float32)  # [..., T=4, W]
+    seq = init_resonator_state(c, (2, 3))
+    for t in range(4):
+        seq = resonate_block(c, seq, jnp.asarray(x[:, :, t]))
+    padded = np.zeros((2, 3, 8, 128), np.float32)
+    padded[:, :, :4] = x
+    valid = np.zeros(8, bool)
+    valid[:4] = True
+    got = resonate_chunks(
+        c,
+        init_resonator_state(c, (2, 3)),
+        jnp.asarray(padded),
+        valid=jnp.asarray(valid),
+        plan=make_block_plan(c, 128),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(seq), rtol=2e-3, atol=1e-3)
+
+
+def test_resonate_chunks_emit_readouts():
+    freqs = np.linspace(200.0, 5000.0, 8)
+    c = make_resonator_constant(freqs, FS, window_size=256)
+    rng = np.random.default_rng(5)
+    chunks = jnp.asarray(rng.standard_normal((1, 4, 64)).astype(np.float32))
+    final, ys = resonate_chunks(
+        c, init_resonator_state(c, (1,)), chunks, emit_readouts=True
+    )
+    assert ys.shape == (4, 1, 8)  # [T, batch, P]
+    np.testing.assert_allclose(
+        np.asarray(ys[-1]), np.asarray(resonator_readout(c, final)), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_processor_process_chunks_matches_sequential():
+    """ResonatorSpectrumProcessor: the one-dispatch tick path drives the
+    bank exactly like the per-chunk loop (resonator state parity), and
+    padding+mask is invariant.
+
+    Display results deliberately differ from the per-chunk loop: the tick
+    path applies the peak-decay filter ONCE per tick — the reference's
+    cadence (one mapAndTransformDFTFilters per rendered frame,
+    TransformDSP.inl:1297) — where the round-2 loop applied it once per
+    1024-sample chunk (decay rate then depended on the backlog size).
+    """
+    from signalizer_tpu.core.config import (
+        BinInterpolation,
+        SpectrumChannels,
+        ViewScaling,
+    )
+    from signalizer_tpu.core.constant import make_spectrum_constant
+    from signalizer_tpu.views.spectrum import ResonatorSpectrumProcessor
+
+    kwargs = dict(
+        axis_points=64,
+        window_size=1024,
+        sample_rate=FS,
+        configuration=SpectrumChannels.MIDSIDE,
+        bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LINEAR,
+    )
+    rng = np.random.default_rng(6)
+    audio = rng.standard_normal((1, 2, 3, 256)).astype(np.float32)
+
+    a = ResonatorSpectrumProcessor(make_spectrum_constant(**kwargs))
+    for t in range(3):
+        a.process(audio[:, :, t])
+
+    b = ResonatorSpectrumProcessor(make_spectrum_constant(**kwargs))
+    padded = np.zeros((1, 2, 4, 256), np.float32)
+    padded[:, :, :3] = audio
+    valid = np.asarray([True, True, True, False])
+    out_b = b.process_chunks(padded, valid)
+
+    c = ResonatorSpectrumProcessor(make_spectrum_constant(**kwargs))
+    out_c = c.process_chunks(audio)  # exact T, no padding
+
+    # the bank state is chunk-loop exact, and padding is invariant
+    np.testing.assert_allclose(
+        np.asarray(a._res_state), np.asarray(b._res_state), rtol=2e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_b), np.asarray(out_c), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(b._res_state), np.asarray(c._res_state), rtol=1e-5, atol=1e-6
+    )
 
 
 def test_free_q_constant_cycles():

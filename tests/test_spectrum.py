@@ -151,6 +151,82 @@ def test_peak_decay_single_frame_fast_path():
     np.testing.assert_allclose(np.asarray(final), [0.5, 0.5])
 
 
+def test_peak_decay_valid_mask_padding_is_identity():
+    """Host-padded (valid=False) frames must not advance the decay state —
+    the bucketed single-dispatch tick paths rely on this."""
+    rng = np.random.default_rng(9)
+    xs = rng.random((5, 4, 33)).astype(np.float32)
+    s0 = rng.random((4, 33)).astype(np.float32)
+    pole = 0.83
+    want_seq, want_final = peak_decay_oracle(s0, xs, pole)
+    padded = np.zeros((8, 4, 33), np.float32)
+    padded[:5] = xs
+    valid = np.zeros(8, bool)
+    valid[:5] = True
+    got_seq, got_final = peak_decay_scan(
+        jnp.asarray(s0), jnp.asarray(padded), pole, time_axis=0, valid=jnp.asarray(valid)
+    )
+    np.testing.assert_allclose(np.asarray(got_final), want_final, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_seq)[:5], want_seq, rtol=1e-5, atol=1e-6)
+    # padded outputs carry the final state through unchanged
+    np.testing.assert_allclose(
+        np.asarray(got_seq)[5:],
+        np.broadcast_to(want_final, (3,) + want_final.shape),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+    # single-frame fast path honours the mask too
+    one, fin = peak_decay_scan(
+        jnp.asarray(s0), jnp.asarray(xs[:1]), pole, time_axis=0,
+        valid=jnp.asarray([False]),
+    )
+    np.testing.assert_allclose(np.asarray(fin), s0, rtol=1e-6)
+
+
+def test_analyze_frames_valid_mask_matches_unpadded():
+    """Full pipeline with a padded+masked tail == the unpadded run (state
+    and the valid results)."""
+    constant = _make(SpectrumChannels.LEFT, BinInterpolation.LINEAR, ViewScaling.LOGARITHMIC, 200)
+    rng = np.random.default_rng(12)
+    frames = rng.standard_normal((1, 3, 2, constant.window_size)).astype(np.float32)
+    state = init_line_graph_state(constant, (1,))
+    want = analyze_frames(constant, state, jnp.asarray(frames))
+    padded = np.zeros((1, 4, 2, constant.window_size), np.float32)
+    padded[:, :3] = frames
+    valid = jnp.asarray([True, True, True, False])
+    got = analyze_frames(
+        constant, init_line_graph_state(constant, (1,)), jnp.asarray(padded), valid=valid
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.results)[:, :3], np.asarray(want.results), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.state.magnitude), np.asarray(want.state.magnitude), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_analyze_frames_valid_mask_phase_mode():
+    """The PHASE branch threads the mask through both the decay scan and
+    the phase-smoothing scan."""
+    constant = _make(SpectrumChannels.PHASE, BinInterpolation.LINEAR, ViewScaling.LINEAR, 128)
+    rng = np.random.default_rng(13)
+    frames = rng.standard_normal((1, 2, 2, constant.window_size)).astype(np.float32)
+    state = init_line_graph_state(constant, (1,))
+    want = analyze_frames(constant, state, jnp.asarray(frames))
+    padded = np.zeros((1, 4, 2, constant.window_size), np.float32)
+    padded[:, :2] = frames
+    valid = jnp.asarray([True, True, False, False])
+    got = analyze_frames(
+        constant, init_line_graph_state(constant, (1,)), jnp.asarray(padded), valid=valid
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.results)[:, :2], np.asarray(want.results), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.state.phase), np.asarray(want.state.phase), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_full_pipeline_db_mapping():
     """End-to-end: analyze_frames output equals oracle values -> decay -> dB."""
     constant = _make(SpectrumChannels.LEFT, BinInterpolation.LINEAR, ViewScaling.LOGARITHMIC, 200)
