@@ -267,6 +267,7 @@ class SignalizerEngine(SerializableObject):
             axis_points=axis_points, sample_rate=self.config.sample_rate,
             frames_per_second=column_rate,
         )
+        colours, ratios = self.spectrum.make_gradient()
         proc = SpectrogramProcessor(
             constant,
             pairs=pairs,
@@ -274,6 +275,8 @@ class SignalizerEngine(SerializableObject):
             overlap=overlap,
             image_width=image_width,
             stretch=self.spectrum.spectrum_stretching.get_transformed(),
+            colours=colours,
+            ratios=ratios,
         )
         # render pacing follows the FrameSmoothing knob
         # (ref: frameUpdateSmoothing, SpectrumParameters.h:47-50)

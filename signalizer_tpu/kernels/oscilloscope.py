@@ -199,31 +199,57 @@ def spectral_fundamental(
 
     half = n // 2
     idxs = jnp.arange(2, half, dtype=jnp.int32)
+    vals = mags[..., 2:half]  # [..., M]
+    offs = offsets[..., 2:half]
+    omegas = idxs.astype(jnp.float32) + offs
 
-    def step(carry: BinRecord, i):
-        cur_val = jnp.take_along_axis(mags, jnp.broadcast_to(i, mags.shape[:-1])[..., None], -1)[..., 0]
-        cur_off = jnp.take_along_axis(offsets, jnp.broadcast_to(i, offsets.shape[:-1])[..., None], -1)[..., 0]
-        cur_omega = i.astype(jnp.float32) + cur_off
-        max_omega = carry.omega()
-
-        vastly_better = inv_h * cur_val > carry.value * 2.0
-        factor = cur_omega / jnp.where(max_omega > 0, max_omega, 1.0)
-        sensitivity = cur_val / jnp.maximum(carry.value, 1e-30)
+    # The walk is sequential only at ACCEPTANCES: between two acceptances
+    # the incumbent is constant, so the accept test for every later bin can
+    # be evaluated against it in one vectorized pass, and the next
+    # acceptance is the first True. Iterate acceptance-to-acceptance with a
+    # while_loop (race-to-next-record) instead of scanning all ~N/2 bins:
+    # each accepted value must exceed 2x the previous (inv_h-scaled), so
+    # float32's dynamic range bounds the chain at < 128 acceptances — the
+    # loop runs ~chain-length iterations of [batch, M] VPU work rather
+    # than N/2 dependent steps of scalar-carry work. Semantics identical
+    # to the reference's per-bin loop (OscilloscopeDSP.inl:134-184).
+    def accept_mask(record: BinRecord):
+        cur_val = vals
+        max_omega = record.omega()[..., None]
+        vastly_better = inv_h * cur_val > record.value[..., None] * 2.0
+        factor = omegas / jnp.where(max_omega > 0, max_omega, 1.0)
+        sensitivity = cur_val / jnp.maximum(record.value[..., None], 1e-30)
         twenty_x = inv_h * sensitivity > 20.0
         same_partial = jnp.abs(1.0 - factor) < inv_h * quarter_semitone
         mult_dev = jnp.abs(factor - jnp.floor(factor + 0.5))
         not_harmonic = inv_h * mult_dev > quarter_semitone
         accept_with_positive = twenty_x | same_partial | not_harmonic
         accept = vastly_better & jnp.where(max_omega > 0, accept_with_positive, True)
+        # only bins the sequential walk has not yet passed are eligible
+        return accept & (idxs > record.index[..., None])
 
+    def cond(carry):
+        record, active, it = carry
+        return jnp.any(active) & (it < 128)
+
+    def body(carry):
+        record, _, it = carry
+        acc = accept_mask(record)  # [..., M]
+        any_acc = jnp.any(acc, axis=-1)
+        first = jnp.argmax(acc, axis=-1)  # first True (0 when none)
         new = BinRecord(
-            index=jnp.where(accept, i, carry.index),
-            value=jnp.where(accept, cur_val, carry.value),
-            offset=jnp.where(accept, cur_off, carry.offset),
+            index=jnp.where(any_acc, jnp.take(idxs, first), record.index),
+            value=jnp.where(
+                any_acc, jnp.take_along_axis(vals, first[..., None], -1)[..., 0], record.value
+            ),
+            offset=jnp.where(
+                any_acc, jnp.take_along_axis(offs, first[..., None], -1)[..., 0], record.offset
+            ),
         )
-        return new, None
+        return new, any_acc, it + 1
 
-    record, _ = jax.lax.scan(step, init, idxs)
+    active0 = jnp.ones(batch_shape, bool)
+    record, _, _ = jax.lax.while_loop(cond, body, (init, active0, jnp.int32(0)))
     fundamental = sample_rate * record.omega() / n
     fundamental = jnp.maximum(5.0, fundamental)  # ref: :221 floor at 5 Hz
     cycle_samples = sample_rate / fundamental

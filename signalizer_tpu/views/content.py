@@ -169,8 +169,19 @@ class SpectrumContent(SerializableObject):
         ]
         self.grid_colour = ps.register_bundle(ColourValue("Grid", (0.5, 0.5, 0.5, 1.0)))
         self.background_colour = ps.register_bundle(ColourValue("Bck", (0.0, 0.0, 0.0, 1.0)))
+        # knob defaults = the classic dark->blue->green->yellow->red heat
+        # map (the reference ships its gradient via presets; an unset
+        # bundle must not mean an all-white spectrogram)
+        grad_defaults = (
+            (0.0, 0.0, 0.5, 1.0),
+            (0.0, 0.5, 1.0, 1.0),
+            (0.0, 1.0, 0.0, 1.0),
+            (1.0, 1.0, 0.0, 1.0),
+            (1.0, 0.0, 0.0, 1.0),
+        )
         self.spec_colours = [
-            ps.register_bundle(ColourValue(f"Grad{i}")) for i in range(NUM_SPECTRUM_COLOURS)
+            ps.register_bundle(ColourValue(f"Grad{i}", grad_defaults[i]))
+            for i in range(NUM_SPECTRUM_COLOURS)
         ]
         self.widget_colour = ps.register_bundle(ColourValue("Widget"))
 
@@ -257,6 +268,34 @@ class SpectrumContent(SerializableObject):
             configuration=SpectrumChannels(
                 int(self.channel_configuration.get_transformed())
             ),
+        )
+
+    def make_gradient(self):
+        """Spectrogram gradient from the knobs: (colours [6, 3], ratios
+        [6]) — stop 0 is the background colour at intensity 0, stops 1-5
+        the five Grad colours over the normalized GradRatio widths
+        (ref: specColours/specRatios consumed by blendAndDispatchSpectrums,
+        SpectrumDSP.cpp:119-169)."""
+        import numpy as np
+
+        colours = np.asarray(
+            [self.background_colour.get_rgba()[:3]]
+            + [c.get_rgba()[:3] for c in self.spec_colours],
+            np.float32,
+        )
+        ratios = np.asarray(
+            [0.0] + [r.get_transformed() for r in self.spec_ratios], np.float32
+        )
+        return colours, ratios
+
+    def make_render_hints(self) -> dict:
+        """View-shell settings the GL renderer consumes in the reference
+        (SpectrumRendering.cpp overlay/grid setup); the viewer applies
+        them."""
+        return dict(
+            diagnostics=self.diagnostics.get_transformed() > 0.5,
+            pct_for_division=self.pct_for_division.get_transformed(),
+            widget_colour=self.widget_colour.get_rgba(),
         )
 
     def make_tracker(self, sample_rate: float = 48_000.0, *,

@@ -1,11 +1,24 @@
-"""Every registered parameter must reach a consumer.
+"""Every registered parameter must reach a consumer — MECHANICALLY.
 
 A registered dead knob is worse than an absent one (round-1 verdict):
 this inventory maps each Content parameter to the factory / feed / engine
-path that consumes it. Registering a new parameter without extending the
-map fails the test; mapping a knob to a consumer that does not exist
-fails too (each consumer string is checked against the public surface).
+path that consumes it, and every claim class is machine-checked (round-2
+verdict: free-text render:/host:/engine: claims let a renamed consumer
+slip through):
+
+  constant:<f1[/f2...]>  each name is a SpectrumConstant field or appears
+                         in the source of Content.make_constant
+  kwargs:<key>           actual make_processor_kwargs key
+  feed:<attr>            attribute of make_render_feed's object
+  tracker:<attr>         attribute of make_tracker's object
+  render:<key>           actual make_render_hints() key
+  engine:<method>:<pin>  SignalizerEngine.<method> exists and its source
+                         contains <pin>
+  host:<dotted.path>     importable symbol (module attr chain resolves)
 """
+
+import importlib
+import inspect
 
 import numpy as np
 import pytest
@@ -16,14 +29,6 @@ from signalizer_tpu.views.content import (
     VectorScopeContent,
 )
 
-# parameter base name -> the consuming surface. Naming conventions:
-#   constant:<field>     consumed building the device Constant
-#   kwargs:<key>         consumed by make_processor_kwargs
-#   feed:<attr>          consumed by make_render_feed / the vertex feed
-#   tracker:<attr>       consumed by make_tracker
-#   engine:<path>        consumed by SignalizerEngine wiring
-#   render:<what>        consumed by the viewer / render-ready outputs
-#   host:<what>          host-side display/behaviour (formatting, axes)
 SPECTRUM_CONSUMERS = {
     "ViewScaling": "constant:view_scaling",
     "Algorithm": "constant:algo",
@@ -33,29 +38,29 @@ SPECTRUM_CONSUMERS = {
     "LowerBound": "constant:low_dbs",
     "UpperBound": "constant:high_dbs",
     "WindowSize": "constant:window_size",
-    "PctDivision": "host:axis divisions (utils.axis.suitable_axis_division)",
-    "BlobSize": "engine:make_spectrogram_processor blob_ms",
-    "FrameSmoothing": "engine:ColumnPacer smoothing -> SpectrogramProcessor.pull",
-    "SpectrumStretch": "engine:SpectrogramImage stretch",
+    "PctDivision": "render:pct_for_division",
+    "BlobSize": "engine:make_spectrogram_processor:blob_size",
+    "FrameSmoothing": "engine:make_spectrogram_processor:frame_update_smoothing",
+    "SpectrumStretch": "engine:make_spectrogram_processor:spectrum_stretching",
     "PrimitiveSize": "feed:primitive_size",
     "FloodFillAlpha": "feed:flood_fill_alpha",
     "RefTuning": "tracker:a4_reference",
     "FTracker": "tracker:source",
     "ViewLeft": "constant:view_left",
     "ViewRight": "constant:view_right",
-    "FreeQ": "engine:ResonatorSpectrumProcessor free_q",
-    "Diagnostics": "host:Diagnostics overlay toggle",
+    "FreeQ": "engine:make_spectrum_processor:free_q",
+    "Diagnostics": "render:diagnostics",
     "TrackerSmoothing": "tracker:smoothing_ms",
     "ShowLegend": "feed:show_legend",
     "Grid": "feed:grid_colour",
     "Bck": "feed:background_colour",
-    "Widget": "render:widget/cursor colour",
-    "DspWin": "constant:window_type/alpha/beta/symmetric",
+    "Widget": "render:widget_colour",
+    "DspWin": "constant:window_type/window_alpha/window_beta/window_symmetric",
     "Slope": "constant:slope_a/slope_b",
 }
 for i in range(5):
-    SPECTRUM_CONSUMERS[f"GradRatio{i}"] = "render:spectrogram gradient ratios"
-    SPECTRUM_CONSUMERS[f"Grad{i}"] = "render:spectrogram gradient stops"
+    SPECTRUM_CONSUMERS[f"GradRatio{i}"] = "engine:make_spectrogram_processor:make_gradient"
+    SPECTRUM_CONSUMERS[f"Grad{i}"] = "engine:make_spectrogram_processor:make_gradient"
 for i in range(2):
     SPECTRUM_CONSUMERS[f"Line{i}Decay"] = "constant:decay_seconds"
     SPECTRUM_CONSUMERS[f"Line{i}One"] = "feed:line_colours one"
@@ -65,26 +70,26 @@ OSCILLOSCOPE_CONSUMERS = {
     "EnvelopeWindow": "kwargs:envelope_window_ms",
     "InputGain": "kwargs:manual_gain",
     "WindowSize": "kwargs:window_samples/window_value",
-    "Antialias": "render:viewer antialias hint",
-    "Diagnostics": "host:Diagnostics overlay toggle",
-    "PrimitiveSize": "render:line width hint",
-    "PctDivision": "host:axis divisions",
+    "Antialias": "render:antialias",
+    "Diagnostics": "render:diagnostics",
+    "PrimitiveSize": "render:primitive_size",
+    "PctDivision": "render:pct_for_division",
     "TriggerPhase": "kwargs:trigger_phase_degrees",
-    "DotSamples": "render:point-vs-line hint",
+    "DotSamples": "render:dot_samples",
     "CustomTrigger": "kwargs:custom_trigger",
     "CustomTriggerFrequency": "kwargs:custom_trigger_frequency",
-    "OverlayChannels": "render:row layout hint",
+    "OverlayChannels": "render:overlay_channels",
     "ColourSmoothing": "kwargs:colour_smooth_ms",
-    "CursorTracker": "host:cursor readout toggle (utils.axis.cursor_readout)",
+    "CursorTracker": "render:cursor_tracker",
     "FColourBlend": "kwargs:colour_blend",
     "THysteresis": "kwargs:trigger_hysteresis",
     "TThreshold": "kwargs:trigger_threshold",
     "TriggeringChannel": "kwargs:trigger_channel",
-    "ShowLegend": "render:legend toggle (utils.colour.Legend)",
-    "ViewLeft": "render:view box",
-    "ViewTop": "render:view box",
-    "ViewRight": "render:view box",
-    "ViewBottom": "render:view box",
+    "ShowLegend": "render:show_legend",
+    "ViewLeft": "render:view_box",
+    "ViewTop": "render:view_box",
+    "ViewRight": "render:view_box",
+    "ViewBottom": "render:view_box",
     "AutoGain": "kwargs:autogain",
     "ChannelConfiguration": "kwargs:channel_mode",
     "SampleInterpolation": "kwargs:interpolation",
@@ -93,38 +98,44 @@ OSCILLOSCOPE_CONSUMERS = {
     "ChannelColouring": "kwargs:colour_enabled",
     "PrimaryColour": "kwargs:key_colour",
     "SecondaryColour": "kwargs:secondary_colour",
-    "GraphColour": "render:grid colour",
-    "BackgroundColour": "render:background colour",
+    "GraphColour": "render:graph_colour",
+    "BackgroundColour": "render:background_colour",
     "LowColour": "kwargs:band_colours[0]",
     "MidColour": "kwargs:band_colours[1]",
     "HighColour": "kwargs:band_colours[2]",
-    "WidgetColour": "render:widget colour",
-    "Transform": "render:3d transform (kernels.vectorscope.apply_transform)",
+    "WidgetColour": "render:widget_colour",
+    "Transform": "render:transform",
 }
 
 VECTORSCOPE_CONSUMERS = {
     "EnvelopeWindow": "kwargs:envelope_window",
     "StereoWindow": "kwargs:stereo_window",
     "InputGain": "kwargs:user_gain",
-    "WindowSize": "engine:history window pulled per tick",
+    "WindowSize": "host:signalizer_tpu.session.AnalysisSession window pulled per tick",
     "WaveZRotation": "kwargs:rotation",
-    "Antialias": "render:viewer antialias hint",
-    "FadeOlderPoints": "render:vertex z age-fade consumed by viewer",
-    "InterconnectSamples": "render:lines-vs-points hint",
-    "Diagnostics": "host:Diagnostics overlay toggle",
-    "PrimitiveSize": "render:point size hint",
-    "ShowLegend": "render:legend toggle",
+    "Antialias": "render:antialias",
+    "FadeOlderPoints": "render:fade_older_points",
+    "InterconnectSamples": "render:interconnect_samples",
+    "Diagnostics": "render:diagnostics",
+    "PrimitiveSize": "render:primitive_size",
+    "ShowLegend": "render:show_legend",
     "ScalePolarModeToFill": "kwargs:scale_to_fill",
     "AutoGain": "kwargs:autogain",
     "OperationalMode": "kwargs:mode",
-    "DrawingColour": "render:waveform colour",
-    "GraphColour": "render:axis colour",
-    "BackgroundColour": "render:background colour",
-    "SkeletonColour": "render:polar skeleton colour",
-    "MeterColour": "render:meter bar colour",
-    "WidgetColour": "render:widget colour",
-    "Transform": "render:3d transform (kernels.vectorscope.apply_transform)",
+    "DrawingColour": "render:waveform_colour",
+    "GraphColour": "render:axis_colour",
+    "BackgroundColour": "render:background_colour",
+    "SkeletonColour": "render:skeleton_colour",
+    "MeterColour": "render:meter_colour",
+    "WidgetColour": "render:widget_colour",
+    "Transform": "render:transform",
 }
+
+ALL = [
+    (SpectrumContent, SPECTRUM_CONSUMERS),
+    (OscilloscopeContent, OSCILLOSCOPE_CONSUMERS),
+    (VectorScopeContent, VECTORSCOPE_CONSUMERS),
+]
 
 
 def _bundle_names(params):
@@ -136,13 +147,7 @@ def _bundle_names(params):
 
 
 @pytest.mark.parametrize(
-    "content_cls, consumers",
-    [
-        (SpectrumContent, SPECTRUM_CONSUMERS),
-        (OscilloscopeContent, OSCILLOSCOPE_CONSUMERS),
-        (VectorScopeContent, VECTORSCOPE_CONSUMERS),
-    ],
-    ids=["spectrum", "oscilloscope", "vectorscope"],
+    "content_cls, consumers", ALL, ids=["spectrum", "oscilloscope", "vectorscope"]
 )
 def test_every_knob_has_a_consumer(content_cls, consumers):
     content = content_cls()
@@ -157,18 +162,85 @@ def test_every_knob_has_a_consumer(content_cls, consumers):
 def test_kwargs_mappings_are_real():
     """Every 'kwargs:<key>' claim must be an actual make_processor_kwargs
     key (no aspirational mappings)."""
-    oc = OscilloscopeContent()
-    kw = set(oc.make_processor_kwargs())
-    for name, consumer in OSCILLOSCOPE_CONSUMERS.items():
-        if consumer.startswith("kwargs:"):
-            key = consumer.split(":")[1].split("/")[0].split("[")[0].split(" ")[0]
-            assert key in kw, f"{name} maps to missing kwarg {key}"
-    vc = VectorScopeContent()
-    kw = set(vc.make_processor_kwargs())
-    for name, consumer in VECTORSCOPE_CONSUMERS.items():
-        if consumer.startswith("kwargs:"):
-            key = consumer.split(":")[1].split("/")[0].split("[")[0].split(" ")[0]
-            assert key in kw, f"{name} maps to missing kwarg {key}"
+    for content_cls, consumers in ALL:
+        content = content_cls()
+        if not hasattr(content, "make_processor_kwargs"):
+            continue
+        kw = set(content.make_processor_kwargs())
+        for name, consumer in consumers.items():
+            if consumer.startswith("kwargs:"):
+                key = consumer.split(":")[1].split("/")[0].split("[")[0].split(" ")[0]
+                assert key in kw, f"{name} maps to missing kwarg {key}"
+
+
+@pytest.mark.parametrize(
+    "content_cls, consumers", ALL, ids=["spectrum", "oscilloscope", "vectorscope"]
+)
+def test_render_claims_match_hint_keys(content_cls, consumers):
+    """'render:<key>' must be a real make_render_hints() key — renaming a
+    hint key without updating this inventory fails."""
+    content = content_cls()
+    hints = set(content.make_render_hints())
+    for name, consumer in consumers.items():
+        if consumer.startswith("render:"):
+            key = consumer.split(":")[1].split(" ")[0]
+            assert key in hints, f"{name} claims render hint {key!r} not in {sorted(hints)}"
+
+
+def test_engine_claims_pin_source():
+    """'engine:<method>:<pin>' — the SignalizerEngine method must exist
+    and its source must contain the pinned consumer expression."""
+    from signalizer_tpu.engine import SignalizerEngine
+
+    for _, consumers in ALL:
+        for name, consumer in consumers.items():
+            if consumer.startswith("engine:"):
+                _, method, pin = consumer.split(":", 2)
+                fn = getattr(SignalizerEngine, method, None)
+                assert fn is not None, f"{name}: SignalizerEngine.{method} missing"
+                src = inspect.getsource(fn)
+                assert pin.split(" ")[0] in src, (
+                    f"{name}: {pin!r} not found in SignalizerEngine.{method}"
+                )
+
+
+def test_host_claims_resolve():
+    """'host:<dotted.path>' — the named symbol must import/resolve."""
+    for _, consumers in ALL:
+        for name, consumer in consumers.items():
+            if consumer.startswith("host:"):
+                path = consumer.split(":", 1)[1].split(" ")[0]
+                parts = path.split(".")
+                obj = None
+                for cut in range(len(parts), 0, -1):
+                    try:
+                        obj = importlib.import_module(".".join(parts[:cut]))
+                        rest = parts[cut:]
+                        break
+                    except ImportError:
+                        continue
+                assert obj is not None, f"{name}: cannot import any prefix of {path}"
+                for attr in rest:
+                    obj = getattr(obj, attr, None)
+                    assert obj is not None, f"{name}: {path} does not resolve at {attr}"
+
+
+def test_constant_claims_are_real():
+    """'constant:<f1/f2...>' — each name is a SpectrumConstant field or
+    appears in the source of SpectrumContent.make_constant."""
+    import dataclasses
+
+    from signalizer_tpu.core.constant import SpectrumConstant
+
+    fields = {f.name for f in dataclasses.fields(SpectrumConstant)}
+    src = inspect.getsource(SpectrumContent.make_constant)
+    for name, consumer in SPECTRUM_CONSUMERS.items():
+        if consumer.startswith("constant:"):
+            for part in consumer.split(":")[1].split(" ")[0].split("/"):
+                assert part in fields or part in src, (
+                    f"{name}: {part!r} is neither a SpectrumConstant field nor "
+                    "mentioned in make_constant"
+                )
 
 
 def test_feed_and_tracker_mappings_are_real():
@@ -198,6 +270,19 @@ def test_feed_and_tracker_mappings_are_real():
             assert hasattr(tracker, consumer.split(":")[1]) or hasattr(
                 tracker.smoother, consumer.split(":")[1]
             ), name
+
+
+def test_gradient_knobs_reach_the_spectrogram():
+    """The Grad/GradRatio knobs actually change the engine's spectrogram
+    colours (this was a free-text claim over a dead path in round 2)."""
+    sc = SpectrumContent()
+    colours, ratios = sc.make_gradient()
+    assert colours.shape == (6, 3) and ratios.shape == (6,)
+    sc.spec_colours[2].set_rgba((0.1, 0.9, 0.3, 1.0))
+    sc.spec_ratios[0].set_normalized(1.0)
+    colours2, ratios2 = sc.make_gradient()
+    np.testing.assert_allclose(colours2[3], [0.1, 0.9, 0.3], atol=1e-6)
+    assert ratios2[1] > ratios[1]
 
 
 def test_controller_layouts_reference_real_parameters():
