@@ -1,17 +1,28 @@
 """ShardedAnalysisPipeline — end-to-end multi-chip analysis driver.
 
-Production wrapper over :mod:`signalizer_tpu.parallel.mesh`'s fused step:
-host-side ingest (ring + hopper) feeds fixed-size frame batches, sharded
-over the device mesh's ``data`` axis (channel pairs — the framework's
-scaling axis, matching the reference's pairs ``parallel_for``,
-ref: SpectrumDSP.cpp:83 / SURVEY.md §2.10), through the fused
-spectrum + waveform + envelope + meters step. Filter state lives sharded
-on its chip across ticks; the only cross-chip traffic is the diagnostic
-``pmax``.
+Production wrapper over :mod:`signalizer_tpu.parallel.mesh`: host-side
+ingest feeds fixed-size batches, sharded over the device mesh's ``data``
+axis (channel pairs — the framework's scaling axis, matching the
+reference's pairs ``parallel_for``, ref: SpectrumDSP.cpp:83 /
+SURVEY.md §2.10), through the selected view's sharded step. Filter state
+lives sharded on its chip across ticks; the only cross-chip traffic is
+each step's diagnostic reduction (and the spectrogram's pair-blend psum).
 
-A fixed ``frames_per_tick`` keeps one compiled executable (dynamic batch
-sizes would recompile per distinct T — XLA static-shape rule); ticks
-fire when a full batch is ready.
+One parameterization covers every view (the reference parallelizes all
+views over pairs — CHANGELOG 0.4.0):
+
+* ``view="fused"`` (default): spectrum + waveform resample + min-max
+  envelopes + stereo meters in one step (bench cfg5 shape);
+* ``view="spectrum"``: the plain spectrum step;
+* ``view="spectrogram"``: colour columns with the cross-chip pair blend;
+* ``view="oscilloscope"``: trigger + resample over a rolling history;
+* ``view="vectorscope"``: vertices + meters over a rolling history.
+
+Framed views (fused/spectrum/spectrogram) ingest via a hopper; a fixed
+``frames_per_tick`` keeps one compiled executable (dynamic batch sizes
+would recompile per distinct T — XLA static-shape rule); ticks fire when
+a full batch is ready. Scope views (oscilloscope/vectorscope) ingest
+into a rolling ring and analyze the latest window every tick.
 
 Usage::
 
@@ -40,13 +51,21 @@ from signalizer_tpu.parallel.mesh import (
     init_sharded_state,
     shard_batch,
     sharded_fused_step,
+    sharded_oscilloscope_step,
+    sharded_spectrogram_step,
+    sharded_spectrum_step,
+    sharded_vectorscope_step,
 )
 from signalizer_tpu.stream.batcher import FrameBatcher
+from signalizer_tpu.stream.ring_buffer import make_ring_buffer
+
+FRAMED_VIEWS = ("fused", "spectrum", "spectrogram")
+SCOPE_VIEWS = ("oscilloscope", "vectorscope")
 
 
 class PipelineOutput(NamedTuple):
-    """One tick's sharded outputs (jax arrays, sharded over pairs except
-    the scalar diagnostic)."""
+    """One fused tick's sharded outputs (jax arrays, sharded over pairs
+    except the scalar diagnostic)."""
 
     results: jax.Array  # [pairs, T, K, rows, P] spectrum display values
     waveform: jax.Array  # [pairs, T, pixels] resampled first-channel wave
@@ -56,51 +75,200 @@ class PipelineOutput(NamedTuple):
     global_peak: jax.Array  # [] cross-chip pmax diagnostic
 
 
+class SpectrumOutput(NamedTuple):
+    results: jax.Array  # [pairs, T, K, rows, P]
+    global_peak: jax.Array
+
+
+class SpectrogramOutput(NamedTuple):
+    columns: jax.Array  # [T, P, 4] RGBA8, pairs blended, replicated
+    # (the cross-chip psum blend is the one data collective)
+
+
+class OscilloscopeOutput(NamedTuple):
+    frame: object  # OscilloscopeFrame (fields sharded over pairs)
+    global_level: jax.Array
+
+
+class VectorscopeOutput(NamedTuple):
+    frame: object  # VectorscopeFrame (fields sharded over pairs)
+    global_level: jax.Array
+
+
 class ShardedAnalysisPipeline:
-    """Multi-chip analysis over many channel pairs."""
+    """Multi-chip analysis over many channel pairs, any view."""
 
     def __init__(
         self,
-        constant: SpectrumConstant,
+        constant: Optional[SpectrumConstant] = None,
         *,
         pairs: int,
         mesh: Optional[Mesh] = None,
+        view: str = "fused",
         pixels: int = 1024,
         frames_per_tick: int = 4,
         overlap: float = 0.0,
+        # spectrogram
+        colours: Optional[np.ndarray] = None,
+        ratios: Optional[np.ndarray] = None,
+        # oscilloscope
+        osc_constant=None,
+        window_samples: float = 1024.0,
+        history_samples: int = 16384,
+        # vectorscope
+        envelope_pole: float = 0.999,
+        stereo_pole: float = 0.99,
+        user_gain: float = 1.0,
+        peak_coeff: float = 0.99,
+        vs_mode=None,
+        vs_autogain=None,
+        rotation: float = 0.0,
+        scale_to_fill: bool = False,
     ):
+        if view not in FRAMED_VIEWS + SCOPE_VIEWS:
+            raise ValueError(f"unknown view {view!r}")
         self.mesh = mesh if mesh is not None else make_analysis_mesh()
         n_dev = self.mesh.devices.size
         if pairs % n_dev != 0:
             raise ValueError(f"pairs ({pairs}) must divide over {n_dev} devices")
-        self.constant = constant
+        self.view = view
         self.pairs = pairs
         self.pixels = pixels
         self.frames_per_tick = int(frames_per_tick)
-        w = constant.window_size
-        resample_m = sinc_resample_matrix(w, 0.0, w / pixels, pixels)
-        self._step = sharded_fused_step(
-            constant, jnp.asarray(resample_m), self.mesh, pixels=pixels
-        )
-        hop = max(1.0, w * (1.0 - overlap))
-        self.batcher = FrameBatcher(
-            pairs * 2, w, hop, capacity=max(w * 4, int(hop * (frames_per_tick + 2)))
-        )
-        self._state = init_sharded_state(constant, pairs, self.mesh)
-        self._vstate = shard_batch(init_meter_state((pairs,)), self.mesh)
         self.ticks = 0
+        self._last_clock = 0
 
+        if view in ("fused", "spectrum", "spectrogram"):
+            if constant is None:
+                raise ValueError(f"view {view!r} needs a SpectrumConstant")
+            self.constant = constant
+            w = constant.window_size
+            hop = max(1.0, w * (1.0 - overlap))
+            self.batcher = FrameBatcher(
+                pairs * 2, w, hop, capacity=max(w * 4, int(hop * (frames_per_tick + 2)))
+            )
+            self._state = init_sharded_state(constant, pairs, self.mesh)
+            if view == "fused":
+                resample_m = sinc_resample_matrix(w, 0.0, w / pixels, pixels)
+                self._step = sharded_fused_step(
+                    constant, jnp.asarray(resample_m), self.mesh, pixels=pixels
+                )
+                self._vstate = shard_batch(init_meter_state((pairs,)), self.mesh)
+            elif view == "spectrum":
+                self._step = sharded_spectrum_step(constant, self.mesh)
+            else:  # spectrogram
+                from signalizer_tpu.kernels.colormap import normalize_ratios
+                from signalizer_tpu.views.spectrogram import (
+                    DEFAULT_GRADIENT,
+                    DEFAULT_RATIOS,
+                )
+
+                base = np.asarray(
+                    colours if colours is not None else DEFAULT_GRADIENT, np.float32
+                )
+                if base.ndim == 2:  # one table -> replicate per pair
+                    base = np.broadcast_to(base, (pairs,) + base.shape).copy()
+                self._colours = shard_batch(jnp.asarray(base), self.mesh)
+                self._ratios = jnp.asarray(
+                    normalize_ratios(ratios if ratios is not None else DEFAULT_RATIOS),
+                    jnp.float32,
+                )
+                self._step = sharded_spectrogram_step(constant, self.mesh)
+        elif view == "oscilloscope":
+            from signalizer_tpu.views.oscilloscope import (
+                OscilloscopeProcessor,
+                make_oscilloscope_constant,
+            )
+
+            self.osc_constant = (
+                osc_constant if osc_constant is not None else make_oscilloscope_constant()
+            )
+            self.window_samples = float(window_samples)
+            self.history_samples = int(history_samples)
+            self.ring = make_ring_buffer(pairs * 2, self.history_samples)
+            proc = OscilloscopeProcessor(self.osc_constant, pairs=pairs)
+            self._state = shard_batch(proc.state, self.mesh)
+            self._step = sharded_oscilloscope_step(
+                self.osc_constant, self.mesh, pairs=pairs if pairs > 1 else None
+            )
+        else:  # vectorscope
+            from signalizer_tpu.views.vectorscope import AutoGain, OperationalMode
+
+            self.history_samples = int(history_samples)
+            self.ring = make_ring_buffer(pairs * 2, self.history_samples)
+            self._state = shard_batch(init_meter_state((pairs,)), self.mesh)
+            self._peak_env = shard_batch(jnp.zeros((pairs, 2), jnp.float32), self.mesh)
+            self._vs_scalars = tuple(
+                jnp.float32(v) for v in (envelope_pole, stereo_pole, user_gain, peak_coeff)
+            )
+            self._step = sharded_vectorscope_step(
+                self.mesh,
+                mode=vs_mode if vs_mode is not None else OperationalMode.LISSAJOUS,
+                autogain=vs_autogain if vs_autogain is not None else AutoGain.PEAK_DECAY,
+                rotation=rotation,
+                scale_to_fill=scale_to_fill,
+            )
+
+    # --- ingest -------------------------------------------------------------
     def push(self, block: np.ndarray) -> None:
         """Feed interleaved pair audio [pairs*2, n]."""
-        self.batcher.push(block)
+        if self.view in FRAMED_VIEWS:
+            self.batcher.push(block)
+        else:
+            self.ring.write(np.asarray(block, np.float32))
 
     def ready(self) -> bool:
-        return self.batcher.frames_ready() >= self.frames_per_tick
+        if self.view in FRAMED_VIEWS:
+            return self.batcher.frames_ready() >= self.frames_per_tick
+        return self.ring.valid_samples > 0
 
-    def tick(self) -> Optional[PipelineOutput]:
-        """Run one fused sharded step when a full batch is ready."""
+    # --- tick ---------------------------------------------------------------
+    def tick(self):
+        """Run one sharded step; None until the ingest has enough audio."""
         if not self.ready():
             return None
+        if self.view in FRAMED_VIEWS:
+            frames_dev = self._pull_framed()
+            if self.view == "fused":
+                (results, wave, mins, maxs, corr,
+                 self._state, self._vstate, peak) = self._step(
+                    self._state, self._vstate, frames_dev
+                )
+                out = PipelineOutput(results, wave, mins, maxs, corr, peak)
+            elif self.view == "spectrum":
+                results, self._state, peak = self._step(self._state, frames_dev)
+                out = SpectrumOutput(results, peak)
+            else:
+                cols, self._state = self._step(
+                    self._state, frames_dev, self._colours, self._ratios
+                )
+                out = SpectrogramOutput(cols)
+        else:
+            hist = self.ring.latest(self.history_samples)  # [pairs*2, H]
+            clock = self.ring.sample_clock
+            new = max(0, clock - self._last_clock)
+            self._last_clock = clock
+            stacked = hist.reshape(self.pairs, 2, -1)
+            hist_dev = shard_batch(jnp.asarray(stacked), self.mesh)
+            if self.view == "oscilloscope":
+                frame, self._state, level = self._step(
+                    self._state,
+                    hist_dev,
+                    jnp.float32(self.window_samples),
+                    jnp.float32(0.0),
+                    jnp.float32(min(new, self.history_samples)),
+                )
+                out = OscilloscopeOutput(frame, level)
+            else:
+                ep, sp, ug, pc = self._vs_scalars
+                frame, self._state, self._peak_env, level = self._step(
+                    self._state, self._peak_env, hist_dev, ep, sp, ug, pc
+                )
+                out = VectorscopeOutput(frame, level)
+        self.ticks += 1
+        return out
+
+    def _pull_framed(self):
         t = self.frames_per_tick
         frames = self.batcher.pull(t)  # [T, pairs*2, W]
         if frames.shape[0] < t:
@@ -113,21 +281,13 @@ class ShardedAnalysisPipeline:
             .transpose(1, 0, 2, 3)
             .copy()
         )
-        frames_dev = shard_batch(jnp.asarray(stacked), self.mesh)
-        (results, wave, mins, maxs, corr, self._state, self._vstate, peak) = self._step(
-            self._state, self._vstate, frames_dev
-        )
-        self.ticks += 1
-        return PipelineOutput(
-            results=results,
-            waveform=wave,
-            envelope_min=mins,
-            envelope_max=maxs,
-            correlation=corr,
-            global_peak=peak,
-        )
+        return shard_batch(jnp.asarray(stacked), self.mesh)
 
     @property
     def meter_state(self):
-        """Sharded vectorscope meter state (chip-resident)."""
-        return self._vstate
+        """Sharded vectorscope meter state (chip-resident; fused and
+        vectorscope views)."""
+        v = getattr(self, "_vstate", None)
+        if v is not None:
+            return v
+        return self._state if self.view == "vectorscope" else None

@@ -292,7 +292,125 @@ def test_sharded_pipeline_end_to_end():
     assert np.asarray(out2.results)[0, -1, 0, 0].max() <= res[0, -1, 0, 0].max() + 1e-5
 
 
-def test_sharded_oscilloscope_spectral_custom_trigger():
+def _collective_counts(compiled_text: str) -> dict:
+    """Count collective ops in compiled HLO (resharding shows up as
+    all-gather / collective-permute / all-to-all beyond the intended
+    reductions)."""
+    import re
+
+    return {
+        op: len(re.findall(rf"\b{op}\b", compiled_text))
+        for op in ("all-reduce", "all-gather", "collective-permute", "all-to-all")
+    }
+
+
+@pytest.mark.parametrize("view", ["spectrum", "spectrogram", "oscilloscope", "vectorscope"])
+def test_sharded_pipeline_every_view(view):
+    """One ShardedAnalysisPipeline parameterization per view: ingest
+    drives the sharded step, outputs/state stay sharded (or replicated
+    where specified), and the compiled step contains NO resharding
+    collectives — only the intended reductions (pmax/psum all-reduce)."""
+    from signalizer_tpu.parallel.pipeline import (
+        OscilloscopeOutput,
+        ShardedAnalysisPipeline,
+        SpectrogramOutput,
+        SpectrumOutput,
+        VectorscopeOutput,
+    )
+
+    fs = 48_000.0
+    pairs = 16
+    constant = make_spectrum_constant(
+        axis_points=128,
+        window_size=512,
+        sample_rate=fs,
+        configuration=SpectrumChannels.SEPARATE,
+        bin_interpolation=BinInterpolation.LINEAR,
+        view_scaling=ViewScaling.LINEAR,
+    )
+    kwargs = dict(pairs=pairs, mesh=_mesh(), view=view, frames_per_tick=2)
+    if view == "oscilloscope":
+        from signalizer_tpu.views.oscilloscope import (
+            TriggerMode,
+            make_oscilloscope_constant,
+        )
+
+        kwargs.update(
+            osc_constant=make_oscilloscope_constant(
+                channel_mode=OscChannels.SEPARATE,
+                trigger_mode=TriggerMode.ZERO_CROSSING,
+                pixels=64,
+                lookahead=256,
+                trigger_threshold=0.1,
+            ),
+            window_samples=128.0,
+            history_samples=1024,
+        )
+    if view == "vectorscope":
+        kwargs.update(history_samples=1024)
+    pipe = ShardedAnalysisPipeline(
+        constant if view in ("spectrum", "spectrogram") else None, **kwargs
+    )
+    assert pipe.tick() is None
+
+    rng = np.random.default_rng(17)
+    block = (rng.standard_normal((pairs * 2, 1024)) * 0.5).astype(np.float32)
+    pipe.push(block)
+    out = pipe.tick()
+    assert out is not None and pipe.ticks == 1
+
+    if view == "spectrum":
+        assert isinstance(out, SpectrumOutput)
+        assert len(out.results.sharding.device_set) == 8
+        assert len(pipe._state.magnitude.sharding.device_set) == 8
+    elif view == "spectrogram":
+        assert isinstance(out, SpectrogramOutput)
+        assert out.columns.sharding.is_fully_replicated  # blended via psum
+        assert len(pipe._state.magnitude.sharding.device_set) == 8
+    elif view == "oscilloscope":
+        assert isinstance(out, OscilloscopeOutput)
+        assert len(out.frame.waveform.sharding.device_set) == 8
+        assert len(pipe._state.peak_env.sharding.device_set) == 8
+    else:
+        assert isinstance(out, VectorscopeOutput)
+        assert len(out.frame.vertices.sharding.device_set) == 8
+        assert len(pipe._state.envelope.sharding.device_set) == 8
+
+    # a second tick keeps state chip-resident (no device movement)
+    pipe.push(block)
+    out2 = pipe.tick()
+    assert out2 is not None and pipe.ticks == 2
+
+    # compiled-HLO residency: only the intended reduction collectives
+    # appear — any all-gather / permute / all-to-all means XLA had to
+    # reshard the hot path. Lower the step with the same sharded arg
+    # shapes the tick used.
+    mesh = pipe.mesh
+    if view in ("spectrum", "spectrogram"):
+        frames_dev = shard_batch(
+            jnp.zeros((pairs, 2, 2, constant.window_size), jnp.float32), mesh
+        )
+        if view == "spectrum":
+            lowered = pipe._step.lower(pipe._state, frames_dev)
+        else:
+            lowered = pipe._step.lower(
+                pipe._state, frames_dev, pipe._colours, pipe._ratios
+            )
+    elif view == "oscilloscope":
+        hist_dev = shard_batch(jnp.zeros((pairs, 2, 1024), jnp.float32), mesh)
+        lowered = pipe._step.lower(
+            pipe._state, hist_dev, jnp.float32(128.0), jnp.float32(0.0), jnp.float32(64.0)
+        )
+    else:
+        hist_dev = shard_batch(jnp.zeros((pairs, 2, 1024), jnp.float32), mesh)
+        ep, sp, ug, pc = pipe._vs_scalars
+        lowered = pipe._step.lower(pipe._state, pipe._peak_env, hist_dev, ep, sp, ug, pc)
+    counts = _collective_counts(lowered.compile().as_text())
+    assert counts["all-gather"] == 0, counts
+    assert counts["collective-permute"] == 0, counts
+    assert counts["all-to-all"] == 0, counts
+    # the diagnostic/blend reduction is present (pmax / psum all-reduce)
+    assert counts["all-reduce"] >= 1, counts
     """The heaviest oscilloscope path (spectral FFT search + Goertzel phase
     lock + custom trigger) shards identically to the single-device run."""
     from signalizer_tpu.views.oscilloscope import (
