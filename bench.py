@@ -201,24 +201,18 @@ def main(only: str = None) -> None:
         # degrade this rig's transport to synchronous dispatch). The p50
         # steady-state inter-frame gap is the frame latency a pipelined
         # consumer observes.
-        from collections import deque
+        from signalizer_tpu.stream.frame_pipeline import FramePipeline
 
-        depth = 4
-        pipe_state = init_line_graph_state(constant, (1,))
-        inflight = deque()
-        r0, pipe_state = spectrum_single(pipe_state, jnp.asarray(host_frame))
-        jax.block_until_ready(r0)
+        pipe = FramePipeline(spectrum_single, init_line_graph_state(constant, (1,)), depth=4)
+        warm = pipe.submit(host_frame)
         gaps = []
         t_last = time.perf_counter()
         for i in range(300):
-            dev = jax.device_put(host_frame)
-            row, pipe_state = spectrum_single(pipe_state, dev)
-            inflight.append(row)
-            if len(inflight) >= depth:
-                jax.block_until_ready(inflight.popleft())
+            if pipe.submit(host_frame) is not None:
                 now = time.perf_counter()
                 gaps.append(now - t_last)
                 t_last = now
+        pipe.drain()
         out["pipelined_p50_ms"] = round(float(np.percentile(gaps[10:], 50) * 1e3), 4)
         out["pipelined_p99_ms"] = round(float(np.percentile(gaps[10:], 99) * 1e3), 4)
 

@@ -152,8 +152,7 @@ def pallas_supported() -> bool:
 
 
 def _kernel(
-    re_ref,  # [Bt, nv_padded] f32 spectrum real part
-    im_ref,  # [Bt, nv_padded] f32 spectrum imag part
+    mags_ref,  # [Bt, nv_padded] f32 spectrum magnitudes
     interp_w_ref,  # [nv_padded, Pt] f32
     end_sel_ref,  # [nv_padded, Pt] bf16
     flags_ref,  # [1, nv_padded] f32 (1.0 at segment starts)
@@ -163,44 +162,50 @@ def _kernel(
     scalars_ref,  # [1, 4] SMEM: pole, delta_y_recip, clip_db, inv_size
     out_ref,  # [Bt, Pt] display values
     new_state_ref,  # [Bt, Pt]
+    vscan_ref,  # scratch [Bt, nv_padded] bf16 — segment running max cache
     *,
     n_values: int,
 ):
+    import jax.experimental.pallas as pl
+
     pole = scalars_ref[0, 0]
     delta_y_recip = scalars_ref[0, 1]
     clip_db = scalars_ref[0, 2]
     inv_size = scalars_ref[0, 3]
 
-    re = re_ref[:]  # [Bt, nv]
-    im = im_ref[:]
-    # |.| in-kernel: the reference abs()'s every spectrum cell BEFORE its
-    # interpolation loops (TransformDSP.inl:557-560 etc.), so the matmul
-    # runs over MAGNITUDES; taking (re, im) as inputs just saves a
-    # host-side abs pass + an extra HBM stream
-    mags = jnp.sqrt(re * re + im * im)
+    # batch is the SLOW grid axis and pixels the fast one, so the reset
+    # scan below runs ONCE per batch tile (at the first pixel tile) into
+    # VMEM scratch and every pixel tile of the sweep reuses it — the v1
+    # pixel-slowest layout re-scanned the full bin axis AND re-streamed
+    # the spectrum from HBM once per pixel tile (8x redundant work, the
+    # measured 2x loss vs XLA)
+    @pl.when(pl.program_id(1) == 0)
+    def _scan():
+        # segment running max via Hillis-Steele reset scan over the bin
+        # axis: log2(n) static shifts, each a pad+slice+select on the VPU.
+        # Flags stay f32 (1.0 = blocked) — Mosaic cannot bitcast i1
+        # vectors. Stored bf16: only the (already bf16) end-selection
+        # matmul consumes it.
+        v = mags_ref[:]
+        blocked = jnp.broadcast_to(flags_ref[0, :], v.shape)
+        d = 1
+        while d < n_values:
+            v_prev = jnp.pad(v[:, :-d], ((0, 0), (d, 0)), constant_values=NEG_INF)
+            b_prev = jnp.pad(blocked[:, :-d], ((0, 0), (d, 0)), constant_values=1.0)
+            v = jnp.where(blocked > 0.5, v, jnp.maximum(v, v_prev))
+            blocked = jnp.maximum(blocked, b_prev)
+            d *= 2
+        vscan_ref[:] = v.astype(jnp.bfloat16)
 
     # interpolation: one MXU matmul (weights already include inv_size;
     # |.| after the sum rectifies Lanczos negative lobes)
     interp = jnp.abs(
-        jnp.dot(mags, interp_w_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(mags_ref[:], interp_w_ref[:], preferred_element_type=jnp.float32)
     )  # [Bt, Pt]
-
-    # segment running max via Hillis-Steele reset scan over the bin axis:
-    # log2(n) static shifts, each a pad+slice+select on the VPU. Flags stay
-    # f32 (1.0 = blocked) — Mosaic cannot bitcast i1 vectors.
-    v = mags
-    blocked = jnp.broadcast_to(flags_ref[0, :], v.shape)
-    d = 1
-    while d < n_values:
-        v_prev = jnp.pad(v[:, :-d], ((0, 0), (d, 0)), constant_values=NEG_INF)
-        b_prev = jnp.pad(blocked[:, :-d], ((0, 0), (d, 0)), constant_values=1.0)
-        v = jnp.where(blocked > 0.5, v, jnp.maximum(v, v_prev))
-        blocked = jnp.maximum(blocked, b_prev)
-        d *= 2
 
     # chunk max: one-hot end-selection matmul (MXU); bf16 value rounding
     # costs ~0.4% on chunk maxima (~0.03 dB displayed)
-    segmax = jnp.dot(v.astype(jnp.bfloat16), end_sel_ref[:], preferred_element_type=jnp.float32)
+    segmax = jnp.dot(vscan_ref[:], end_sel_ref[:], preferred_element_type=jnp.float32)
     binmax = segmax * inv_size
 
     sel = select_ref[0, :]
@@ -227,31 +232,40 @@ def fused_display_map(
     clip_db: jax.Array,
     inv_size: jax.Array,  # kept for API parity; folded into the operands
     *,
-    batch_tile: int = 8,
-    pixel_tile: int = 128,
+    batch_tile: int = 128,
+    pixel_tile: int = 64,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused remap+decay+dB: returns (display [B, P], new_state [B, P]).
 
-    Measured (TPU v5 litepod, B=1024, P=1024, 8193 bins): 3.83 ms vs the
-    XLA production tail's 1.90 ms on identical inputs — see the module
-    docstring's rematch table. Production keeps the XLA path.
+    v2 layout: |spec| is one XLA elementwise pass (fused into whatever
+    produced the spectrum); the pallas grid runs batch SLOWEST so each
+    batch tile's reset scan happens once into VMEM scratch and the
+    spectrum block streams from HBM once, while the [nv, Pt] W/E operand
+    tiles stream per pixel step. See the module docstring's measured
+    table for the verdict vs the XLA production tail.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, nv = spec_re.shape
     p = state.shape[-1]
+    batch_tile = min(batch_tile, b)
+    pixel_tile = min(pixel_tile, p)
     assert b % batch_tile == 0, (b, batch_tile)
     assert p % pixel_tile == 0, (p, pixel_tile)
+
+    # |.| outside the kernel: the reference abs()'s every spectrum cell
+    # BEFORE its interpolation loops (TransformDSP.inl:557-560 etc.), so
+    # every in-kernel consumer runs over MAGNITUDES
+    mags = jnp.sqrt(spec_re * spec_re + spec_im * spec_im)
 
     # pad the bin axis to the f32 lane multiple (padded bins: spec 0,
     # weights 0, flag 1 — they form their own never-selected segment)
     nv_pad = -(-nv // 128) * 128
     if nv_pad != nv:
         pad = nv_pad - nv
-        spec_re = jnp.pad(spec_re, ((0, 0), (0, pad)))
-        spec_im = jnp.pad(spec_im, ((0, 0), (0, pad)))
+        mags = jnp.pad(mags, ((0, 0), (0, pad)))
         operands = operands._replace(
             interp_w=jnp.pad(operands.interp_w, ((0, pad), (0, 0))),
             end_sel=jnp.pad(operands.end_sel, ((0, pad), (0, 0))),
@@ -265,37 +279,37 @@ def fused_display_map(
     delta_y_recip = 1.0 / jnp.log(upper / lower)
     scalars = jnp.stack([pole, delta_y_recip, clip_db, inv_size]).reshape(1, 4).astype(jnp.float32)
 
-    # pixel tile SLOWEST: the [nv, Pt] operands stay resident across the
-    # batch sweep (pallas elides reloads for unchanged block indices)
-    grid = (p // pixel_tile, b // batch_tile)
+    # batch SLOWEST, pixels fastest: the [Bt, nv] spectrum block and the
+    # scratch scan persist across the pixel sweep; only the [nv, Pt] W/E
+    # tiles stream per step
+    grid = (b // batch_tile, p // pixel_tile)
     kernel = functools.partial(_kernel, n_values=nv)
 
     out, new_state = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((batch_tile, nv), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch_tile, nv), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nv, pixel_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nv, pixel_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nv), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pixel_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, pixel_tile), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch_tile, pixel_tile), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((batch_tile, nv), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv, pixel_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nv, pixel_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nv), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pixel_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pixel_tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, pixel_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((batch_tile, pixel_tile), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch_tile, pixel_tile), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, pixel_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, pixel_tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, p), jnp.float32),
             jax.ShapeDtypeStruct((b, p), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((batch_tile, nv), jnp.bfloat16)],
         interpret=interpret,
     )(
-        spec_re,
-        spec_im,
+        mags,
         operands.interp_w,
         operands.end_sel,
         operands.flags,

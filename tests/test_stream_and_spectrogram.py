@@ -388,3 +388,35 @@ def test_spectrogram_pull_chunking_matches_one_shot():
     parts = [b.pull(max_frames=5), b.pull(max_frames=3), b.pull()]
     split = np.concatenate(parts, axis=0)
     np.testing.assert_array_equal(one_shot, split)
+
+
+def test_frame_pipeline_orders_and_threads_state():
+    """FramePipeline: outputs arrive in submission order, state threads
+    through every step, depth bounds the in-flight window
+    (ref: the SFrameQueue decoupling, Spectrum.h:139-143)."""
+    import jax
+    import jax.numpy as jnp
+
+    from signalizer_tpu.stream.frame_pipeline import FramePipeline
+
+    @jax.jit
+    def step(state, frame):
+        new_state = state + jnp.sum(frame)
+        return (new_state, frame * 2.0), new_state
+
+    pipe = FramePipeline(step, jnp.float32(0.0), depth=3)
+    frames = [np.full((4,), float(i + 1), np.float32) for i in range(6)]
+    outs = []
+    for f in frames:
+        done = pipe.submit(f)
+        assert pipe.in_flight <= 3
+        if done is not None:
+            outs.append(done)
+    outs.extend(pipe.drain())
+    assert pipe.in_flight == 0
+    assert len(outs) == 6 and pipe.frames_completed == 6
+    # state is the running sum of 4*i at each step; outputs in order
+    for i, (st, doubled) in enumerate(outs):
+        np.testing.assert_allclose(np.asarray(doubled), (i + 1) * 2.0)
+        expect_state = 4.0 * sum(range(1, i + 2))
+        np.testing.assert_allclose(float(st), expect_state)
