@@ -12,7 +12,15 @@ Measurement notes for this rig:
 * the tunnel develops dispatch backpressure under sustained load that
   contaminates later measurements in a process, so every config runs in
   its own subprocess (the persistent compilation cache in .jax_cache/
-  makes that cheap after the first run).
+  makes that cheap after the first run);
+* ``jax.block_until_ready`` on a remote ARRAY can return lazily on this
+  transport (measured round 3: a step whose scan-slope device time is
+  ~33 ms "blocked" in 0.1 ms), silently turning throughput numbers into
+  dispatch-rate numbers. Every measured function therefore returns a
+  SCALAR checksum folded from its outputs — a value that cannot exist
+  until the compute ran — and the sync point blocks on that scalar.
+  Device execution is FIFO, so the last call's scalar completing implies
+  the whole chain completed.
 """
 
 from __future__ import annotations
@@ -29,7 +37,9 @@ import numpy as np
 # make the package importable regardless of the invoking cwd
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-CONFIG_NAMES = ("headline", "cfg1", "cfg2", "cfg3", "cfg3b", "cfg4", "cfg5", "cfg6")
+CONFIG_NAMES = (
+    "headline", "pipeline", "cfg1", "cfg2", "cfg3", "cfg3b", "cfg4", "cfg5", "cfg6",
+)
 
 
 def _timeit(fn, *args, reps=10, warmup=2, chain=8):
@@ -119,7 +129,8 @@ def main(only: str = None) -> None:
         @jax.jit
         def spectrum_batch(state, frames):
             r = analyze_frames(constant, state, frames)
-            return r.results, r.state
+            # scalar checksum: see module docstring (lazy array blocks)
+            return jnp.sum(r.results), r.state
 
         # 16 pairs saturate the chip (measured: 8x128 -> 180k, 16x128 ->
         # 253k, 32x128/16x256 -> no further gain); pairs are the
@@ -128,8 +139,8 @@ def main(only: str = None) -> None:
         pairs, t_steps = 16, 128
         frames = jnp.asarray(rng.standard_normal((pairs, t_steps, 2, 4096)).astype(np.float32))
         state = init_line_graph_state(constant, (pairs,))
-        results, state = spectrum_batch(state, frames)
-        jax.block_until_ready(results)
+        checksum, state = spectrum_batch(state, frames)
+        jax.block_until_ready(checksum)
         dt = _timeit(lambda f: spectrum_batch(state, f)[0], frames)
         throughput = pairs * t_steps / dt
         out.update(
@@ -192,30 +203,6 @@ def main(only: str = None) -> None:
             float(np.percentile(np.asarray(lats) - np.asarray(tfloors), 50) * 1e3), 4
         )
 
-        # pipelined ingest — the production-shaped path (the reference
-        # decouples DSP from display with a 10-deep lock-free frame
-        # queue, Spectrum.h:139-143): keep `depth` frames in flight so
-        # the upload of frame t+1 overlaps the compute of frame t;
-        # completion signal is block_until_ready on the oldest output
-        # (data stays device-resident: a device->host readback would
-        # degrade this rig's transport to synchronous dispatch). The p50
-        # steady-state inter-frame gap is the frame latency a pipelined
-        # consumer observes.
-        from signalizer_tpu.stream.frame_pipeline import FramePipeline
-
-        pipe = FramePipeline(spectrum_single, init_line_graph_state(constant, (1,)), depth=4)
-        warm = pipe.submit(host_frame)
-        gaps = []
-        t_last = time.perf_counter()
-        for i in range(300):
-            if pipe.submit(host_frame) is not None:
-                now = time.perf_counter()
-                gaps.append(now - t_last)
-                t_last = now
-        pipe.drain()
-        out["pipelined_p50_ms"] = round(float(np.percentile(gaps[10:], 50) * 1e3), 4)
-        out["pipelined_p99_ms"] = round(float(np.percentile(gaps[10:], 99) * 1e3), 4)
-
         # on-device step latency: K state-chained single-frame steps inside
         # ONE dispatch (lax.scan). Two chain lengths, slope = per-step
         # device time — the additive network RTT cancels exactly, so this
@@ -254,6 +241,49 @@ def main(only: str = None) -> None:
             max(mins[1] - mins[0], 0.0) / (k_hi - k_lo) * 1e6, 3
         )
 
+    if want("pipeline"):
+        # pipelined ingest — the production-shaped path (the reference
+        # decouples DSP from display with a 10-deep lock-free frame
+        # queue, Spectrum.h:139-143): keep `depth` frames in flight so
+        # the upload of frame t+1 overlaps the compute of frame t. Runs
+        # in its OWN subprocess: a single device->host readback anywhere
+        # earlier would have degraded the transport to sync dispatch and
+        # poisoned these numbers. The step returns a scalar checksum so
+        # the completion wait is real (see the module docstring), and the
+        # p50 steady-state inter-frame gap is the frame latency a
+        # pipelined consumer observes.
+        from signalizer_tpu.stream.frame_pipeline import FramePipeline
+
+        cp = make_spectrum_constant(
+            axis_points=1024,
+            window_size=4096,
+            sample_rate=48_000.0,
+            configuration=SpectrumChannels.SEPARATE,
+            bin_interpolation=BinInterpolation.LINEAR,
+            view_scaling=ViewScaling.LOGARITHMIC,
+        )
+
+        @jax.jit
+        def pipe_step(state, frame):
+            r = analyze_frames(cp, state, frame)
+            return jnp.sum(r.results[:, 0, 0]), r.state
+
+        host_frame = rng.standard_normal((1, 1, 2, 4096)).astype(np.float32)
+        warm_state = init_line_graph_state(cp, (1,))
+        c0, warm_state = pipe_step(warm_state, jnp.asarray(host_frame))
+        jax.block_until_ready(c0)
+        pipe = FramePipeline(pipe_step, init_line_graph_state(cp, (1,)), depth=4)
+        gaps = []
+        t_last = time.perf_counter()
+        for i in range(300):
+            if pipe.submit(host_frame) is not None:
+                now = time.perf_counter()
+                gaps.append(now - t_last)
+                t_last = now
+        pipe.drain()
+        out["pipelined_p50_ms"] = round(float(np.percentile(gaps[10:], 50) * 1e3), 4)
+        out["pipelined_p99_ms"] = round(float(np.percentile(gaps[10:], 99) * 1e3), 4)
+
     if want("cfg1"):
         c1 = make_spectrum_constant(
             axis_points=513,
@@ -267,7 +297,7 @@ def main(only: str = None) -> None:
         @jax.jit
         def mono_batch(state, frames):
             r = analyze_frames(c1, state, frames)
-            return r.results, r.state
+            return jnp.sum(r.results), r.state
 
         # measured saturation: 8x256 -> 460k, 16x256 -> 755k, 32x256 -> 1.03M
         p1, t1 = 32, 256
@@ -291,7 +321,8 @@ def main(only: str = None) -> None:
             liss = lissajous_vertices(frames)
             pol = polar_vertices(frames)
             bars = meter_readout(new_state)
-            return liss, pol, bars["balance"], new_state
+            checksum = jnp.sum(liss) + jnp.sum(pol) + jnp.sum(bars["balance"])
+            return checksum, new_state
 
         # measured: 64 streams -> ~1.5-2M, 256 streams -> ~6M frames/s
         b2 = 256
@@ -319,12 +350,34 @@ def main(only: str = None) -> None:
             trigger_threshold=0.1,
             autogain=True,
         )
+        from signalizer_tpu.views.oscilloscope import osc_step_impl
+
         t = np.arange(16384)
         hist = np.sin(2 * np.pi * 440.0 * t / 96_000.0).astype(np.float32)
         hist_dev = jnp.asarray(np.broadcast_to(hist, (16, 2, 16384)).copy())
-        osc.process(hist_dev)
-        dt = _timeit(lambda: osc.process(hist_dev).waveform, reps=10)
+        win3 = jnp.float32(1024.0)
+        zero3 = jnp.float32(0.0)
+        ns3 = jnp.float32(16384.0)
+
+        @jax.jit
+        def osc_scalar(st, x):
+            fr, nst = osc_step_impl(osc.constant, st, x, win3, zero3, ns3, None)
+            return jnp.sum(fr.waveform) + jnp.sum(fr.envelope_max), nst
+
+        st3 = osc.state
+        c0, _ = osc_scalar(st3, hist_dev)
+        jax.block_until_ready(c0)
+        dt = _timeit(lambda x: osc_scalar(st3, x)[0], hist_dev, reps=10)
         out["cfg3_oscilloscope_frames_per_sec"] = round(16 / dt, 1)
+
+        def osc3_body(c):
+            st, x, acc = c
+            s, ns = osc_scalar(st, x)
+            return ns, jnp.roll(x, 1, axis=-1), acc + s
+
+        out["cfg3_on_device_frames_per_sec"] = round(
+            16 / _scan_rate(osc3_body, (st3, hist_dev, jnp.float32(0.0))), 1
+        )
 
     if want("cfg3b"):
         # the EXPENSIVE trigger at the same geometry: SPECTRAL mode runs an
@@ -349,25 +402,31 @@ def main(only: str = None) -> None:
             trigger_threshold=0.1,
             autogain=True,
         )
+        from signalizer_tpu.views.oscilloscope import osc_step_impl
+
         t = np.arange(16384)
         hist = np.sin(2 * np.pi * 440.0 * t / 96_000.0).astype(np.float32)
         hist_dev = jnp.asarray(np.broadcast_to(hist, (16, 2, 16384)).copy())
-        osc_b.process(hist_dev)
-        dt = _timeit(lambda: osc_b.process(hist_dev).waveform, reps=10)
-        out["cfg3b_spectral_frames_per_sec"] = round(16 / dt, 1)
-
-        from signalizer_tpu.views.oscilloscope import osc_step_impl
-
-        state_b = osc_b.state
         win_b = jnp.float32(1024.0)
         tp_b = jnp.float32(0.0)
         ns_b = jnp.float32(16384.0)
 
+        @jax.jit
+        def oscb_scalar(st, x):
+            fr, nst = osc_step_impl(osc_b.constant, st, x, win_b, tp_b, ns_b, None)
+            return jnp.sum(fr.waveform) + jnp.sum(fr.fundamental), nst
+
+        state_b = osc_b.state
+        c0, _ = oscb_scalar(state_b, hist_dev)
+        jax.block_until_ready(c0)
+        dt = _timeit(lambda x: oscb_scalar(state_b, x)[0], hist_dev, reps=10)
+        out["cfg3b_spectral_frames_per_sec"] = round(16 / dt, 1)
+
         def osc_body(c):
             st, x, acc = c
-            frame, ns = osc_step_impl(osc_b.constant, st, x, win_b, tp_b, ns_b, None)
+            s, ns = oscb_scalar(st, x)
             # rotate the input so no per-frame work is loop-invariant
-            return ns, jnp.roll(x, 1, axis=-1), acc + jnp.sum(frame.waveform)
+            return ns, jnp.roll(x, 1, axis=-1), acc + s
 
         out["cfg3b_on_device_frames_per_sec"] = round(
             16 / _scan_rate(osc_body, (state_b, hist_dev, jnp.float32(0.0))), 1
@@ -390,8 +449,12 @@ def main(only: str = None) -> None:
         ratios = jnp.asarray(normalize_ratios(DEFAULT_RATIOS), jnp.float32)
 
         # production-shaped step: the tick path always carries the
-        # validity mask (SpectrogramProcessor.pull pads to pow2 buckets)
-        valid4 = jnp.ones((128,), bool)
+        # validity mask (SpectrogramProcessor.pull pads to pow2 buckets).
+        # T=512 is the honest full-image redraw batch — the default
+        # spectrogram image is 512 columns wide, and a zoom/parameter
+        # change redraws all of them in one dispatch.
+        t4 = 512
+        valid4 = jnp.ones((t4,), bool)
 
         @jax.jit
         def sg_step(state, frames, hold):
@@ -400,17 +463,14 @@ def main(only: str = None) -> None:
             cols = spectrogram_columns(intensity, colours, ratios)
             # 1000-frame peak hold: running max across the time axis
             held, new_hold = peak_decay_scan(hold, intensity[0], 1.0, time_axis=0)
-            return cols, held, r.state, new_hold
+            checksum = jnp.sum(cols.astype(jnp.float32)) + jnp.sum(held)
+            return checksum, r.state, new_hold
 
-        # full-image redraw batch (a zoom/parameter change redraws all
-        # visible columns in one dispatch); measured: T=64 -> 13k, 128 ->
-        # 21k, 256 -> 27k frames/s — 128 balances throughput vs realism
-        t4 = 128
         f4 = jnp.asarray(rng.standard_normal((1, t4, 2, 16384)).astype(np.float32))
         s4 = init_line_graph_state(c4, (1,))
         hold = jnp.zeros((1024,), jnp.float32)
         res = sg_step(s4, f4, hold)
-        jax.block_until_ready(res)
+        jax.block_until_ready(res[0])
         dt = _timeit(lambda f: sg_step(s4, f, hold)[0], f4)
         out["cfg4_spectrogram16k_frames_per_sec"] = round(t4 / dt, 1)
 
@@ -419,11 +479,11 @@ def main(only: str = None) -> None:
         # (loop-invariant), which round 2's number silently measured
         def sg_body(c):
             state, h, x, acc = c
-            cols, held, ns, nh = sg_step(state, x, h)
-            return ns, nh, jnp.roll(x, 1, axis=-1), acc + jnp.sum(cols) + jnp.sum(held)
+            checksum, ns, nh = sg_step(state, x, h)
+            return ns, nh, jnp.roll(x, 1, axis=-1), acc + checksum
 
         out["cfg4_on_device_frames_per_sec"] = round(
-            t4 / _scan_rate(sg_body, (s4, hold, f4, jnp.float32(0.0))), 1
+            t4 / _scan_rate(sg_body, (s4, hold, f4, jnp.float32(0.0)), k1=2, k2=16), 1
         )
 
     if want("cfg5"):
@@ -458,7 +518,9 @@ def main(only: str = None) -> None:
             wave = sinc_resample_static(frames[..., 0, :], resample_m)
             mins, maxs = minmax_decimate(frames[..., 0, :], 1024)
             vnew = update_meters(vstate, frames[:, -1], envelope_pole=0.999, stereo_pole=0.99)
-            return r.results, wave, mins, maxs, corr, r.state, vnew
+            checksum = (jnp.sum(r.results) + jnp.sum(wave) + jnp.sum(mins)
+                        + jnp.sum(maxs) + jnp.sum(corr))
+            return checksum, r.state, vnew
 
         # measured: T=32 -> 21k, 64 -> 26k, 128 -> 52k frames/s
         t5 = 128
@@ -466,17 +528,15 @@ def main(only: str = None) -> None:
         s5 = init_line_graph_state(c5, (4,))
         v5 = init_meter_state((4,))
         res = fused_step(s5, v5, f5)
-        jax.block_until_ready(res)
+        jax.block_until_ready(res[0])
         dt = _timeit(lambda f: fused_step(s5, v5, f)[0], f5)
         out["cfg5_fused8ch192k_frames_per_sec"] = round(4 * t5 / dt, 1)
 
         def fused_body(c):
             state, vstate, x, acc = c
-            results, wave, mins, maxs, corr, ns, nv = fused_step(state, vstate, x)
-            keep = (jnp.sum(results) + jnp.sum(wave) + jnp.sum(mins)
-                    + jnp.sum(maxs) + jnp.sum(corr))
+            checksum, ns, nv = fused_step(state, vstate, x)
             # rotate the input per step so nothing is loop-invariant
-            return ns, nv, jnp.roll(x, 1, axis=-1), acc + keep
+            return ns, nv, jnp.roll(x, 1, axis=-1), acc + checksum
 
         out["cfg5_on_device_frames_per_sec"] = round(
             4 * t5 / _scan_rate(fused_body, (s5, v5, f5, jnp.float32(0.0))), 1
@@ -523,13 +583,14 @@ def main(only: str = None) -> None:
 
         @jax.jit
         def res_tick(state, chunks):
-            return resonate_chunks(
+            st, ys = resonate_chunks(
                 rc, state, chunks, valid=valid6, plan=plan6, emit_readouts=True
             )
+            return jnp.sum(ys), st
 
-        st_a, ys = res_tick(st6, chunks6)
-        jax.block_until_ready(ys)
-        dt = _timeit(lambda ch: res_tick(st6, ch)[1], chunks6)
+        checksum, _ = res_tick(st6, chunks6)
+        jax.block_until_ready(checksum)
+        dt = _timeit(lambda ch: res_tick(st6, ch)[0], chunks6)
         out["cfg6_resonator_readouts_per_sec"] = round(pairs6 * t6 / dt, 1)
 
         # single-block dispatch rate (the round-2 shape, now with the
@@ -537,7 +598,7 @@ def main(only: str = None) -> None:
         @jax.jit
         def res_step(state, block):
             st = resonate_block(rc, state, block, plan6)
-            return resonator_readout(rc, st), st
+            return jnp.sum(resonator_readout(rc, st)), st
 
         block6 = jnp.asarray(rng.standard_normal((pairs6, 2, 512)).astype(np.float32))
         r6, st6 = res_step(st6, block6)
@@ -547,14 +608,16 @@ def main(only: str = None) -> None:
 
         # on-device rate with the block rotated per step (a fixed input
         # lets XLA hoist the drive matmul out of the scan — round 2's
-        # number measured only the state update)
+        # number measured only the state update). Steps are ~us-scale:
+        # the chain spread must clear tunnel jitter (k delta x per-step
+        # >> ms), hence the wide k2.
         def res_body(c):
             st, x, acc = c
-            r, ns = res_step(st, x)
-            return ns, jnp.roll(x, 1, axis=-1), acc + jnp.sum(r)
+            s, ns = res_step(st, x)
+            return ns, jnp.roll(x, 1, axis=-1), acc + s
 
         out["cfg6_on_device_readouts_per_sec"] = round(
-            pairs6 / _scan_rate(res_body, (st6, block6, jnp.float32(0.0))), 1
+            pairs6 / _scan_rate(res_body, (st6, block6, jnp.float32(0.0)), k1=64, k2=4096), 1
         )
 
     print(json.dumps(out))

@@ -70,6 +70,30 @@ def main():
               f"(expected {200.0 * (p + 1):7.1f})")
     print(f"global peak diagnostic (pmax over ICI): {float(out.global_peak):.3f}")
 
+    # the same pipeline class covers every view — scope views ingest via
+    # a rolling ring instead of the frame hopper
+    vs_pipe = ShardedAnalysisPipeline(
+        None, pairs=pairs, mesh=mesh, view="vectorscope", history_samples=4096
+    )
+    vs_pipe.push(block)
+    vs_out = vs_pipe.tick()
+    print(
+        f"vectorscope vertices {tuple(vs_out.frame.vertices.shape)} sharded over "
+        f"{len(vs_out.frame.vertices.sharding.device_set)} devices, "
+        f"global level {float(vs_out.global_level):.3f}"
+    )
+
+    sg_pipe = ShardedAnalysisPipeline(
+        constant, pairs=pairs, mesh=mesh, view="spectrogram", frames_per_tick=2
+    )
+    sg_pipe.push(block)
+    sg_out = sg_pipe.tick()
+    print(
+        f"spectrogram columns {tuple(sg_out.columns.shape)} "
+        f"(pair-blended via the cross-chip psum, replicated="
+        f"{sg_out.columns.sharding.is_fully_replicated})"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -88,7 +88,10 @@ def cmd_analyze(args) -> int:
         written = []
         if frame.line_graph is not None and "spectrum" in views:
             written.append(render_line_graph_frame(
-                frame.line_graph, path=str(out / f"{stem}.spectrum.png")))
+                frame.line_graph,
+                tracker=frame.tracker,
+                hints=eng.spectrum.make_render_hints(),
+                path=str(out / f"{stem}.spectrum.png")))
         if frame.oscilloscope is not None and "oscilloscope" in views:
             written.append(render_oscilloscope(
                 frame.oscilloscope, hints=eng.oscilloscope.make_render_hints(),

@@ -208,11 +208,12 @@ def spectral_fundamental(
     # be evaluated against it in one vectorized pass, and the next
     # acceptance is the first True. Iterate acceptance-to-acceptance with a
     # while_loop (race-to-next-record) instead of scanning all ~N/2 bins:
-    # each accepted value must exceed 2x the previous (inv_h-scaled), so
-    # float32's dynamic range bounds the chain at < 128 acceptances — the
-    # loop runs ~chain-length iterations of [batch, M] VPU work rather
-    # than N/2 dependent steps of scalar-carry work. Semantics identical
-    # to the reference's per-bin loop (OscilloscopeDSP.inl:134-184).
+    # each accepted value must exceed 2x the previous, so float32's full
+    # dynamic range (subnormal init -> f32 max) bounds the chain at < 256
+    # acceptances — the loop runs ~chain-length iterations of [batch, M]
+    # VPU work rather than N/2 dependent steps of scalar-carry work.
+    # Semantics identical to the reference's per-bin loop
+    # (OscilloscopeDSP.inl:134-184).
     def accept_mask(record: BinRecord):
         cur_val = vals
         max_omega = record.omega()[..., None]
@@ -230,7 +231,7 @@ def spectral_fundamental(
 
     def cond(carry):
         record, active, it = carry
-        return jnp.any(active) & (it < 128)
+        return jnp.any(active) & (it < 256)
 
     def body(carry):
         record, _, it = carry
@@ -352,23 +353,151 @@ def sinc_resample(
 
     x [..., W]; output pixel p samples position start + p*step. Edge taps
     clamp to the frame. Returns [..., num_out].
+
+    TPU note: the taps of one output pixel are CONTIGUOUS source samples,
+    so this fetches one ``dynamic_slice``-style window per pixel (a
+    sliced gather the TPU can DMA) instead of 2a scattered elements per
+    pixel — the scattered ``take_along_axis`` formulation serialized at
+    ~1 element/cycle and dominated the whole oscilloscope step (measured
+    ~33 ms/step at 8192 px x 16 pairs; bisected round 3). Weights are
+    evaluated for every window slot; slots outside the +-a kernel
+    support get exactly zero, and edge-padding with the boundary sample
+    reproduces the reference's tap clamping.
     """
     a = kernel_size
     w = x.shape[-1]
     p = jnp.arange(num_out, dtype=jnp.float32)
     start = jnp.asarray(start, jnp.float32)
     step = jnp.asarray(step, jnp.float32)
-    pos = start[..., None] + p * step[..., None]
+    pos = start[..., None] + p * step[..., None]  # [..., P]
+    # tap-clip equivalence holds for positions up to a kernel radius
+    # outside the frame (the processor clamps its window into the frame;
+    # positions further out would need unbounded padding)
+    pos = jnp.clip(pos, -(a + 1.0), w - 1.0 + a)
+    if num_out % _BAND_BLOCK == 0:
+        # all formulations are exact; pick per step (see _sinc_banded) —
+        # a narrow band for upsampling (the common scope display), a wide
+        # band for moderate zoom, the per-tap gather for deep zoom-out
+        max_step = jnp.max(step)
+
+        def fits(width):
+            return (max_step * (_BAND_BLOCK - 1) + 2 * a + 2) <= width
+
+        return jax.lax.cond(
+            fits(_BAND_NARROW),
+            lambda: _sinc_banded(x, pos, a, _BAND_NARROW),
+            lambda: jax.lax.cond(
+                fits(_BAND_WIDE),
+                lambda: _sinc_banded(x, pos, a, _BAND_WIDE),
+                lambda: _sinc_gather(x, pos, a),
+            ),
+        )
+    return _sinc_gather(x, pos, a)
+
+
+_BAND_BLOCK = 128  # pixels per band block
+_BAND_NARROW = 64  # band width for step <= ~0.33 (e.g. the 8x upsample)
+_BAND_WIDE = 256  # band width for step <= ~1.84
+
+
+def _sinc_gather(x: jax.Array, pos: jax.Array, a: int) -> jax.Array:
+    """Per-tap element gather (exact for any step; TPU gathers serialize
+    at ~1 element/cycle, so this is the slow path reserved for deep
+    zoom-out where the band windows cannot cover a block's span)."""
+    w = x.shape[-1]
     i0 = jnp.floor(pos)
     offs = jnp.arange(-a + 1, a + 1, dtype=jnp.float32)  # 2a taps
     tap_pos = i0[..., None] + offs  # [..., num_out, 2a]
     t = pos[..., None] - tap_pos
-    # lanczos(t) = sinc(t) sinc(t/a) for |t| < a
     sinc = jnp.sinc(t) * jnp.sinc(t / a)
     weights = jnp.where(jnp.abs(t) < a, sinc, 0.0)
     idx = jnp.clip(tap_pos.astype(jnp.int32), 0, w - 1)
     gathered = _gather_last(x, idx)
     return jnp.sum(gathered * weights, axis=-1)
+
+
+def _sinc_banded(x: jax.Array, pos: jax.Array, a: int, width: int) -> jax.Array:
+    """Block-banded MXU formulation (exact when every block's tap span
+    fits the band: step <= (width - 2a - 2) / (block - 1)).
+
+    The taps of neighbouring pixels overlap almost entirely, so a block
+    of 128 consecutive output pixels reads one CONTIGUOUS source band of
+    <= width samples. Extract one band per block (a few thousand gathered
+    elements instead of P x 2a scattered ones — the scattered form
+    measured 33 ms/step at 8192 px x 16 pairs), evaluate the dense
+    [block, width] Lanczos weight grid on the VPU (slots outside the
+    +-a support are exactly zero), and contract band x weights on the
+    MXU. Edge behaviour matches the per-tap clip via edge padding.
+
+    ``pos``'s batch may be a broadcastable prefix of ``x``'s (the osc
+    step shares positions across its display rows): the weight grid is
+    built on pos's TRUE batch and broadcasts through the contraction —
+    it is the big intermediate, so never expand it.
+    """
+    w = x.shape[-1]
+    nb = pos.shape[-1] // _BAND_BLOCK
+    pos_b = pos.reshape(pos.shape[:-1] + (nb, _BAND_BLOCK))
+    # band start = first tap of the block's first pixel
+    base = jnp.floor(pos_b[..., 0]) - (a - 1)  # [pB..., nb]
+    # slack: positions may legally sit a kernel radius outside the frame
+    # (see sinc_resample's clip); edge padding there == per-tap clipping
+    pad_l = 2 * a + 2
+    pad_r = width + a
+    xp = jnp.concatenate(
+        [
+            jnp.repeat(x[..., :1], pad_l, axis=-1),
+            x,
+            jnp.repeat(x[..., -1:], pad_r, axis=-1),
+        ],
+        axis=-1,
+    )
+    s0 = jnp.clip(
+        (base + pad_l).astype(jnp.int32), 0, w + pad_l + pad_r - width
+    )  # [pB..., nb]
+    # band extraction: one contiguous window per block via an element
+    # gather of nb x width indices (tiny vs per-tap gathering); the index
+    # batch broadcasts against x's batch
+    idx = s0[..., None] + jnp.arange(width)  # [pB..., nb, width]
+    flat = idx.reshape(idx.shape[:-2] + (-1,))
+    flat = jnp.broadcast_to(flat, x.shape[:-1] + flat.shape[-1:])
+    bands = jnp.take_along_axis(xp, flat, axis=-1).reshape(
+        x.shape[:-1] + (nb, width)
+    )
+    # weight grid: slot j of block b holds source position s0_b-pad_l+j.
+    # lanczos(t) = a sin(pi t) sin(pi t / a) / (pi t)^2 with t = pos - src
+    # and src INTEGER, so both sines separate into 1-D transcendentals
+    # (sin(pi(pos-src)) = (-1)^src sin(pi pos); the /a factor by the
+    # angle-difference identity) — the [block x width] grid is then pure
+    # cheap rational ops instead of ~2 sinc evaluations per cell (tens of
+    # millions per step at 8192 px)
+    src = s0[..., None].astype(jnp.float32) - pad_l + jnp.arange(
+        width, dtype=jnp.float32
+    )  # [pB..., nb, width]
+    # arguments reduced modulo the period BEFORE the f32 sine — sin(pi x)
+    # at x ~ 1e4 loses ~1e-3 absolute to argument-reduction error, and
+    # the mod-subtraction is exact here (integer grids < 2^24, Sterbenz)
+    sp = jnp.sin(jnp.pi * jnp.mod(pos_b, 2.0))  # [pB..., nb, block]
+    spa = jnp.sin(jnp.pi * jnp.mod(pos_b, 2.0 * a) / a)
+    cpa = jnp.cos(jnp.pi * jnp.mod(pos_b, 2.0 * a) / a)
+    sgn = 1.0 - 2.0 * jnp.mod(jnp.abs(src), 2.0)  # (-1)^src, [pB..., nb, width]
+    csa = jnp.cos(jnp.pi * jnp.mod(src, 2.0 * a) / a)
+    ssa = jnp.sin(jnp.pi * jnp.mod(src, 2.0 * a) / a)
+    t = pos_b[..., None] - src[..., None, :]  # [pB..., nb, block, width]
+    sin_t = sgn[..., None, :] * sp[..., :, None]
+    sin_ta = spa[..., :, None] * csa[..., None, :] - cpa[..., :, None] * ssa[..., None, :]
+    near0 = jnp.abs(t) < 1e-6
+    denom = jnp.where(near0, 1.0, t * t)
+    weights = jnp.where(
+        near0, 1.0, a * sin_t * sin_ta / (jnp.pi * jnp.pi * denom)
+    )
+    weights = jnp.where(jnp.abs(t) < a, weights, 0.0)
+    out = jnp.einsum(
+        "...nkw,...nw->...nk",
+        weights,
+        bands,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [B..., nb, block] with B = broadcast(pos batch, x batch)
+    return out.reshape(out.shape[:-2] + (nb * _BAND_BLOCK,))
 
 
 def _gather_last(x: jax.Array, idx: jax.Array) -> jax.Array:

@@ -56,12 +56,24 @@ def render_spectrum(
     return fig
 
 
-def render_line_graph_frame(frame, *, path: Optional[str] = None):
+def render_line_graph_frame(
+    frame,
+    *,
+    tracker: Optional[dict] = None,
+    hints: Optional[dict] = None,
+    path: Optional[str] = None,
+):
     """Render a :class:`signalizer_tpu.views.line_graph.LineGraphFrame`
     purely from its vertex/colour arrays — the viewer-side counterpart of
     the reference's GL draw calls (SpectrumRendering.cpp:793-897). Nothing
     here reaches back into the DSP: floods are GL_LINES pairs, strips are
-    GL_LINE_STRIPs, grids/legend come from the frame."""
+    GL_LINE_STRIPs, grids/legend come from the frame.
+
+    ``tracker``: the session's frequency-tracker readout dict; drawn as
+    the cursor/peak annotation in the hints' widget colour (ref: the
+    tracker text overlay, SpectrumRendering.cpp:430-447).
+    ``hints``: SpectrumContent.make_render_hints().
+    """
     plt = _plt()
     fig, ax = plt.subplots(figsize=(10, 4), dpi=100)
     ax.set_facecolor(tuple(np.clip(frame.background_colour[:3], 0, 1)))
@@ -100,6 +112,33 @@ def render_line_graph_frame(frame, *, path: Optional[str] = None):
     ax.set_yticklabels([l.label for l in frame.db_grid], fontsize=7)
     if frame.legend is not None:
         ax.legend(loc="upper right", fontsize=7)
+    if tracker is not None and tracker.get("frequency"):
+        wc = (1.0, 1.0, 1.0, 1.0)
+        if hints and hints.get("widget_colour") is not None:
+            wc = hints["widget_colour"]
+        # locate the tracked frequency on the frame's own x axis (grid
+        # positions are normalized display space)
+        freqs = [l.position for l in frame.grid]
+        labels_hz = []
+        for l in frame.grid:
+            try:
+                labels_hz.append(float(str(l.label).rstrip("kHz")) * (1000.0 if "k" in str(l.label) else 1.0))
+            except ValueError:
+                labels_hz.append(None)
+        known = [(p, h) for p, h in zip(freqs, labels_hz) if h]
+        if len(known) >= 2:
+            import numpy as _np
+
+            ps, hs = zip(*known)
+            x = float(_np.interp(tracker["frequency"], hs, ps))
+            ax.axvline(x, color=tuple(_np.clip(wc[:3], 0, 1)), lw=0.8, alpha=0.9)
+            note = tracker.get("note", "")
+            ax.text(
+                x, 0.97,
+                f" {tracker['frequency']:.1f} Hz {tracker['dbs']:.1f} dB {note}",
+                color=tuple(_np.clip(wc[:3], 0, 1)),
+                fontsize=7, va="top",
+            )
     fig.tight_layout()
     if path:
         fig.savefig(path)

@@ -302,7 +302,9 @@ def test_sinc_resample_static_matches_gather():
     want = np.asarray(
         sinc_resample(jnp.asarray(x), jnp.full((3,), 64.0), jnp.full((3,), 0.125), 1024)
     )
-    np.testing.assert_allclose(got, want, atol=2e-5)
+    # 5e-5: the banded path evaluates the kernel via the separable
+    # angle-difference identity (f32), the host matrix in f64
+    np.testing.assert_allclose(got, want, atol=5e-5)
 
 
 # ---------------------------------------------------------------------------
@@ -549,3 +551,54 @@ def test_sinc_resample_boundary_matches_direct_sum():
     for start, step in ((0.0, 0.37), (-3.2, 0.5), (w - 5.5, 0.25)):
         got = np.asarray(sinc_resample(jnp.asarray(x), start, step, num_out, a))
         np.testing.assert_allclose(got, direct(start, step), rtol=2e-4, atol=2e-5)
+
+
+def test_sinc_banded_matches_gather_formulation():
+    """The block-banded MXU resample must equal the per-tap gather for
+    every step within its band bound, across batch shapes and at frame
+    edges; above the bound sinc_resample dispatches to the gather."""
+    from signalizer_tpu.kernels.oscilloscope import (
+        _BAND_BLOCK,
+        _BAND_NARROW,
+        _BAND_WIDE,
+        _sinc_banded,
+        _sinc_gather,
+        sinc_resample,
+    )
+
+    rng = np.random.default_rng(21)
+    w, a = 2048, 10
+    x = jnp.asarray(rng.standard_normal((3, 2, w)).astype(np.float32))
+    num_out = 2 * _BAND_BLOCK
+    p = np.arange(num_out, dtype=np.float32)
+    for start, step in ((0.0, 0.25), (-3.0, 0.125), (500.7, 1.0), (w - 300.5, 1.8)):
+        pos = jnp.asarray(
+            np.clip(start + p * step, -(a + 1.0), w - 1.0 + a)[None, None, :]
+        )
+        for width in (_BAND_NARROW, _BAND_WIDE):
+            if step * (_BAND_BLOCK - 1) + 2 * a + 2 > width:
+                continue  # band would not cover the block span
+            got = np.asarray(_sinc_banded(x, pos, a, width))
+            want = np.asarray(_sinc_gather(x, pos, a))
+            np.testing.assert_allclose(
+                got, want, rtol=2e-4, atol=5e-5
+            ), (start, step, width)
+    # per-pair starts broadcast over rows (the osc_step shape)
+    starts = jnp.asarray([[10.0], [700.3], [1.5]])  # [pairs, 1]
+    steps = jnp.full((3, 1), 0.5)
+    out = sinc_resample(x, starts, steps, num_out, a)
+    want = _sinc_gather(
+        x,
+        jnp.clip(starts[..., None] + p * steps[..., None], -(a + 1.0), w - 1.0 + a),
+        a,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-5)
+    # deep zoom-out (step above the band bound) still matches the oracle
+    big_step = jnp.full((3, 1), 4.0)
+    out2 = sinc_resample(x, starts, big_step, num_out, a)
+    want2 = _sinc_gather(
+        x,
+        jnp.clip(starts[..., None] + p * big_step[..., None], -(a + 1.0), w - 1.0 + a),
+        a,
+    )
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(want2), rtol=2e-4, atol=2e-5)
