@@ -374,30 +374,36 @@ def sinc_resample(
     # outside the frame (the processor clamps its window into the frame;
     # positions further out would need unbounded padding)
     pos = jnp.clip(pos, -(a + 1.0), w - 1.0 + a)
-    if num_out % _BAND_BLOCK == 0:
-        # all formulations are exact; pick per step (see _sinc_banded) —
-        # a narrow band for upsampling (the common scope display), a wide
-        # band for moderate zoom, the per-tap gather for deep zoom-out
-        max_step = jnp.max(step)
-
-        def fits(width):
-            return (max_step * (_BAND_BLOCK - 1) + 2 * a + 2) <= width
-
-        return jax.lax.cond(
-            fits(_BAND_NARROW),
-            lambda: _sinc_banded(x, pos, a, _BAND_NARROW),
-            lambda: jax.lax.cond(
-                fits(_BAND_WIDE),
-                lambda: _sinc_banded(x, pos, a, _BAND_WIDE),
-                lambda: _sinc_gather(x, pos, a),
-            ),
-        )
-    return _sinc_gather(x, pos, a)
+    return _banded_dispatch(
+        x, pos, step, num_out, a, "lanczos", lambda: _sinc_gather(x, pos, a)
+    )
 
 
 _BAND_BLOCK = 128  # pixels per band block
 _BAND_NARROW = 64  # band width for step <= ~0.33 (e.g. the 8x upsample)
 _BAND_WIDE = 256  # band width for step <= ~1.84
+
+
+def _banded_dispatch(x, pos, step, num_out, support, kind, gather_fallback):
+    """Route a fractional resample to the narrowest exact band
+    formulation, falling back to the per-tap gather for deep zoom-out.
+    All formulations are exact — only the access pattern differs."""
+    if num_out % _BAND_BLOCK != 0:
+        return gather_fallback()
+    max_step = jnp.max(jnp.asarray(step, jnp.float32))
+
+    def fits(width):
+        return (max_step * (_BAND_BLOCK - 1) + 2 * support + 2) <= width
+
+    return jax.lax.cond(
+        fits(_BAND_NARROW),
+        lambda: _banded_resample(x, pos, support, _BAND_NARROW, kind),
+        lambda: jax.lax.cond(
+            fits(_BAND_WIDE),
+            lambda: _banded_resample(x, pos, support, _BAND_WIDE, kind),
+            gather_fallback,
+        ),
+    )
 
 
 def _sinc_gather(x: jax.Array, pos: jax.Array, a: int) -> jax.Array:
@@ -416,9 +422,15 @@ def _sinc_gather(x: jax.Array, pos: jax.Array, a: int) -> jax.Array:
     return jnp.sum(gathered * weights, axis=-1)
 
 
-def _sinc_banded(x: jax.Array, pos: jax.Array, a: int, width: int) -> jax.Array:
+def _banded_resample(
+    x: jax.Array, pos: jax.Array, a: int, width: int, kind: str = "lanczos"
+) -> jax.Array:
     """Block-banded MXU formulation (exact when every block's tap span
     fits the band: step <= (width - 2a - 2) / (block - 1)).
+
+    ``kind``: the interpolation kernel evaluated on the band grid —
+    "lanczos" (support a), "linear" (triangular, a = 1), or "nearest"
+    (a one-hot at round(pos), a = 1).
 
     The taps of neighbouring pixels overlap almost entirely, so a block
     of 128 consecutive output pixels reads one CONTIGUOUS source band of
@@ -473,24 +485,36 @@ def _sinc_banded(x: jax.Array, pos: jax.Array, a: int, width: int) -> jax.Array:
     src = s0[..., None].astype(jnp.float32) - pad_l + jnp.arange(
         width, dtype=jnp.float32
     )  # [pB..., nb, width]
-    # arguments reduced modulo the period BEFORE the f32 sine — sin(pi x)
-    # at x ~ 1e4 loses ~1e-3 absolute to argument-reduction error, and
-    # the mod-subtraction is exact here (integer grids < 2^24, Sterbenz)
-    sp = jnp.sin(jnp.pi * jnp.mod(pos_b, 2.0))  # [pB..., nb, block]
-    spa = jnp.sin(jnp.pi * jnp.mod(pos_b, 2.0 * a) / a)
-    cpa = jnp.cos(jnp.pi * jnp.mod(pos_b, 2.0 * a) / a)
-    sgn = 1.0 - 2.0 * jnp.mod(jnp.abs(src), 2.0)  # (-1)^src, [pB..., nb, width]
-    csa = jnp.cos(jnp.pi * jnp.mod(src, 2.0 * a) / a)
-    ssa = jnp.sin(jnp.pi * jnp.mod(src, 2.0 * a) / a)
     t = pos_b[..., None] - src[..., None, :]  # [pB..., nb, block, width]
-    sin_t = sgn[..., None, :] * sp[..., :, None]
-    sin_ta = spa[..., :, None] * csa[..., None, :] - cpa[..., :, None] * ssa[..., None, :]
-    near0 = jnp.abs(t) < 1e-6
-    denom = jnp.where(near0, 1.0, t * t)
-    weights = jnp.where(
-        near0, 1.0, a * sin_t * sin_ta / (jnp.pi * jnp.pi * denom)
-    )
-    weights = jnp.where(jnp.abs(t) < a, weights, 0.0)
+    if kind == "lanczos":
+        # arguments reduced modulo the period BEFORE the f32 sine —
+        # sin(pi x) at x ~ 1e4 loses ~1e-3 absolute to argument-reduction
+        # error, and the mod-subtraction is exact here (integer grids
+        # < 2^24, Sterbenz)
+        sp = jnp.sin(jnp.pi * jnp.mod(pos_b, 2.0))  # [pB..., nb, block]
+        spa = jnp.sin(jnp.pi * jnp.mod(pos_b, 2.0 * a) / a)
+        cpa = jnp.cos(jnp.pi * jnp.mod(pos_b, 2.0 * a) / a)
+        sgn = 1.0 - 2.0 * jnp.mod(jnp.abs(src), 2.0)  # (-1)^src
+        csa = jnp.cos(jnp.pi * jnp.mod(src, 2.0 * a) / a)
+        ssa = jnp.sin(jnp.pi * jnp.mod(src, 2.0 * a) / a)
+        sin_t = sgn[..., None, :] * sp[..., :, None]
+        sin_ta = (
+            spa[..., :, None] * csa[..., None, :] - cpa[..., :, None] * ssa[..., None, :]
+        )
+        near0 = jnp.abs(t) < 1e-6
+        denom = jnp.where(near0, 1.0, t * t)
+        weights = jnp.where(
+            near0, 1.0, a * sin_t * sin_ta / (jnp.pi * jnp.pi * denom)
+        )
+        weights = jnp.where(jnp.abs(t) < a, weights, 0.0)
+    elif kind == "linear":
+        weights = jnp.maximum(0.0, 1.0 - jnp.abs(t))
+    elif kind == "nearest":
+        # one-hot at round(pos): t in [-0.5, 0.5) — ties round up like
+        # jnp.round-to-nearest on the .5 grid the gather paths use
+        weights = ((t >= -0.5) & (t < 0.5)).astype(x.dtype)
+    else:  # pragma: no cover
+        raise ValueError(kind)
     out = jnp.einsum(
         "...nkw,...nw->...nk",
         weights,
@@ -509,18 +533,48 @@ def _gather_last(x: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 def linear_resample(x: jax.Array, start, step, num_out: int) -> jax.Array:
-    """2-tap linear variant (ref: SubSampleInterpolation::Linear path)."""
+    """2-tap linear variant (ref: SubSampleInterpolation::Linear path).
+    Same block-banded access pattern as the Lanczos path (scattered
+    2-tap gathers still cost ~ms at display widths)."""
     w = x.shape[-1]
     p = jnp.arange(num_out, dtype=jnp.float32)
     start = jnp.asarray(start, jnp.float32)
     step = jnp.asarray(step, jnp.float32)
     pos = start[..., None] + p * step[..., None]
-    i0 = jnp.floor(pos)
-    frac = pos - i0
-    idx = jnp.stack([i0, i0 + 1], axis=-1).astype(jnp.int32)
-    idx = jnp.clip(idx, 0, w - 1)
-    g = _gather_last(x, idx)
-    return g[..., 0] * (1 - frac) + g[..., 1] * frac
+    pos = jnp.clip(pos, -2.0, w * 1.0)
+
+    def gather():
+        i0 = jnp.floor(pos)
+        frac = pos - i0
+        idx = jnp.stack([i0, i0 + 1], axis=-1).astype(jnp.int32)
+        idx = jnp.clip(idx, 0, w - 1)
+        g = _gather_last(x, idx)
+        return g[..., 0] * (1 - frac) + g[..., 1] * frac
+
+    return _banded_dispatch(x, pos, step, num_out, 1, "linear", gather)
+
+
+def nearest_resample(x: jax.Array, start, step, num_out: int) -> jax.Array:
+    """Nearest-sample pick (ref: SubSampleInterpolation::None /
+    Rectangular). Banded like the other kernels; the banded branch
+    resolves exact .5 ties upward where the gather branch uses
+    round-half-even — indistinguishable for display sampling."""
+    w = x.shape[-1]
+    p = jnp.arange(num_out, dtype=jnp.float32)
+    start = jnp.asarray(start, jnp.float32)
+    step = jnp.asarray(step, jnp.float32)
+    pos = start[..., None] + p * step[..., None]
+    pos = jnp.clip(pos, -1.0, w * 1.0)
+
+    def gather():
+        idx = jnp.clip(jnp.round(pos).astype(jnp.int32), 0, w - 1)
+        bidx = jnp.broadcast_to(
+            idx, jnp.broadcast_shapes(x.shape[:-1], idx.shape[:-1]) + (num_out,)
+        )
+        xb = jnp.broadcast_to(x, bidx.shape[:-1] + (w,))
+        return jnp.take_along_axis(xb, bidx, axis=-1)
+
+    return _banded_dispatch(x, pos, step, num_out, 1, "nearest", gather)
 
 
 def minmax_decimate(x: jax.Array, num_out: int) -> Tuple[jax.Array, jax.Array]:

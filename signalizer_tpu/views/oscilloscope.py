@@ -608,12 +608,10 @@ def osc_step_impl(
         wave = sinc_resample(rows, start_r, step_r, pixels, INTERPOLATION_KERNEL_SIZE)
     elif constant.interpolation == SubSampleInterpolation.LINEAR:
         wave = linear_resample(rows, start_r, step_r, pixels)
-    else:  # NONE / RECTANGULAR: nearest sample
-        p = jnp.arange(pixels, dtype=jnp.float32)
-        pos = start_r + p * step_r[..., :1]  # [pairs, P]
-        idx = jnp.clip(jnp.round(pos).astype(jnp.int32), 0, h - 1)
-        idx = jnp.broadcast_to(idx[:, None, :], rows.shape[:-1] + (pixels,))
-        wave = jnp.take_along_axis(rows, idx, axis=-1)
+    else:  # NONE / RECTANGULAR: nearest sample (banded access pattern)
+        from signalizer_tpu.kernels.oscilloscope import nearest_resample
+
+        wave = nearest_resample(rows, start_r, step_r, pixels)
 
     env_min, env_max = minmax_decimate(rows, pixels)
 

@@ -561,7 +561,7 @@ def test_sinc_banded_matches_gather_formulation():
         _BAND_BLOCK,
         _BAND_NARROW,
         _BAND_WIDE,
-        _sinc_banded,
+        _banded_resample,
         _sinc_gather,
         sinc_resample,
     )
@@ -578,7 +578,7 @@ def test_sinc_banded_matches_gather_formulation():
         for width in (_BAND_NARROW, _BAND_WIDE):
             if step * (_BAND_BLOCK - 1) + 2 * a + 2 > width:
                 continue  # band would not cover the block span
-            got = np.asarray(_sinc_banded(x, pos, a, width))
+            got = np.asarray(_banded_resample(x, pos, a, width))
             want = np.asarray(_sinc_gather(x, pos, a))
             np.testing.assert_allclose(
                 got, want, rtol=2e-4, atol=5e-5
@@ -602,3 +602,31 @@ def test_sinc_banded_matches_gather_formulation():
         a,
     )
     np.testing.assert_allclose(np.asarray(out2), np.asarray(want2), rtol=2e-4, atol=2e-5)
+
+
+def test_linear_and_nearest_banded_match_oracles():
+    """The banded linear/nearest kernels must equal naive per-pixel
+    oracles (away from exact .5 ties for nearest)."""
+    from signalizer_tpu.kernels.oscilloscope import linear_resample, nearest_resample
+
+    rng = np.random.default_rng(23)
+    w = 1024
+    x = rng.standard_normal((2, 2, w)).astype(np.float32)
+    starts = np.asarray([[33.37], [700.11]], np.float32)
+    step = np.full((2, 1), 0.251, np.float32)
+    num_out = 256  # banded path (block-divisible)
+    p = np.arange(num_out)
+
+    got_lin = np.asarray(linear_resample(jnp.asarray(x), jnp.asarray(starts), jnp.asarray(step), num_out))
+    got_near = np.asarray(nearest_resample(jnp.asarray(x), jnp.asarray(starts), jnp.asarray(step), num_out))
+    for pair in range(2):
+        pos = np.float32(starts[pair, 0]) + p.astype(np.float32) * np.float32(step[pair, 0])
+        i0 = np.floor(pos).astype(int)
+        frac = pos - i0
+        for row in range(2):
+            want_lin = x[pair, row, np.clip(i0, 0, w - 1)] * (1 - frac) + x[
+                pair, row, np.clip(i0 + 1, 0, w - 1)
+            ] * frac
+            np.testing.assert_allclose(got_lin[pair, row], want_lin, rtol=1e-5, atol=1e-5)
+            want_near = x[pair, row, np.clip(np.round(pos).astype(int), 0, w - 1)]
+            np.testing.assert_allclose(got_near[pair, row], want_near, rtol=1e-6)
