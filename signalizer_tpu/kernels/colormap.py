@@ -49,11 +49,17 @@ def gradient_map(intensity: jax.Array, colours: jax.Array, ratios: jax.Array) ->
     # segment c such that bounds[c-1] < x <= bounds[c]
     seg = jnp.searchsorted(bounds, x, side="left")
     seg = jnp.clip(seg, 1, ratios.shape[0] - 1)
-    lo = jnp.take(bounds, seg - 1)
-    hi = jnp.take(bounds, seg)
+    # 6-entry table reads as one-hot dots: TPU element gathers serialize
+    # per element (~6 ns each — T x P of them per spectrogram batch);
+    # six compares + a tiny matmul vectorize instead
+    k = jnp.arange(ratios.shape[0])
+    hot_lo = (seg[..., None] - 1) == k  # [..., P, 6]
+    hot_hi = seg[..., None] == k
+    lo = jnp.einsum("...k,k->...", hot_lo.astype(bounds.dtype), bounds)
+    hi = jnp.einsum("...k,k->...", hot_hi.astype(bounds.dtype), bounds)
     mix = jnp.where(hi > lo, (x - lo) / jnp.maximum(hi - lo, 1e-20), 1.0)
-    c_lo = colours[seg - 1]  # [..., P, 3]
-    c_hi = colours[seg]
+    c_lo = jnp.einsum("...k,kc->...c", hot_lo.astype(colours.dtype), colours)
+    c_hi = jnp.einsum("...k,kc->...c", hot_hi.astype(colours.dtype), colours)
     rgb = c_lo * (1.0 - mix[..., None]) + c_hi * mix[..., None]
     # full-scale pixels take the last stop exactly (ref: :157-160)
     rgb = jnp.where((x >= 0.999)[..., None], colours[-1], rgb)

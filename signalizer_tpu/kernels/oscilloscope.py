@@ -54,24 +54,30 @@ def zero_crossing_triggers(x: jax.Array, threshold: float) -> jax.Array:
     cur = x[..., 1:]
     crossing = (cur > 0) & (prev < 0)
     crossing = jnp.concatenate([jnp.zeros_like(x[..., :1], bool), crossing], axis=-1)
-    # segment id: which crossing "owns" each sample
-    seg = jnp.cumsum(crossing.astype(jnp.int32), axis=-1)  # [..., W]
     hot = x > threshold
-    # for each sample, has any sample in the same segment up to here been hot?
-    # A crossing fires iff its segment contains a hot sample.
+    # a crossing fires iff its segment [origin, next origin) contains a
+    # hot sample — a segmented suffix-OR. Computed as a log-depth reset
+    # scan over the reversed axis (pure shifts/selects on the VPU) rather
+    # than segment_max + take_along_axis: TPU scatters/gathers serialize
+    # per element (see _banded_resample's note).
     w = x.shape[-1]
-    nseg = w + 1
-    flat_seg = seg.reshape(-1, w)
-    flat_hot = hot.reshape(-1, w)
-
-    def per_row(s, h):
-        return (
-            jax.ops.segment_max(h.astype(jnp.int32), s, num_segments=nseg, indices_are_sorted=True)
-            > 0
+    hr = jnp.flip(hot, -1)
+    cr = jnp.flip(crossing, -1)
+    # propagation into rev-slot r (from r-1, i.e. original sample i+1) is
+    # blocked when sample i+1 starts a new segment
+    block_in = jnp.concatenate([jnp.ones_like(cr[..., :1]), cr[..., :-1]], axis=-1)
+    v = hr
+    blocked = block_in
+    d = 1
+    while d < w:
+        v_prev = jnp.concatenate([jnp.zeros_like(v[..., :d]), v[..., :-d]], axis=-1)
+        b_prev = jnp.concatenate(
+            [jnp.ones_like(blocked[..., :d]), blocked[..., :-d]], axis=-1
         )
-
-    seg_fired = jax.vmap(per_row)(flat_seg, flat_hot).reshape(x.shape[:-1] + (nseg,))
-    fired = jnp.take_along_axis(seg_fired, seg, axis=-1)
+        v = jnp.where(blocked, v, v | v_prev)
+        blocked = blocked | b_prev
+        d *= 2
+    fired = jnp.flip(v, -1)
     return crossing & fired
 
 
