@@ -30,7 +30,7 @@ variance of +-25%):
     batch  64: both ~30-51k (dispatch-bound through the tunnel)
     accuracy vs float64 numpy: mxu 1.5e-7, XLA rfft 3.7e-7 (relative)
 
-Verdict (same policy as kernels/pallas/display_map.py): parity to ~1.4x,
+Verdict (same policy as tools/pallas_display_map.py): parity to ~1.4x,
 inside tunnel noise — the production spectrum path keeps XLA's FFT, whose
 fusion with the surrounding window/magnitude stages is worth more than
 the ambiguous standalone delta. The module stays as the MXU-native

@@ -1,10 +1,19 @@
 """Fused display-map: dense formulation vs the production gather pipeline,
-and the pallas kernel vs the dense reference (interpret mode on CPU)."""
+and the pallas kernel vs the dense reference (interpret mode on CPU).
+
+The kernel was retired from the package to tools/pallas_display_map.py in
+round 3 (it loses to XLA's fused tail — see its docstring); these tests
+keep the retired yardstick honest against the production pipeline."""
+
+import pathlib
+import sys
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "tools"))
 
 from signalizer_tpu.core.config import (
     BinInterpolation,
@@ -12,7 +21,7 @@ from signalizer_tpu.core.config import (
     ViewScaling,
 )
 from signalizer_tpu.core.constant import make_spectrum_constant
-from signalizer_tpu.kernels.pallas.display_map import (
+from pallas_display_map import (
     make_display_map_operands,
     reference_display_map,
 )
@@ -75,7 +84,7 @@ def test_dense_formulation_matches_production_pipeline(interp):
 def test_pallas_kernel_matches_dense_reference_interpret():
     """Run the actual pallas kernel (interpreter mode) through the real
     fused_display_map wrapper and compare with the dense reference."""
-    from signalizer_tpu.kernels.pallas.display_map import fused_display_map
+    from pallas_display_map import fused_display_map
 
     constant = _constant(axis_points=256, window=512)
     operands = make_display_map_operands(constant)

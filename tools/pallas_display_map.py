@@ -1,4 +1,10 @@
-"""Fused spectrum display-map Pallas kernel (the BASELINE north star).
+"""Fused spectrum display-map Pallas kernel — RETIRED to tools/ (round 3).
+
+The production display path is the XLA gather/segment pipeline in
+``signalizer_tpu/kernels/spectrum.py``; this module is kept outside the
+package as the validated Pallas formulation, its benchmark yardstick
+(``tools/pallas_rematch_bench.py``) and the written record of why a
+hand-fused kernel loses here. It has no package dependents.
 
 Fuses the whole post-FFT display chain — bin->pixel interpolation,
 chunked bin-max, peak-decay state update and normalized dB mapping
@@ -34,29 +40,32 @@ per-pixel-tile operands (W/E/S) stay resident in VMEM while the batch
 sweeps (pallas skips reloads when the block index is unchanged).
 
 **Measured rematch verdict (TPU v5 litepod, B=1024, P=1024, 8193 bins,
-warm cache, 16-deep chained dispatch; re-measure with
-tools/pallas_rematch_bench.py):**
+warm cache, 16-deep chained dispatch, scalar-checksum sync; re-measure
+with tools/pallas_rematch_bench.py):**
 
-==================================  ========
-round-1 masked-max kernel           16.0 ms
-this kernel (reset-scan + MXU)       3.83 ms
-XLA dense formulation                1.81 ms
-==================================  ========
+=============================================  ========
+round-1 masked-max kernel                       16.0 ms
+round-2 pixel-slowest reset-scan + MXU           3.83 ms
+round-3 batch-slowest, scratch-cached scan       7.96 ms
+XLA dense formulation                            1.69 ms
+=============================================  ========
 
 (A complex-cell two-matmul interpolation variant was also measured at
 3.93 ms before being retired — the reference's loops run over abs()'d
 cells, so magnitude interpolation is the faithful form.)
 
 max display error vs production: 6.4e-4 (bf16 chunk-max selection,
-~0.05 dB). The scan+one-hot formulation closed 4.2x of the round-1 gap,
-but each pixel tile must re-scan the full bin axis (a [B, nv] scan cache
-exceeds VMEM, and batch-slowest grids re-stream the W/E operands instead
-— 6.5 GB/dispatch), leaving ~2x on the table. XLA's scatter-based
-segment-max pipeline therefore remains the production path
-(kernels/spectrum.py); an XLA-level associative reset-scan was also
-measured (5.4 ms vs 3.6 ms full-pipeline) and likewise retired. This
-kernel is retained as the validated pallas formulation and benchmark
-yardstick.
+~0.05 dB). Why it loses, concretely: the dense-operand design carries
+W/E selector matrices of [n_values, P] — at 8193 bins x 1024 px that is
+~12.8 MB per pixel tile in bf16. Pixel-slowest grids keep them VMEM-
+resident but re-scan the full bin axis per pixel tile (3.83 ms);
+batch-slowest grids cache the scan in scratch but re-stream W/E per
+batch step — and Mosaic further forces the last block dim to 128, so
+the double-buffered operand tiles corner the 16 MB VMEM (7.96 ms). XLA's
+scatter-based segment-max pipeline never materializes dense selectors at
+all, which is the structural advantage a Pallas kernel of this
+formulation cannot buy back. An XLA-level associative reset-scan was
+also measured (5.4 ms vs 3.6 ms full-pipeline) and likewise retired.
 """
 
 from __future__ import annotations
@@ -232,8 +241,8 @@ def fused_display_map(
     clip_db: jax.Array,
     inv_size: jax.Array,  # kept for API parity; folded into the operands
     *,
-    batch_tile: int = 128,
-    pixel_tile: int = 64,
+    batch_tile: int = 32,
+    pixel_tile: int = 128,  # Mosaic: last block dim must be 128-divisible
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused remap+decay+dB: returns (display [B, P], new_state [B, P]).

@@ -1,9 +1,11 @@
 """Measure the pallas fused display-map against the XLA production tail.
 
 Reproduces the module-docstring rematch table of
-``kernels/pallas/display_map.py`` (B=1024 batch, P=1024 pixels, 8193
+``tools/pallas_display_map.py`` (B=1024 batch, P=1024 pixels, 8193
 bins, 16-deep chained dispatch, warm cache) so the recorded numbers stay
-honest after kernel changes. Run on the real TPU:
+honest after kernel changes. The kernel was retired from the package in
+round 3 (it loses to XLA's fused tail); this yardstick keeps the record
+reproducible. Run on the real TPU:
 
     python tools/pallas_rematch_bench.py
 """
@@ -13,6 +15,7 @@ import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 import numpy as np
 
@@ -27,7 +30,7 @@ def main() -> int:
         ViewScaling,
     )
     from signalizer_tpu.core.constant import make_spectrum_constant
-    from signalizer_tpu.kernels.pallas.display_map import (
+    from pallas_display_map import (
         fused_display_map,
         make_display_map_operands,
         pallas_supported,
@@ -63,7 +66,12 @@ def main() -> int:
     )
 
     def timeit(fn, reps=5, chain=16):
+        # every fn returns a SCALAR checksum: block_until_ready on remote
+        # ARRAYS can return lazily on this transport (bisected round 3 —
+        # see bench.py), which would make these numbers dispatch-rate
+        # fiction
         out = fn()
+        assert out.ndim == 0, "rematch fns must return scalar checksums"
         jax.block_until_ready(out)
         ts = []
         for _ in range(reps):
@@ -75,9 +83,11 @@ def main() -> int:
         return sorted(ts)[len(ts) // 2]
 
     # XLA dense formulation (the kernel's own reference)
-    dense = jax.jit(lambda: reference_display_map(re, im, state, operands, *args)[0])
+    dense = jax.jit(
+        lambda: jnp.sum(reference_display_map(re, im, state, operands, *args)[0])
+    )
     t_dense = timeit(dense)
-    print(f"XLA dense formulation      {t_dense * 1e3:8.2f} ms")
+    print(f"XLA dense formulation      {t_dense * 1e3:8.2f} ms", flush=True)
 
     # XLA production tail on equivalent work (full pipeline minus FFT is
     # not separable; report the whole production step for context)
@@ -85,14 +95,14 @@ def main() -> int:
         rng.standard_normal((8, b // 8, 2, window)).astype(np.float32)
     )
     pstate = init_line_graph_state(constant, (8,))
-    prod = jax.jit(lambda: analyze_frames(constant, pstate, frames).results)
+    prod = jax.jit(lambda: jnp.sum(analyze_frames(constant, pstate, frames).results))
     t_prod = timeit(prod, chain=4)
-    print(f"XLA production (incl FFT)  {t_prod * 1e3:8.2f} ms / {b} frames")
+    print(f"XLA production (incl FFT)  {t_prod * 1e3:8.2f} ms / {b} frames", flush=True)
 
     if pallas_supported():
-        pl = lambda: fused_display_map(re, im, state, operands, *args)[0]
+        pl = jax.jit(lambda: jnp.sum(fused_display_map(re, im, state, operands, *args)[0]))
         t_pl = timeit(pl)
-        print(f"pallas fused kernel        {t_pl * 1e3:8.2f} ms")
+        print(f"pallas fused kernel        {t_pl * 1e3:8.2f} ms", flush=True)
     else:
         print("pallas kernel: no TPU backend (skipped)")
     return 0
