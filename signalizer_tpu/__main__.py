@@ -193,6 +193,67 @@ def cmd_analyze_batch(args) -> int:
     return 0
 
 
+def cmd_editor(args) -> int:
+    """Serve the interactive browser editor on a demo signal.
+
+    The standalone analogue of opening the reference plugin's editor
+    window: a main engine (plus a sidechained second instance so the
+    graph tab has something to patch), an AnalysisSession over all four
+    views, and the EditorShell HTTP app."""
+    import numpy as np
+
+    from signalizer_tpu.editor import EditorShell
+    from signalizer_tpu.engine import SignalizerEngine
+    from signalizer_tpu.session import AnalysisSession
+    from signalizer_tpu.stream.audio_stream import Playhead
+
+    eng = SignalizerEngine("main-track")
+    side = SignalizerEngine("kick-bus")
+    session = AnalysisSession(
+        eng, axis_points=args.axis_points, pixels=args.pixels,
+        cursor_fraction=0.5,
+    )
+    fs = eng.config.sample_rate
+    st = {"t": 0, "phase": 0.0}
+
+    def source(n: int) -> np.ndarray:
+        i = np.arange(st["t"], st["t"] + n)
+        st["t"] += n
+        sec = i / fs
+        f0 = 220.0 * 2.0 ** (0.5 * np.sin(2 * np.pi * 0.1 * sec))
+        phase = st["phase"] + 2 * np.pi * np.cumsum(f0) / fs
+        st["phase"] = float(phase[-1]) % (2 * np.pi)
+        kick = 0.8 * np.sin(2 * np.pi * 60 * sec) * np.exp(-((sec % 0.5) * 18))
+        side.process_block(
+            np.stack([kick, kick]).astype(np.float32),
+            Playhead(steady_clock=int(i[0]), bpm=120.0, is_playing=True),
+        )
+        left = 0.6 * np.sin(phase) + 0.15 * np.sin(2 * np.pi * 3000 * sec)
+        right = 0.5 * np.sin(phase + 0.6) + 0.1 * np.sin(2 * np.pi * 880 * sec)
+        return np.stack([left, right]).astype(np.float32)
+
+    shell = EditorShell(
+        session,
+        source=source,
+        playhead=Playhead(bpm=120.0, is_playing=True),
+        port=args.port,
+    )
+    shell.start()
+    print(f"editor: {shell.url}  (Ctrl+C to stop)")
+    try:
+        import time as _time
+
+        while True:
+            _time.sleep(1)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        shell.stop()
+        session.close()
+        side.close()
+    return 0
+
+
 def cmd_presets(_args) -> int:
     from signalizer_tpu.state.factory_presets import FACTORY_PRESETS
 
@@ -235,6 +296,12 @@ def main(argv=None) -> int:
     pa.add_argument("--npz", action="store_true",
                     help="also dump raw render arrays as .npz")
     pa.set_defaults(fn=cmd_analyze)
+    pe = sub.add_parser("editor", parents=[common],
+                        help="serve the interactive browser editor")
+    pe.add_argument("--port", type=int, default=8765)
+    pe.add_argument("--axis-points", type=int, default=512)
+    pe.add_argument("--pixels", type=int, default=512)
+    pe.set_defaults(fn=cmd_editor)
     pp = sub.add_parser("presets", help="list factory presets")
     pp.set_defaults(fn=cmd_presets)
     args = parser.parse_args(argv)

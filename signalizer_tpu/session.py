@@ -146,6 +146,24 @@ class AnalysisSession:
             self._sg_listener = _SgFeed()
             eng.presentation_output.add_listener(self._sg_listener)
 
+    def refresh_feeds(self) -> None:
+        """Rebuild render feeds/trackers from the current contents WITHOUT
+        touching any processor — no DSP state loss. The editor's light
+        path for feed-tier knob edits (line colours, tracker source,
+        legend toggles); the reference likewise re-reads these per frame
+        rather than through handleFlagUpdates."""
+        eng = self.engine
+        proc = self._processors.get("spectrum")
+        if self.build_line_graph and proc is not None and hasattr(proc, "constant"):
+            self._feeds["line_graph"] = eng.spectrum.make_render_feed(proc.constant)
+            self._feeds["tracker"] = (
+                eng.spectrum.make_tracker(
+                    eng.config.sample_rate, frame_rate=self.frame_rate
+                )
+                if self.cursor_fraction is not None
+                else None
+            )
+
     def processor(self, view: str):
         """The live processor behind a view ("spectrum", "oscilloscope",
         "vectorscope", "spectrogram"), or None when inactive — the public
