@@ -57,3 +57,4 @@ from signalizer_tpu.state.sgn_import import (  # noqa: F401
     save_sgn,
 )
 from signalizer_tpu.views.editor_settings import EditorSettings  # noqa: F401
+from signalizer_tpu.editor import EditorShell  # noqa: F401
