@@ -391,9 +391,11 @@ _BAND_WIDE = 256  # band width for step <= ~1.84
 
 
 def _banded_dispatch(x, pos, step, num_out, support, kind, gather_fallback):
-    """Route a fractional resample to the narrowest exact band
-    formulation, falling back to the per-tap gather for deep zoom-out.
-    All formulations are exact — only the access pattern differs."""
+    """Route a fractional resample to the fastest exact formulation:
+    the fused Pallas kernel on TPU (3.1x the XLA band path at cfg3 —
+    kernels/pallas_resample.py), else the narrowest XLA band, falling
+    back to the per-tap gather for deep zoom-out. All formulations are
+    exact — only the access pattern differs."""
     if num_out % _BAND_BLOCK != 0:
         return gather_fallback()
     max_step = jnp.max(jnp.asarray(step, jnp.float32))
@@ -401,15 +403,38 @@ def _banded_dispatch(x, pos, step, num_out, support, kind, gather_fallback):
     def fits(width):
         return (max_step * (_BAND_BLOCK - 1) + 2 * support + 2) <= width
 
-    return jax.lax.cond(
-        fits(_BAND_NARROW),
-        lambda: _banded_resample(x, pos, support, _BAND_NARROW, kind),
-        lambda: jax.lax.cond(
-            fits(_BAND_WIDE),
-            lambda: _banded_resample(x, pos, support, _BAND_WIDE, kind),
-            gather_fallback,
-        ),
+    def xla_chain():
+        return jax.lax.cond(
+            fits(_BAND_NARROW),
+            lambda: _banded_resample(x, pos, support, _BAND_NARROW, kind),
+            lambda: jax.lax.cond(
+                fits(_BAND_WIDE),
+                lambda: _banded_resample(x, pos, support, _BAND_WIDE, kind),
+                gather_fallback,
+            ),
+        )
+
+    from signalizer_tpu.kernels.pallas_resample import (
+        covers,
+        fused_banded_resample,
+        pallas_resample_supported,
     )
+
+    # the fused kernel handles the osc step's [pairs, rows, W] x
+    # [pairs, 1, P] shape (positions shared across display rows)
+    if (
+        pallas_resample_supported()
+        and x.ndim == 3
+        and pos.ndim == 3
+        and pos.shape[:2] == (x.shape[0], 1)
+        and x.dtype == jnp.float32
+    ):
+        return jax.lax.cond(
+            covers(max_step, support),
+            lambda: fused_banded_resample(x, pos[:, 0, :], a=support, kind=kind),
+            xla_chain,
+        )
+    return xla_chain()
 
 
 def _sinc_gather(x: jax.Array, pos: jax.Array, a: int) -> jax.Array:
