@@ -244,14 +244,15 @@ def main(only: str = None) -> None:
     if want("pipeline"):
         # pipelined ingest — the production-shaped path (the reference
         # decouples DSP from display with a 10-deep lock-free frame
-        # queue, Spectrum.h:139-143): keep `depth` frames in flight so
-        # the upload of frame t+1 overlaps the compute of frame t. Runs
-        # in its OWN subprocess: a single device->host readback anywhere
+        # queue, Spectrum.h:139-143): keep frames in flight so the
+        # upload of frame t+1 overlaps the compute of frame t, and
+        # consume non-blockingly via is_ready (a per-frame
+        # block_until_ready costs a fresh ~RTT completion round trip on
+        # this transport — measured 31.5 ms/frame — which would
+        # serialize the pipeline at the network latency). Runs in its
+        # OWN subprocess: a single device->host readback anywhere
         # earlier would have degraded the transport to sync dispatch and
-        # poisoned these numbers. The step returns a scalar checksum so
-        # the completion wait is real (see the module docstring), and the
-        # p50 steady-state inter-frame gap is the frame latency a
-        # pipelined consumer observes.
+        # poisoned these numbers.
         from signalizer_tpu.stream.frame_pipeline import FramePipeline
 
         cp = make_spectrum_constant(
@@ -272,17 +273,44 @@ def main(only: str = None) -> None:
         warm_state = init_line_graph_state(cp, (1,))
         c0, warm_state = pipe_step(warm_state, jnp.asarray(host_frame))
         jax.block_until_ready(c0)
-        pipe = FramePipeline(pipe_step, init_line_graph_state(cp, (1,)), depth=4)
-        gaps = []
-        t_last = time.perf_counter()
-        for i in range(300):
-            if pipe.submit(host_frame) is not None:
-                now = time.perf_counter()
-                gaps.append(now - t_last)
-                t_last = now
-        pipe.drain()
-        out["pipelined_p50_ms"] = round(float(np.percentile(gaps[10:], 50) * 1e3), 4)
-        out["pipelined_p99_ms"] = round(float(np.percentile(gaps[10:], 99) * 1e3), 4)
+        # depth must cover completion-notification latency x production
+        # rate (~30 ms x ~0.4 frames/ms ≈ 13) or backpressure blocks
+        pipe = FramePipeline(pipe_step, init_line_graph_state(cp, (1,)), depth=32)
+        n_frames = 400
+        completions = []
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            for _ in pipe.submit(host_frame):
+                completions.append(time.perf_counter())
+        for _ in pipe.drain():
+            completions.append(time.perf_counter())
+        t1 = time.perf_counter()
+        assert pipe.frames_completed == n_frames
+        # steady-state per-frame host cost of the pipelined path (wall /
+        # frames; the ramp-up and final notification wait amortize in)
+        out["pipelined_frame_ms"] = round((t1 - t0) / n_frames * 1e3, 4)
+        gaps = np.diff(np.asarray(completions[10:]))
+        out["pipelined_p50_ms"] = round(float(np.percentile(gaps, 50) * 1e3), 4)
+        out["pipelined_p99_ms"] = round(float(np.percentile(gaps, 99) * 1e3), 4)
+        # decomposition: producer-side cost (async submit, no completion
+        # wait) vs the tunnel's completion-notification serialization.
+        # Measured round 3: notifications arrive ~one per RTT under ANY
+        # consumption strategy here (blocking pop, is_ready poll-sleep,
+        # paused-submission flush — all ~28-35 ms/frame), so the bounded
+        # queue drains at the network latency; the producer side is the
+        # part a chip-local deployment keeps.
+        pipe2 = FramePipeline(
+            pipe_step, init_line_graph_state(cp, (1,)), depth=1 << 30
+        )
+        n2 = 64
+        t0 = time.perf_counter()
+        for _ in range(n2):
+            pipe2.submit(host_frame)
+        t1 = time.perf_counter()
+        pipe2.drain(timeout_s=60.0)
+        t2 = time.perf_counter()
+        out["pipelined_submit_ms"] = round((t1 - t0) / n2 * 1e3, 4)
+        out["pipelined_drain_ms_per_frame"] = round((t2 - t1) / n2 * 1e3, 4)
 
     if want("cfg1"):
         c1 = make_spectrum_constant(

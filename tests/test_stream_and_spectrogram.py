@@ -408,10 +408,8 @@ def test_frame_pipeline_orders_and_threads_state():
     frames = [np.full((4,), float(i + 1), np.float32) for i in range(6)]
     outs = []
     for f in frames:
-        done = pipe.submit(f)
+        outs.extend(pipe.submit(f))
         assert pipe.in_flight <= 3
-        if done is not None:
-            outs.append(done)
     outs.extend(pipe.drain())
     assert pipe.in_flight == 0
     assert len(outs) == 6 and pipe.frames_completed == 6
