@@ -40,6 +40,7 @@ from signalizer_tpu.editor import widgets as widget_models
 from signalizer_tpu.session import ALL_VIEWS, AnalysisSession
 from signalizer_tpu.stream.audio_stream import Playhead
 from signalizer_tpu.stream.host_graph import HostGraph, PortPair
+from signalizer_tpu.utils.exception_log import log_exception
 from signalizer_tpu.utils.png import encode_png
 
 __all__ = ["EditorShell"]
@@ -178,8 +179,12 @@ class EditorShell:
                 with self._lock:
                     self._frame = frame
                     self._tick_count += 1
-            except Exception:
-                pass  # protected_call already logs; keep the loop alive
+            except Exception as exc:
+                # keep the loop alive, but never silently: reconfigure /
+                # feed failures here happen AFTER the pending-edit sets
+                # were consumed (ref: the cpl exception log absorbs
+                # editor-loop faults the same way, MainEditor.cpp:176)
+                log_exception("editor tick loop", exc)
             dt = time.perf_counter() - t0
             interval = self.engine.editor_settings.refresh_rate_ms / 1000.0
             time.sleep(max(0.0, interval - dt))
@@ -191,7 +196,9 @@ class EditorShell:
         for view in rebuild:
             if view in self.session.views:
                 self.session.reconfigure(only=view)
-        if feeds and not rebuild:
+        # a spectrum rebuild already rebuilt the feeds; any OTHER pending
+        # rebuild must not swallow a queued feed edit
+        if feeds and "spectrum" not in rebuild:
             self.session.refresh_feeds()
 
     # ------------------------------------------------------------------ GET

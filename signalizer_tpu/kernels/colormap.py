@@ -55,11 +55,15 @@ def gradient_map(intensity: jax.Array, colours: jax.Array, ratios: jax.Array) ->
     k = jnp.arange(ratios.shape[0])
     hot_lo = (seg[..., None] - 1) == k  # [..., P, 6]
     hot_hi = seg[..., None] == k
-    lo = jnp.einsum("...k,k->...", hot_lo.astype(bounds.dtype), bounds)
-    hi = jnp.einsum("...k,k->...", hot_hi.astype(bounds.dtype), bounds)
+    # HIGHEST: the MXU's default bf16 multiplication would round the
+    # bounds to ~2e-3 abs, which (x-lo)/(hi-lo) amplifies to ~10% mix
+    # error on narrow gradient segments — visible colour banding
+    hp = jax.lax.Precision.HIGHEST
+    lo = jnp.einsum("...k,k->...", hot_lo.astype(bounds.dtype), bounds, precision=hp)
+    hi = jnp.einsum("...k,k->...", hot_hi.astype(bounds.dtype), bounds, precision=hp)
     mix = jnp.where(hi > lo, (x - lo) / jnp.maximum(hi - lo, 1e-20), 1.0)
-    c_lo = jnp.einsum("...k,kc->...c", hot_lo.astype(colours.dtype), colours)
-    c_hi = jnp.einsum("...k,kc->...c", hot_hi.astype(colours.dtype), colours)
+    c_lo = jnp.einsum("...k,kc->...c", hot_lo.astype(colours.dtype), colours, precision=hp)
+    c_hi = jnp.einsum("...k,kc->...c", hot_hi.astype(colours.dtype), colours, precision=hp)
     rgb = c_lo * (1.0 - mix[..., None]) + c_hi * mix[..., None]
     # full-scale pixels take the last stop exactly (ref: :157-160)
     rgb = jnp.where((x >= 0.999)[..., None], colours[-1], rgb)

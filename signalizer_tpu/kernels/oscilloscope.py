@@ -215,9 +215,10 @@ def spectral_fundamental(
     # acceptance is the first True. Iterate acceptance-to-acceptance with a
     # while_loop (race-to-next-record) instead of scanning all ~N/2 bins:
     # each accepted value must exceed 2x the previous, so float32's full
-    # dynamic range (subnormal init -> f32 max) bounds the chain at < 256
-    # acceptances — the loop runs ~chain-length iterations of [batch, M]
-    # VPU work rather than N/2 dependent steps of scalar-carry work.
+    # dynamic range (smallest subnormal 2^-149 -> f32 max 2^128) bounds
+    # the chain at <= 277 doublings — the loop runs ~chain-length
+    # iterations of [batch, M] VPU work rather than N/2 dependent steps
+    # of scalar-carry work.
     # Semantics identical to the reference's per-bin loop
     # (OscilloscopeDSP.inl:134-184).
     def accept_mask(record: BinRecord):
@@ -237,7 +238,7 @@ def spectral_fundamental(
 
     def cond(carry):
         record, active, it = carry
-        return jnp.any(active) & (it < 256)
+        return jnp.any(active) & (it < 280)  # > the 277-doubling f32 bound
 
     def body(carry):
         record, _, it = carry

@@ -164,14 +164,31 @@ class ResonatorBlockPlan:
 
 
 def make_block_plan(constant: ResonatorConstant, block: int) -> ResonatorBlockPlan:
-    """Host-side plan precomputation (no device readbacks: uses the
-    design-time host mirror of the poles)."""
+    """Host-side plan precomputation (no remote readbacks: uses the
+    design-time host mirror of the poles).
+
+    The mirror is stapled on by make_resonator_constant and does NOT
+    survive pytree flatten/unflatten (tree_map, jit reconstruction,
+    checkpoint restore rebuild the dataclass from registered fields
+    only). When it is missing, the poles are recovered from the
+    constant's own field — free when the leaves live on CPU; refused on
+    remote devices, where a device->host readback permanently degrades
+    the transport (CLAUDE.md)."""
     poles = getattr(constant, "_host_poles", None)
     if poles is None:
-        raise ValueError(
-            "make_block_plan needs a constant built by make_resonator_constant "
-            "(host pole mirror missing)"
-        )
+        leaf = constant.poles
+        devices = getattr(leaf, "devices", None)
+        platforms = {d.platform for d in devices()} if callable(devices) else set()
+        if platforms and platforms != {"cpu"}:
+            raise ValueError(
+                "make_block_plan: host pole mirror missing (the constant "
+                "went through a pytree round-trip) and its poles live on a "
+                f"remote device {sorted(platforms)} — reading them back "
+                "would degrade the transport. Rebuild the constant with "
+                "make_resonator_constant, or move it to CPU first."
+            )
+        pv = np.asarray(leaf, np.float64)
+        poles = pv[..., 0] + 1j * pv[..., 1]
     n = np.arange(block)
     ramp = poles[..., None] ** (block - 1 - n)  # [P, V, W] complex128
     decay = poles**block

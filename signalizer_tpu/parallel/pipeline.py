@@ -161,13 +161,23 @@ class ShardedAnalysisPipeline:
                 from signalizer_tpu.views.spectrogram import (
                     DEFAULT_GRADIENT,
                     DEFAULT_RATIOS,
+                    SpectrogramProcessor,
                 )
 
                 base = np.asarray(
                     colours if colours is not None else DEFAULT_GRADIENT, np.float32
                 )
-                if base.ndim == 2:  # one table -> replicate per pair
-                    base = np.broadcast_to(base, (pairs,) + base.shape).copy()
+                if base.ndim == 2:
+                    # one table -> per-pair hue rotation, matching the
+                    # single-device SpectrogramProcessor (ref:
+                    # generateSpectrogramColourRotation) so the sharded
+                    # blend renders identically
+                    base = np.stack(
+                        [
+                            SpectrogramProcessor._rotate(base, p, pairs)
+                            for p in range(pairs)
+                        ]
+                    )
                 self._colours = shard_batch(jnp.asarray(base), self.mesh)
                 self._ratios = jnp.asarray(
                     normalize_ratios(ratios if ratios is not None else DEFAULT_RATIOS),

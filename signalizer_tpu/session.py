@@ -96,16 +96,7 @@ class AnalysisSession:
             )
             self._processors["spectrum"] = proc
             self._res_spectrum = None  # stale shape after an algo/axis change
-            if self.build_line_graph and hasattr(proc, "constant"):
-                self._feeds["line_graph"] = eng.spectrum.make_render_feed(proc.constant)
-                trk = (
-                    eng.spectrum.make_tracker(
-                        eng.config.sample_rate, frame_rate=self.frame_rate
-                    )
-                    if self.cursor_fraction is not None
-                    else None
-                )
-                self._feeds["tracker"] = trk  # None when FTracker = none
+            self._build_spectrum_feeds(proc)
         if "oscilloscope" in self.views and only in (None, "oscilloscope"):
             self._processors["oscilloscope"] = eng.make_oscilloscope_processor(
                 pixels=self.pixels
@@ -152,10 +143,16 @@ class AnalysisSession:
         path for feed-tier knob edits (line colours, tracker source,
         legend toggles); the reference likewise re-reads these per frame
         rather than through handleFlagUpdates."""
+        self._build_spectrum_feeds(self._processors.get("spectrum"))
+
+    def _build_spectrum_feeds(self, proc) -> None:
+        """Shared feed/tracker wiring for reconfigure() and
+        refresh_feeds() — one place, so the rebuild path and the light
+        feed path cannot diverge."""
         eng = self.engine
-        proc = self._processors.get("spectrum")
         if self.build_line_graph and proc is not None and hasattr(proc, "constant"):
             self._feeds["line_graph"] = eng.spectrum.make_render_feed(proc.constant)
+            # tracker is None when FTracker = none
             self._feeds["tracker"] = (
                 eng.spectrum.make_tracker(
                     eng.config.sample_rate, frame_rate=self.frame_rate

@@ -98,9 +98,15 @@ class FramePipeline:
             self.frames_completed += 1
         return done
 
-    def _pop_blocking(self):
+    def _pop_blocking(self, poll_s: float = 0.002):
         out = self._inflight.popleft()
         jax.block_until_ready(out)
+        # on remote transports block_until_ready can return LAZILY for
+        # arrays (round-3 measurement, CLAUDE.md) — without this poll the
+        # depth bound would be fiction there and "completed" outputs
+        # could be handed back mid-flight
+        while not _ready(out):
+            time.sleep(poll_s)
         self.frames_completed += 1
         return out
 

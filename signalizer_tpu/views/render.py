@@ -121,11 +121,22 @@ def render_line_graph_frame(
         freqs = [l.position for l in frame.grid]
         labels_hz = []
         for l in frame.grid:
+            text = str(l.label).strip()
+            # proper suffix parse (rstrip("kHz") strips a character SET,
+            # mangling e.g. trailing "...k" digits-free text); 0 Hz is a
+            # legitimate anchor on linear axes
+            scale = 1.0
+            if text.endswith("kHz"):
+                text, scale = text[:-3], 1000.0
+            elif text.endswith("Hz"):
+                text = text[:-2]
+            elif text.endswith("k"):
+                text, scale = text[:-1], 1000.0
             try:
-                labels_hz.append(float(str(l.label).rstrip("kHz")) * (1000.0 if "k" in str(l.label) else 1.0))
+                labels_hz.append(float(text) * scale)
             except ValueError:
                 labels_hz.append(None)
-        known = [(p, h) for p, h in zip(freqs, labels_hz) if h]
+        known = [(p, h) for p, h in zip(freqs, labels_hz) if h is not None]
         if len(known) >= 2:
             import numpy as _np
 

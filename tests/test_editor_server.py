@@ -280,3 +280,30 @@ def test_png_encoder_roundtrip():
 
     back = (mpimg.imread(io.BytesIO(png), format="png") * 255).round().astype(np.uint8)
     np.testing.assert_array_equal(back, img)
+
+
+def test_feed_edit_survives_unrelated_rebuild():
+    """A queued feed-tier edit must not be swallowed by a pending rebuild
+    of a DIFFERENT view arriving in the same tick (regression: round-3
+    review found _apply_pending skipped refresh_feeds whenever ANY
+    rebuild was pending)."""
+    eng = SignalizerEngine("ed-feedfix")
+    sess = AnalysisSession(eng, axis_points=128, pixels=128, cursor_fraction=0.5)
+    try:
+        sh = EditorShell(sess)  # not started: drive _apply_pending directly
+        calls = []
+        sess.refresh_feeds = lambda: calls.append("feeds")  # record only
+        sh._pending_feeds = True
+        sh._pending_rebuild = {"oscilloscope"}
+        sh._apply_pending()
+        assert calls == ["feeds"]
+        # ...but a SPECTRUM rebuild already rebuilds the feeds itself —
+        # no redundant refresh then
+        calls.clear()
+        sh._pending_feeds = True
+        sh._pending_rebuild = {"spectrum"}
+        sh._apply_pending()
+        assert calls == []
+    finally:
+        sess.close()
+        eng.close()

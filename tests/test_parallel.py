@@ -411,6 +411,9 @@ def test_sharded_pipeline_every_view(view):
     assert counts["all-to-all"] == 0, counts
     # the diagnostic/blend reduction is present (pmax / psum all-reduce)
     assert counts["all-reduce"] >= 1, counts
+
+
+def test_sharded_oscilloscope_spectral_custom_trigger():
     """The heaviest oscilloscope path (spectral FFT search + Goertzel phase
     lock + custom trigger) shards identically to the single-device run."""
     from signalizer_tpu.views.oscilloscope import (
