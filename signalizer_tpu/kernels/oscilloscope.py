@@ -98,6 +98,7 @@ def peak_hold_triggers(
     state: jax.Array = None,
     holding: jax.Array = None,
     decay: float = PEAK_DECAY,
+    valid: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Envelope-hold trigger events (ref: PeakHoldProcessor,
     StreamPreprocessing.h:270-312).
@@ -106,6 +107,11 @@ def peak_hold_triggers(
     ``hysteresis * state``; on the first fall, fire the previous sample and
     decay the held state by 0.9999 (floored at threshold^2). Genuinely
     sequential -> lax.scan over samples.
+
+    ``valid`` [W] (or broadcastable) marks which samples to CONSUME;
+    invalid slots are identity steps (state unchanged, no fire) — lets a
+    static-shape scan process only the newly-arrived tail of a region,
+    the reference's one-pass-per-sample semantics.
 
     x [..., W] -> (fires bool [..., W], state [...], holding [...]).
     """
@@ -116,17 +122,26 @@ def peak_hold_triggers(
         holding = jnp.zeros(x.shape[:-1], bool)
     thr2 = threshold * threshold
 
-    def step(carry, s):
+    def step(carry, sv):
         st, hold = carry
+        s, v = sv
         delta = s - st
         falling = delta < 0
-        fire = falling & hold
-        new_hold = jnp.where(falling, False, hold | (delta > hysteresis * st))
-        new_st = jnp.where(falling, jnp.maximum(thr2, st * decay), s)
+        fire = falling & hold & v
+        new_hold = jnp.where(
+            v, jnp.where(falling, False, hold | (delta > hysteresis * st)), hold
+        )
+        new_st = jnp.where(
+            v, jnp.where(falling, jnp.maximum(thr2, st * decay), s), st
+        )
         return (new_st, new_hold), fire
 
     xt = jnp.moveaxis(sq, -1, 0)
-    (state, holding), fires = jax.lax.scan(step, (state, holding), xt)
+    if valid is None:
+        vt = jnp.ones((x.shape[-1],), bool)
+    else:
+        vt = jnp.broadcast_to(jnp.asarray(valid, bool), (x.shape[-1],))
+    (state, holding), fires = jax.lax.scan(step, (state, holding), (xt, vt))
     # the fire marks "first sample that no longer qualifies"; the event
     # timestamp is the previous sample (ref: peaks.push(... - 1))
     fires = jnp.moveaxis(fires, 0, -1)

@@ -200,6 +200,11 @@ def make_oscilloscope_constant(
     return constant
 
 
+PEAK_QUEUE_SIZE = 8  # pending envelope-hold fires tracked across steps
+# (the reference's TriggeringProcessor peak queue, StreamPreprocessing.h:78)
+_FIRE_AGE_NONE = 1.0e9  # sentinel age for an empty queue slot
+
+
 class OscilloscopeState(NamedTuple):
     """Carried device state."""
 
@@ -209,6 +214,9 @@ class OscilloscopeState(NamedTuple):
     median_history: jax.Array  # [pairs, 8] past fundamental omegas
     crossover: CrossoverState  # [pairs, rows, ...] colour network states
     colour_smooth: jax.Array  # [pairs, rows, 3] band smoothing states
+    peak_fire_ages: jax.Array  # [pairs, PEAK_QUEUE_SIZE] samples since the
+    # most recent envelope-hold fires (ascending after top_k; _FIRE_AGE_NONE
+    # = empty slot)
 
 
 class OscilloscopeFrame(NamedTuple):
@@ -335,6 +343,9 @@ class OscilloscopeProcessor:
             median_history=jnp.full((pairs, MEDIAN_FILTER_SIZE), -1.0, jnp.float32),
             crossover=init_crossover_state((pairs, rows)),
             colour_smooth=jnp.zeros((pairs, rows, 3), jnp.float32),
+            peak_fire_ages=jnp.full(
+                (pairs, PEAK_QUEUE_SIZE), _FIRE_AGE_NONE, jnp.float32
+            ),
         )
 
     @property
@@ -390,12 +401,23 @@ class OscilloscopeProcessor:
                 else self.effective_window_samples()
             )
             window_dev = self._dev_scalar(float(window))
+        if self.constant.trigger_mode == TriggerMode.ENVELOPE_HOLD:
+            # pow2-bucketed static trigger scan over the new tail only —
+            # O(new_samples) per tick instead of O(lookahead), at most
+            # log2(lookahead) compiled variants (the RSNT/spectrogram
+            # bucketing pattern)
+            la = min(self.constant.lookahead, history.shape[-1])
+            n = max(1, min(int(new_samples), la))
+            chunk = min(1 << (n - 1).bit_length(), la)
+        else:
+            chunk = None
         frame, self._state = _osc_step(
             self.constant, self._state, history,
             window_dev,
             self._dev_transport(float(transport_position)),
             self._dev_scalar(float(int(new_samples))),
             self._pair_keys,
+            trigger_chunk=chunk,
         )
         if cycles_live:
             # feed the detected fundamental back into the next window
@@ -501,13 +523,20 @@ def osc_step_impl(
     transport_position: jax.Array,
     new_samples: jax.Array,
     pair_keys: Optional[jax.Array] = None,
+    *,
+    trigger_chunk: Optional[int] = None,
 ) -> Tuple[OscilloscopeFrame, OscilloscopeState]:
     """Pure (unjitted) oscilloscope step — shard_map-able over the pairs
     axis (see :mod:`signalizer_tpu.parallel.mesh`).
 
     ``pair_keys`` [pairs, 2, 3]: per-pair hue-rotated primary/secondary
     colours (ref: CHANGELOG 0.4.0 multi-pair colour distinctness /
-    ColourRotation); ``None`` = every pair uses the constant's colours."""
+    ColourRotation); ``None`` = every pair uses the constant's colours.
+
+    ``trigger_chunk`` (static): envelope-hold only — scan just the
+    trailing ``trigger_chunk`` samples for triggers (must cover
+    new_samples; ``process()`` picks a pow2 bucket). None = the full
+    lookahead region, valid-masked to the new tail."""
     pairs, _, h = history.shape
     pixels = constant.pixels
     sample_rate = constant.sample_rate
@@ -523,19 +552,15 @@ def osc_step_impl(
     new_median = state.median_history
     new_ph_state = state.peak_hold_state
     new_holding = state.peak_holding
+    new_fire_ages = state.peak_fire_ages
 
     trigger_mode = constant.trigger_mode
     threshold = constant.threshold
     # --- trigger: fractional sample offset from the end of history --------
-    if trigger_mode == TriggerMode.ZERO_CROSSING or trigger_mode == TriggerMode.ENVELOPE_HOLD:
+    if trigger_mode == TriggerMode.ZERO_CROSSING:
         la = min(constant.lookahead, h)
         region = trig_src[..., h - la :]
-        if trigger_mode == TriggerMode.ZERO_CROSSING:
-            fires = zero_crossing_triggers(region, threshold)
-        else:
-            fires, new_ph_state, new_holding = peak_hold_triggers(
-                region, threshold, constant.hysteresis, state.peak_hold_state, state.peak_holding
-            )
+        fires = zero_crossing_triggers(region, threshold)
         # take the most recent trigger that still has a full half-window of
         # samples after it (the reference swaps buffers only once the half
         # window following the trigger is complete, StreamPreprocessing.h:78)
@@ -545,6 +570,51 @@ def osc_step_impl(
         found = last >= 0
         trigger_pos = (h - la) + jnp.maximum(last, 0.0)
         # center the window on the trigger; clamp into the history
+        start = trigger_pos - (window - 1.0) * 0.5
+        start = jnp.clip(start, 0.0, hf - window)
+        start = jnp.where(found, start, hf - window)
+    elif trigger_mode == TriggerMode.ENVELOPE_HOLD:
+        # incremental consumption, the reference's semantics: the
+        # TriggeringProcessor sees every sample exactly ONCE as it
+        # arrives (StreamPreprocessing.h:270-312) — so only the
+        # newly-arrived tail is scanned (valid-masked for static shapes;
+        # ``trigger_chunk`` lets the caller shrink the scan to a bucket
+        # of the tail, turning an O(lookahead) per-tick cost into
+        # O(new_samples)). Earlier fires live on as AGES in a small
+        # queue (the reference's pending-peak queue): each step they age
+        # by new_samples, and the display picks the newest fire whose
+        # half window is complete. Round-2..3 re-scanned the whole
+        # region against the already-evolved state, which let the state
+        # machine see samples twice with future-leaked state.
+        la = min(constant.lookahead, h)
+        chunk = la if trigger_chunk is None else max(1, min(trigger_chunk, la))
+        region = trig_src[..., h - chunk :]
+        idx = jnp.arange(chunk, dtype=jnp.float32)
+        ns = jnp.clip(new_samples, 0.0, float(chunk))
+        fires, new_ph_state, new_holding = peak_hold_triggers(
+            region,
+            threshold,
+            constant.hysteresis,
+            state.peak_hold_state,
+            state.peak_holding,
+            valid=idx >= (chunk - ns),
+        )
+        age = (chunk - 1.0) - idx  # age relative to the history end
+        cand = jnp.where(fires, age, _FIRE_AGE_NONE)  # [pairs, chunk]
+        k_new = min(PEAK_QUEUE_SIZE, chunk)
+        newest = -jax.lax.top_k(-cand, k_new)[0]
+        carried = jnp.minimum(
+            state.peak_fire_ages + new_samples, _FIRE_AGE_NONE
+        )
+        merged = jnp.concatenate([newest, carried], axis=-1)
+        new_fire_ages = -jax.lax.top_k(-merged, PEAK_QUEUE_SIZE)[0]
+        # newest fire with its half window complete, still inside history
+        mature = (new_fire_ages >= window * 0.5 - 1.0) & (new_fire_ages < hf)
+        age_sel = jnp.min(
+            jnp.where(mature, new_fire_ages, _FIRE_AGE_NONE), axis=-1
+        )
+        found = age_sel < _FIRE_AGE_NONE
+        trigger_pos = hf - 1.0 - jnp.where(found, age_sel, 0.0)
         start = trigger_pos - (window - 1.0) * 0.5
         start = jnp.clip(start, 0.0, hf - window)
         start = jnp.where(found, start, hf - window)
@@ -666,11 +736,14 @@ def osc_step_impl(
         median_history=new_median,
         crossover=new_xover,
         colour_smooth=new_smooth,
+        peak_fire_ages=new_fire_ages,
     )
     return frame, new_state
 
 
-_osc_step = jax.jit(osc_step_impl, donate_argnums=(1,))
+_osc_step = jax.jit(
+    osc_step_impl, donate_argnums=(1,), static_argnames=("trigger_chunk",)
+)
 
 
 @jax.jit

@@ -630,3 +630,69 @@ def test_linear_and_nearest_banded_match_oracles():
             np.testing.assert_allclose(got_lin[pair, row], want_lin, rtol=1e-5, atol=1e-5)
             want_near = x[pair, row, np.clip(np.round(pos).astype(int), 0, w - 1)]
             np.testing.assert_allclose(got_near[pair, row], want_near, rtol=1e-6)
+
+
+def test_envelope_hold_incremental_matches_stream_oracle():
+    """ENVELOPE_HOLD consumes each sample exactly once across uneven
+    ticks (ref: TriggeringProcessor, StreamPreprocessing.h:270-312):
+    the displayed window start must match a single numpy pass over the
+    whole stream with the production selection rule (newest fire whose
+    half window is complete, 8-deep queue, centered window)."""
+    from signalizer_tpu.kernels.oscilloscope import sinc_resample
+    from signalizer_tpu.views.oscilloscope import (
+        PEAK_QUEUE_SIZE,
+        OscilloscopeProcessor,
+        SubSampleInterpolation,
+    )
+
+    H, window, pixels, la = 4096, 512.0, 256, 4096
+    thr, hyst = 0.1, 0.5
+    proc = OscilloscopeProcessor(
+        pairs=1,
+        trigger_mode=TriggerMode.ENVELOPE_HOLD,
+        interpolation=SubSampleInterpolation.LANCZOS,
+        window_samples=window,
+        pixels=pixels,
+        lookahead=la,
+        trigger_threshold=thr,
+        trigger_hysteresis=hyst,
+        autogain=False,
+    )
+    # ~120 Hz sine: one envelope-hold fire per ~400-sample cycle — sparse
+    # enough that the 8-deep queue never truncates a mature candidate
+    t = np.arange(20000)
+    stream = np.sin(2 * np.pi * t / 400.0).astype(np.float32)
+
+    buf = np.zeros(H, np.float32)
+    consumed = 0
+    step = (window - 1.0) / (pixels - 1)
+    # non-pow2 chunk sizes: every tick's valid tail starts mid-region
+    for chunk_len in (317, 523, 101, 907, 679, 1111, 450, 263, 777):
+        chunk = stream[consumed : consumed + chunk_len]
+        buf = np.concatenate([buf[chunk_len:], chunk])
+        consumed += chunk_len
+        hist = np.broadcast_to(buf, (1, 2, H)).copy()
+        frame = proc.process(hist, new_samples=chunk_len)
+
+        fires = _peak_hold_oracle(stream[:consumed].astype(np.float64), thr, hyst)
+        ages = consumed - 1 - np.flatnonzero(fires)
+        ages = np.sort(ages)[:PEAK_QUEUE_SIZE]  # queue keeps the newest 8
+        mature = ages[(ages >= window * 0.5 - 1.0) & (ages < H)]
+        if mature.size:
+            start = (H - 1.0 - float(mature.min())) - (window - 1.0) * 0.5
+            start = float(np.clip(start, 0.0, H - window))
+            assert bool(np.asarray(frame.trigger_found)[0])
+        else:
+            start = H - window
+        want = np.asarray(
+            sinc_resample(
+                jnp.asarray(hist),
+                jnp.full((1, 1), start, jnp.float32),
+                jnp.full((1, 1), step, jnp.float32),
+                pixels,
+            )
+        )
+        np.testing.assert_allclose(
+            np.asarray(frame.waveform), want, atol=2e-4,
+            err_msg=f"after {consumed} samples",
+        )
