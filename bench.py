@@ -211,11 +211,17 @@ def main(only: str = None) -> None:
         def chained(k):
             @jax.jit
             def run(state, frame):
-                def body(st, _):
-                    r = analyze_frames(constant, st, frame)
-                    return r.state, r.results[:, 0, 0]
+                def body(carry, _):
+                    st, fr = carry
+                    r = analyze_frames(constant, st, fr)
+                    # rotate the frame per step — a loop-invariant input
+                    # lets XLA hoist the FFT out of the scan, and the
+                    # "on-device step" then measures only the state
+                    # update (the cfg4/5/6 landmine; caught on the
+                    # headline round 3)
+                    return (r.state, jnp.roll(fr, 1, axis=-1)), r.results[:, 0, 0]
 
-                st, rows = jax.lax.scan(body, state, None, length=k)
+                (st, _), rows = jax.lax.scan(body, (state, frame), None, length=k)
                 return rows[-1], st
 
             return run
@@ -239,6 +245,20 @@ def main(only: str = None) -> None:
             mins.append(float(np.min(times)))
         out["on_device_step_us"] = round(
             max(mins[1] - mins[0], 0.0) / (k_hi - k_lo) * 1e6, 3
+        )
+
+        # on-device THROUGHPUT at the saturating batch (single-stream
+        # latency above is FFT-latency-bound; the chip's frame rate is
+        # set by the batched pipeline)
+        def batch_body(c):
+            st, fr, acc = c
+            r = analyze_frames(constant, st, fr)
+            return r.state, jnp.roll(fr, 1, axis=-1), acc + jnp.sum(r.results)
+
+        out["on_device_frames_per_sec"] = round(
+            pairs * t_steps
+            / _scan_rate(batch_body, (state, frames, jnp.float32(0.0))),
+            1,
         )
 
     if want("pipeline"):
