@@ -37,6 +37,7 @@ replicate.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -99,12 +100,44 @@ def _pack_channels(constant: SpectrumConstant, frames: jax.Array) -> jax.Array:
     return rows * w
 
 
+def _mxu_fft_active() -> bool:
+    """Use the MXU four-step FFT on TPU: honest scan-slope rematch at the
+    headline geometry (N=4096, 4096 transforms, round 3) measured
+    1.83 ms vs XLA's 2.64 ms (1.44x) at BETTER accuracy (1.1e-7 vs
+    3.7e-7 relative against float64 numpy). CPU keeps jnp.fft (the
+    matmul formulation trades ~20x FLOPs for MXU throughput — a loss on
+    scalar pipelines); tools/tpu_parity_check.py compares the two."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+@functools.lru_cache(maxsize=None)
+def _mxu_plan(n: int):
+    from signalizer_tpu.kernels.mxu_fft import make_plan
+
+    return make_plan(n)
+
+
 def _half_spectrum(constant: SpectrumConstant, rows: jax.Array) -> jax.Array:
     """Windowed rows [..., W] -> rFFT bins [..., N/2+1] complex, zero-padded
     to transform_size, with DC and Nyquist halved
     (ref: TransformDSP.inl:551-554 — the one-sided display convention)."""
     n = constant.transform_size
-    spec = jnp.fft.rfft(rows, n=n, axis=-1)
+    if _mxu_fft_active():
+        from signalizer_tpu.kernels.mxu_fft import mxu_rfft_half
+
+        pad = n - rows.shape[-1]
+        xr = (
+            jnp.pad(rows, [(0, 0)] * (rows.ndim - 1) + [(0, pad)])
+            if pad
+            else rows
+        )
+        re, im = mxu_rfft_half(_mxu_plan(n), xr)
+        spec = jax.lax.complex(re, im)
+    else:
+        spec = jnp.fft.rfft(rows, n=n, axis=-1)
     nb = n // 2
     scale = jnp.ones(nb + 1, dtype=rows.dtype).at[0].set(0.5).at[nb].set(0.5)
     return spec * scale
@@ -189,7 +222,20 @@ def spectrum_values(constant: SpectrumConstant, frames: jax.Array) -> jax.Array:
 
     if cfg == SpectrumChannels.COMPLEX:
         z = _pack_channels(constant, frames)  # [..., W] complex
-        spec = jnp.fft.fft(z, n=constant.transform_size, axis=-1)
+        n = constant.transform_size
+        if _mxu_fft_active():
+            from signalizer_tpu.kernels.mxu_fft import mxu_fft
+
+            pad = n - z.shape[-1]
+            zp = (
+                jnp.pad(z, [(0, 0)] * (z.ndim - 1) + [(0, pad)])
+                if pad
+                else z
+            )
+            re, im = mxu_fft(_mxu_plan(n), jnp.real(zp), jnp.imag(zp))
+            spec = jax.lax.complex(re, im)
+        else:
+            spec = jnp.fft.fft(z, n=n, axis=-1)
         mags = jnp.abs(spec)  # [..., N] — full circle, no DC/Nyq halving
         # interpolate MAGNITUDES: the reference abs()'s every csf cell
         # BEFORE its interpolation loops (`csf[i] = std::abs(csf[i])`,

@@ -50,7 +50,7 @@ class AudioHistoryTransformatter(Transformer, Formatter):
         return max(1.0, round(n * self.capacity))
 
     def normalize(self, v: float) -> float:
-        return min(1.0, max(0.0, v / self.capacity))
+        return min(1.0, max(0.0, v / max(self.capacity, 1e-9)))
 
     def format(self, value: float) -> str:
         if self.mode == self.Mode.MILLISECONDS:
@@ -129,6 +129,11 @@ class WindowSizeTransformatter(AudioHistoryTransformatter):
     def normalize(self, v: float) -> float:
         if self.time_mode == TimeMode.TIME:
             cap = self.capacity
+            if cap <= self.minimum:
+                # degenerate history (cap <= the 100-sample TIME floor):
+                # transform() pins every n to ~the same window, so any
+                # value normalizes to 0 rather than dividing by log(1)=0
+                return 0.0
             v = max(2.0, min(v, cap))
             frac = (v - 2.0) / max(cap - 2.0, 1e-9)
             exp_samples = self.minimum + frac * (cap - self.minimum)

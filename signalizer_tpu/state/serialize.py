@@ -27,6 +27,24 @@ FORMAT_MAGIC = "signalizer-tpu/archive"
 FORMAT_VERSION = 1
 
 
+def _check_serializable(v: Any) -> None:
+    """Type-only mirror of :func:`_encode_value` for eager validation at
+    Archive assignment — recursing on structure WITHOUT producing the
+    encoded blob (the old validate-by-encoding base64'd every stored
+    array twice per save)."""
+    if isinstance(v, (bool, int, float, str, bytes)) or v is None:
+        return
+    if isinstance(v, (list, tuple)):
+        for x in v:
+            _check_serializable(x)
+        return
+    if isinstance(v, (np.integer, np.floating)):
+        return
+    if hasattr(v, "__array__"):
+        return
+    raise TypeError(f"cannot serialize {type(v)!r}")
+
+
 def _encode_value(v: Any) -> Any:
     if isinstance(v, (bool, int, float, str)) or v is None:
         return v
@@ -72,7 +90,7 @@ class Archive:
 
     # --- values -------------------------------------------------------------
     def __setitem__(self, key: str, value: Any) -> None:
-        _encode_value(value)  # validate eagerly
+        _check_serializable(value)  # validate eagerly, without encoding
         self._values[key] = value
 
     def __getitem__(self, key: str) -> Any:

@@ -184,14 +184,23 @@ class AudioStreamOutput:
         with self._lock:
             listeners = list(self._listeners)
         for l in listeners:
-            l.on_stream_properties_changed(ctx, before)
+            # same containment contract as _deliver: a faulty listener
+            # must not starve later listeners of the geometry change nor
+            # raise into the producer's initialize_info path
+            protected_call(
+                lambda l=l: l.on_stream_properties_changed(ctx, before),
+                context="stream-listener-properties",
+            )
 
     def _died(self) -> None:
         ctx = ListenerContext(self, self._stream._playhead)
         with self._lock:
             listeners = list(self._listeners)
         for l in listeners:
-            l.on_stream_died(ctx)
+            protected_call(
+                lambda l=l: l.on_stream_died(ctx),
+                context="stream-listener-died",
+            )
 
 
 class AudioStreamInput:
@@ -284,10 +293,12 @@ class AudioStream:
             self._native_queue = NativePacketQueue(
                 self.info.channels, STREAM_PACKET_SIZE, capacity=256
             )
+            # the worker drains the closed queue to its closed-and-drained
+            # signal before switching (see _run), so every pushed packet
+            # still delivers — the drain counters stay consistent with no
+            # re-anchoring (an earlier re-anchor here let wait_for_drain
+            # return while new-queue packets were in flight)
             old.close()
-            # undelivered packets died with the old queue: re-anchor the
-            # drain counters so wait_for_drain cannot wait on them
-            self._pushed = self._delivered
 
     def _ingest(self, block: np.ndarray, playhead: Optional[Playhead]) -> None:
         if not self._alive:
@@ -353,19 +364,27 @@ class AudioStream:
 
     def _run(self) -> None:
         if self._native_queue is not None:
+            q = self._native_queue
             while True:
-                q = self._native_queue
                 # pop time counts as machinery overhead only when a packet
                 # was already waiting — blocking on an empty queue is idle
                 qsize = q.size
                 t_pop0 = time.perf_counter()
                 try:
+                    # keep draining THIS queue object until its
+                    # closed-and-drained signal: on a geometry swap the
+                    # old queue's remaining packets must all deliver (the
+                    # drain counters assume every pushed packet is
+                    # eventually delivered) before switching to the new
+                    # queue — re-reading self._native_queue per pop
+                    # stranded them (round-3 review)
                     item = q.pop(timeout_ms=100)
                 except StopIteration:
-                    # closed: either the stream is shutting down, or the
-                    # queue was swapped for a new channel geometry
+                    # closed-and-drained: shutting down, or swapped for a
+                    # new channel geometry
                     if not self._alive or self._native_queue is q:
                         return
+                    q = self._native_queue
                     continue
                 if item is None:
                     continue

@@ -140,6 +140,14 @@ class HostGraph:
     def add_topology_listener(self, fn: Callable[[], None]) -> None:
         self._topology_listeners.append(fn)
 
+    def remove_topology_listener(self, fn: Callable[[], None]) -> None:
+        """Unregister a topology listener (a closed MixGraph must stop
+        receiving — and being kept alive by — topology callbacks)."""
+        try:
+            self._topology_listeners.remove(fn)
+        except ValueError:
+            pass
+
     def _notify_topology(self) -> None:
         for fn in list(self._topology_listeners):
             fn()
@@ -161,6 +169,14 @@ class HostGraph:
         self._notify_topology()
         return True
 
+    def topology_snapshot(self) -> Dict[bytes, Set[PortPair]]:
+        """Consistent copy of the edge map for lock-free iteration (the
+        delivery-path rebuild reads topology while UI/host threads edit
+        it under our lock — iterating the live dict can raise
+        mid-mutation)."""
+        with self._lock:
+            return {src: set(pairs) for src, pairs in self.topology.items()}
+
     def disconnect(self, source_id: bytes, pair: PortPair) -> bool:
         with self._lock:
             pairs = self.topology.get(source_id)
@@ -176,12 +192,16 @@ class HostGraph:
         """Quick-connect: if any edges from source exist remove them all,
         else connect default layout i->i (ref: toggleSet
         HostGraph.cpp:423-496 + applyDefaultLayoutFromRuntime :541-563)."""
+        # resolve the source BEFORE taking our node lock: find() takes the
+        # registry lock, and close()/assume_identity_of take registry ->
+        # node — taking node -> registry here would be an ABBA inversion
+        # (deadlock found by the round-3 review)
+        src = HostGraph.find(source_id)
         with self._lock:
             if source_id in self.topology:
                 self.topology.pop(source_id)
                 result = False
             else:
-                src = HostGraph.find(source_id)
                 n = min(self.channels, src.channels if src else 2)
                 self.topology[source_id] = {PortPair(i, i) for i in range(n)}
                 result = True
@@ -238,8 +258,13 @@ class HostGraph:
             with HostGraph._registry_lock:
                 holder = HostGraph._registry.get(new_id)
                 if holder is not None and holder is not self:
-                    # identity collision: we become an alias candidate
-                    HostGraph._alias_chains.setdefault(new_id, []).append(self)
+                    # identity collision: we become an alias candidate.
+                    # Hosts re-send state routinely — dedupe, or close()
+                    # (which removes ONE occurrence) could leave a dead
+                    # node promotable (round-3 review)
+                    ch = HostGraph._alias_chains.setdefault(new_id, [])
+                    if self not in ch:
+                        ch.append(self)
                 else:
                     HostGraph._registry.pop(self.node_id, None)
                     self.node_id = new_id

@@ -144,16 +144,21 @@ class MixGraph:
                 self._rebuild_sources()
 
     def _rebuild_sources(self) -> None:
-        wanted: Dict[bytes, Set[PortPair]] = {}
-        for src_id, pairs in self.graph.topology.items():
-            node = HostGraph.find(src_id)
+        # snapshot under the graph lock: UI/host threads edit topology
+        # concurrently and iterating the live dict can raise mid-mutation
+        wanted: Dict[bytes, Tuple[Set[PortPair], object]] = {}
+        for src_id, pairs in self.graph.topology_snapshot().items():
             output = None
             if src_id == self.graph.node_id:
                 output = self.realtime
-            elif node is not None:
-                output = getattr(node, "stream_output", None)
+            else:
+                node = HostGraph.find(src_id)
+                if node is not None:
+                    output = getattr(node, "stream_output", None)
             if output is not None and pairs:
-                wanted[src_id] = set(pairs)
+                # carry the resolved output: re-resolving in the second
+                # pass raced a concurrent close() (round-3 review)
+                wanted[src_id] = (set(pairs), output)
 
         # drop removed
         for src_id in list(self._sources):
@@ -162,11 +167,9 @@ class MixGraph:
                 if st.listener is not None and st.output is not self.realtime:
                     st.output.remove_listener(st.listener)
         # add new / update pairs
-        for src_id, pairs in wanted.items():
+        for src_id, (pairs, output) in wanted.items():
             st = self._sources.get(src_id)
             if st is None:
-                node = HostGraph.find(src_id)
-                output = self.realtime if src_id == self.graph.node_id else node.stream_output
                 st = _SourceState(output, pairs, self.capacity)
                 if output is not self.realtime:
                     st.listener = _Forwarder(self, st, is_self=False)
@@ -349,6 +352,10 @@ class MixGraph:
             return replace(self._perf)
 
     def close(self) -> None:
+        # unregister from the host graph FIRST: a leaked topology
+        # listener keeps the closed MixGraph (and its rings) alive and
+        # accumulates rebuild commands forever (round-3 review)
+        self.graph.remove_topology_listener(self._on_topology_changed)
         for st in self._sources.values():
             if st.listener is not None and st.output is not self.realtime:
                 st.output.remove_listener(st.listener)

@@ -607,3 +607,36 @@ def test_assume_identity_notifies_peers():
     # become a self-loop
     assert b.topology.get(dead_id) == {PortPair(0, 0)}
     assert old_id not in b.topology
+
+
+def test_mix_graph_close_unregisters_topology_listener():
+    """A closed MixGraph must stop receiving topology callbacks — a
+    leaked listener accumulates rebuild commands forever and keeps the
+    rings alive (round-3 review)."""
+    _, out, g = _make_instance("mix-close-test")
+    mix = MixGraph(g, out)
+    assert mix._on_topology_changed in g._topology_listeners
+    mix.close()
+    assert mix._on_topology_changed not in g._topology_listeners
+    g.close()
+
+
+def test_alias_chain_dedupes_repeated_deserialize():
+    """Hosts re-send state routinely: deserializing the same colliding
+    identity twice must not enter the alias chain twice (close() removes
+    ONE occurrence — a duplicate would leave a dead node promotable)."""
+    from signalizer_tpu.state.serialize import Archive
+    from signalizer_tpu.stream.host_graph import HostGraph
+
+    holder = HostGraph("alias-holder", channels=2)
+    other = HostGraph("alias-joiner", channels=2)
+    ar = Archive()
+    ar["name"] = "joiner"
+    ar["node_id"] = holder.node_id
+    other.deserialize(ar)
+    other.deserialize(ar)  # the re-send
+    chain = HostGraph._alias_chains.get(holder.node_id, [])
+    assert chain.count(other) == 1
+    other.close()
+    assert other not in HostGraph._alias_chains.get(holder.node_id, [])
+    holder.close()

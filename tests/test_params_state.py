@@ -546,3 +546,15 @@ def test_reference_knob_range_parity():
     assert vc.envelope_window.get_transformed() == 250.0  # display 250 ms
     # kernels consume normalized as seconds = displayed/1000
     assert vc.make_processor_kwargs()["envelope_window"] == pytest.approx(0.25)
+
+
+def test_window_size_normalize_degenerate_capacity():
+    """A history at or below the 100-sample TIME floor must not divide
+    by log(1)=0 in normalize (round-3 review)."""
+    from signalizer_tpu.params.transformatters import WindowSizeTransformatter
+
+    tf = WindowSizeTransformatter(48_000.0, 16384)
+    tf.set_stream_properties(48_000.0, 100)
+    assert tf.normalize(50.0) == 0.0
+    tf.set_stream_properties(48_000.0, 64)
+    assert 0.0 <= tf.normalize(10.0) <= 1.0
