@@ -337,12 +337,16 @@ def trigger_phase_offset(
     tau = 2.0 * math.pi
     radians = tau * omega / n
 
-    # the reference reads N samples starting at -ceil(max(N, window+cycle));
-    # sampleDifference is the fractional gap between that integer start and
-    # the ideal (window + cycle) anchor
-    offset_real = jnp.maximum(float(n), effective_window + cycle_samples)
-    offset_ceil = jnp.ceil(offset_real)
-    sample_difference = offset_ceil - (effective_window + cycle_samples)
+    # Our Goertzel buffer is anchored at exactly -N (the newest N
+    # samples). The reference instead reads N samples from
+    # -ceil(max(N, window+cycles)) and corrects the phase by
+    # ceil(.) - (window+cycles) (OscilloscopeDSP.inl:263-270); relative
+    # to OUR fixed anchor the equivalent correction is exactly
+    # N - (window + cycles) — no max/ceil. (Round-3 review: carrying the
+    # reference's max/ceil form verbatim silently broke the phase lock
+    # whenever window + cycles exceeded the lookahead, because the two
+    # buffers then start D = ceil(window+cycles) - N samples apart.)
+    sample_difference = float(n) - (effective_window + cycle_samples)
 
     z = goertzel(lookahead, radians)
     rotation = -sample_difference * radians

@@ -290,11 +290,22 @@ def resonate_chunks(
     return (final, ys) if emit_readouts else final
 
 
+def resonator_readout_complex(
+    constant: ResonatorConstant, state: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Windowed COMPLEX readout (re, im) [..., P] — the vectors before
+    |.| (ref: copyResonatorStateInto / getWholeWindowedState; the Phase
+    branch of mapResonatingSystem consumes these,
+    TransformDSP.inl:1111-1127). Normalized by the bank gain."""
+    hi = jax.lax.Precision.HIGHEST
+    z_re = jnp.einsum("...pv,v->...p", state[..., 0], constant.combine, precision=hi)
+    z_im = jnp.einsum("...pv,v->...p", state[..., 1], constant.combine, precision=hi)
+    return z_re * constant.gain, z_im * constant.gain
+
+
 def resonator_readout(constant: ResonatorConstant, state: jax.Array) -> jax.Array:
     """Windowed magnitude readout (ref: getWholeWindowedState usage,
     TransformPair.h copyResonatorStateInto): combine the 2K+1 vectors with
     the window coefficients, normalize. state [..., P, V, 2] -> [..., P]."""
-    hi = jax.lax.Precision.HIGHEST
-    z_re = jnp.einsum("...pv,v->...p", state[..., 0], constant.combine, precision=hi)
-    z_im = jnp.einsum("...pv,v->...p", state[..., 1], constant.combine, precision=hi)
-    return jnp.sqrt(z_re * z_re + z_im * z_im) * constant.gain
+    z_re, z_im = resonator_readout_complex(constant, state)
+    return jnp.sqrt(z_re * z_re + z_im * z_im)

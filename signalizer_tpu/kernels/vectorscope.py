@@ -25,6 +25,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from signalizer_tpu.kernels.filters import onepole_block_update
+
 SQRT_HALF = 0.7071067811865476  # sqrt(2)/2
 
 
@@ -136,17 +138,10 @@ def polar_vertices(frames: jax.Array, *, gain=1.0, scale_to_fill: bool = False) 
 # ---------------------------------------------------------------------------
 
 
-def _block_onepole(state: jax.Array, u: jax.Array, pole: jax.Array) -> jax.Array:
-    """Advance s' = u + p (s - u) over a length-W block in closed form.
-
-    state [..., ], u [..., W], pole broadcastable. Returns the final state:
-    p^W s0 + (1-p) sum_i p^(W-1-i) u[i].
-    """
-    w = u.shape[-1]
-    i = jnp.arange(w, dtype=u.dtype)
-    ramp = jnp.power(pole[..., None], (w - 1) - i)  # [..., W]
-    wsum = jnp.sum(u * ramp, axis=-1) * (1.0 - pole)
-    return jnp.power(pole, float(w)) * state + wsum
+# the closed-form block one-pole lives in kernels/filters.py
+# (onepole_block_update) — one canonical implementation (a private
+# duplicate here diverged from it by round 3; round-3 review)
+_block_onepole = onepole_block_update
 
 
 def update_meters(

@@ -53,7 +53,6 @@ from signalizer_tpu.kernels.oscilloscope import (
     zero_crossing_triggers,
     linear_resample,
     median_record_filter,
-    minmax_decimate,
     peak_hold_triggers,
     sinc_resample,
     spectral_colour_track,
@@ -398,7 +397,7 @@ class OscilloscopeProcessor:
             window = (
                 self.window_samples
                 if self.time_mode == TimeMode.TIME
-                else self.effective_window_samples()
+                else self.effective_window_samples(sync_device=False)
             )
             window_dev = self._dev_scalar(float(window))
         if self.constant.trigger_mode == TriggerMode.ENVELOPE_HOLD:
@@ -427,10 +426,7 @@ class OscilloscopeProcessor:
             # transports to synchronous dispatch (see CLAUDE.md)
             v = self.window_value if self.window_value is not None else self.window_samples
             self._cycle_window_dev, self._cycle_samples_dev = _cycle_feedback(
-                frame.fundamental, window_dev,
-                self._cycle_samples_dev
-                if self._cycle_samples_dev is not None
-                else self._dev_scalar(0.0),
+                frame.fundamental,
                 self._dev_scalar(float(v)),
                 self._dev_scalar(self.constant.sample_rate),
             )
@@ -455,19 +451,23 @@ class OscilloscopeProcessor:
             self._transport_cache = c = (value, jnp.asarray(value, jnp.float32))
         return c[1]
 
-    def effective_window_samples(self) -> float:
+    def effective_window_samples(self, sync_device: bool = True) -> float:
         """The window actually displayed this frame, per time mode
         (ref: Oscilloscope.cpp:293-308).
 
         Cycles mode syncs the detected cycleSamples from the device — an
         explicit host readout for UI/formatting; the processing loop
-        itself keeps the feedback device-resident (on remote-TPU
-        transports, call this at UI cadence only)."""
+        itself keeps the feedback device-resident and passes
+        ``sync_device=False`` (a per-frame device→host readback would
+        permanently degrade remote-TPU transports — CLAUDE.md; the
+        round-3 review found Cycles mode with a non-spectral trigger
+        hitting exactly that). Without the sync the last host-read value
+        is used."""
         if self.time_mode == TimeMode.TIME:
             return self.window_samples
         v = self.window_value if self.window_value is not None else self.window_samples
         if self.time_mode == TimeMode.CYCLES:
-            if self._cycle_samples_dev is not None:
+            if sync_device and self._cycle_samples_dev is not None:
                 self._last_cycle_samples = float(jax.device_get(self._cycle_samples_dev))
             return max(128.0, v * max(self._last_cycle_samples, 1.0) + 1.0)
         bpm = self.bpm_source() if self.bpm_source is not None else self.bpm
@@ -683,7 +683,22 @@ def osc_step_impl(
 
         wave = nearest_resample(rows, start_r, step_r, pixels)
 
-    env_min, env_max = minmax_decimate(rows, pixels)
+    # min-max envelope over the DISPLAYED window [start, start+window)
+    # — a TPU-native render-feed addition (the reference draws every
+    # sample as a GL primitive instead); round-2..3 decimated the whole
+    # history, which misaligned the band from the drawn trace whenever
+    # window < history (round-3 review). Formulation: nearest-sample at
+    # OS points per pixel, reduced per pixel — nearest at spacing <= 1
+    # hits every source sample in the span, so with OS >= h/pixels >=
+    # max step this is the exact min/max, and it rides the banded/Pallas
+    # resample path instead of a scatter.
+    from signalizer_tpu.kernels.oscilloscope import nearest_resample as _nr
+
+    os_ = max(1, -(-h // pixels))  # static ceil(h / pixels) >= any step
+    dense = _nr(rows, start_r, step_r / os_, pixels * os_)
+    dense = dense.reshape(dense.shape[:-1] + (pixels, os_))
+    env_min = jnp.min(dense, axis=-1)
+    env_max = jnp.max(dense, axis=-1)
 
     # --- autogain (ref: analyseAndSetupState, OscilloscopeDSP.inl:44-59) ---
     new_peak_env, gain = _autogain_update(constant, state.peak_env, rows, new_samples)
@@ -708,12 +723,18 @@ def osc_step_impl(
             constant.colour_blend,
             state.colour_smooth,
         )  # [pairs, rows, H, 3]
-        # resample colour track to pixels (nearest)
-        p = jnp.arange(pixels, dtype=jnp.float32)
-        pos = start_r[..., None] + p * step_r[..., None]  # [pairs, rows?, P]
-        idx = jnp.clip(jnp.round(pos).astype(jnp.int32), 0, h - 1)  # [pairs, 1?, P]
-        idx = jnp.broadcast_to(idx[:, :1, :], (pairs, colours.shape[1], pixels))
-        pix_colours = jnp.take_along_axis(colours, idx[..., None], axis=-2)
+        # resample colour track to pixels (nearest) through the banded /
+        # fused-Pallas route: the previous per-element take_along_axis
+        # gathered ~P x rows x 3 scattered elements, which TPU serializes
+        # at ~1/cycle (the CLAUDE.md landmine; several ms at display
+        # widths — round-3 review). Fold the rgb channels into the row
+        # axis so the resampler sees [pairs, rows*3, H].
+        from signalizer_tpu.kernels.oscilloscope import nearest_resample
+
+        nrows = colours.shape[1]
+        cflat = jnp.moveaxis(colours, -1, 2).reshape(pairs, nrows * 3, h)
+        pix = nearest_resample(cflat, start_r, step_r, pixels)
+        pix_colours = jnp.moveaxis(pix.reshape(pairs, nrows, 3, pixels), 2, 3)
     else:
         new_xover = state.crossover
         new_smooth = state.colour_smooth
@@ -747,16 +768,16 @@ _osc_step = jax.jit(
 
 
 @jax.jit
-def _cycle_feedback(fundamental, prev_window, prev_cycles, window_value, sample_rate):
+def _cycle_feedback(fundamental, window_value, sample_rate):
     """Next Cycles-mode window from the detected fundamental, device-side
     (ref: Oscilloscope.cpp:299-303): cycleSamples = fs / f0,
-    window = value * cycleSamples + 1, floored at 128; an undetected
-    fundamental keeps the previous window."""
+    window = value * cycleSamples + 1. The reference updates
+    unconditionally — cycleSamples simply persists between spectral
+    runs, and the spectral path floors the fundamental at 5 Hz so an
+    "undetected" f0 <= 0 cannot occur (a round-3 review killed the dead
+    keep-previous branch here). The 128-sample floor is a deliberate
+    deviation guarding degenerate windows."""
     f0 = fundamental[0]
     cycles = sample_rate / jnp.maximum(f0, 1e-9)
-    cand = jnp.maximum(128.0, window_value * jnp.maximum(cycles, 1.0) + 1.0)
-    ok = f0 > 0
-    return (
-        jnp.where(ok, cand, prev_window).astype(jnp.float32),
-        jnp.where(ok, cycles, prev_cycles).astype(jnp.float32),
-    )
+    window = jnp.maximum(128.0, window_value * jnp.maximum(cycles, 1.0) + 1.0)
+    return window.astype(jnp.float32), cycles.astype(jnp.float32)

@@ -132,12 +132,34 @@ def _rsnt_chunks_step(
     blocks [pairs, 2, T, W] time-ordered; valid [T] bool (False = padding,
     state untouched). Returns (results [pairs, 1, K, rows, P], res_state,
     graph_state)."""
-    from signalizer_tpu.kernels.resonator import resonate_chunks, resonator_readout
+    from signalizer_tpu.core.config import SpectrumChannels
+    from signalizer_tpu.kernels.resonator import (
+        resonate_chunks,
+        resonator_readout,
+        resonator_readout_complex,
+    )
 
     mixed = _mix_rsnt(constant.configuration, blocks)  # [pairs, rows, T, W]
     st = resonate_chunks(resonator, res_state, mixed, valid=valid, plan=plan)
-    mags = resonator_readout(resonator, st)  # [pairs, rows, P]
-    result = post_process(constant, graph_state, mags[:, None])
+    if constant.configuration == SpectrumChannels.PHASE:
+        # post_process's PHASE contract is rows = (mid magnitude,
+        # cancellation in [0, 1]) — built from the COMPLEX per-channel
+        # states exactly like the reference's RSNT Phase branch
+        # (mapResonatingSystem, TransformDSP.inl:1111-1127): mid =
+        # |L| + |R|, cancellation = 1 - |L + R| / mid. Feeding raw
+        # per-channel magnitudes here was a round-3 review find.
+        re, im = resonator_readout_complex(resonator, st)  # [pairs, 2, P]
+        mag = jnp.sqrt(re * re + im * im)
+        mid = mag[:, 0] + mag[:, 1]
+        sre, sim = re[:, 0] + re[:, 1], im[:, 0] + im[:, 1]
+        interference = jnp.sqrt(sre * sre + sim * sim)
+        cancel = 1.0 - jnp.where(
+            mid > 0, interference / jnp.maximum(mid, 1e-30), 0.0
+        )
+        vals = jnp.stack([mid, cancel], axis=1)  # [pairs, 2, P]
+    else:
+        vals = resonator_readout(resonator, st)  # [pairs, rows, P]
+    result = post_process(constant, graph_state, vals[:, None])
     return result.results, st, result.state
 
 

@@ -696,3 +696,55 @@ def test_envelope_hold_incremental_matches_stream_oracle():
             np.asarray(frame.waveform), want, atol=2e-4,
             err_msg=f"after {consumed} samples",
         )
+
+
+def test_envelope_covers_displayed_window_only():
+    """The min-max envelope must decimate the displayed [start,
+    start+window) region, not the whole history (round-3 review: a
+    full-history envelope misaligns with the drawn trace whenever
+    window < history)."""
+    h, window, pixels = 4096, 1024.0, 256
+    proc = OscilloscopeProcessor(
+        pairs=1,
+        trigger_mode=TriggerMode.NONE,
+        window_samples=window,
+        pixels=pixels,
+        lookahead=2048,
+    )
+    hist = np.zeros((1, 2, h), np.float32)
+    hist[:, :, 100] = 5.0  # spike far OUTSIDE the displayed tail window
+    hist[:, :, h - 512] = 3.0  # spike INSIDE the window (midway)
+    frame = proc.process(hist)
+    env_max = np.asarray(frame.envelope_max)[0, 0]
+    env_min = np.asarray(frame.envelope_min)[0, 0]
+    assert env_max.max() == 3.0, "outside-window spike leaked into the envelope"
+    # the inside spike lands at pixel ~ (h-512 - (h-window)) / step
+    px = int(round((window - 512.0) / ((window - 1.0) / (pixels - 1))))
+    assert env_max[max(0, px - 1) : px + 2].max() == 3.0
+    assert env_min.min() == 0.0
+
+
+def test_spectral_phase_lock_with_window_beyond_lookahead():
+    """The displayed window must not depend on the lookahead size once
+    window + cycles exceeds it (round-3 review: the reference's
+    ceil(max(N, w+c)) phase correction assumes ITS buffer anchor at
+    -ceil(max(N, w+c)); ours is always -N, so the correction is
+    N - (w+c) — the verbatim form misplaced the lock by up to a full
+    cycle in this regime; measured divergence 1.97 vs 0.0000 after the
+    fix). Bin-exact frequency isolates the formula from omega
+    quantization (562.5 Hz = bin 12 of 1024 = bin 96 of 8192)."""
+    f_hz = 562.5
+    windows = []
+    for la in (1024, 8192):  # w + c ~ 2085 straddles the two regimes
+        proc = OscilloscopeProcessor(
+            pairs=1,
+            trigger_mode=TriggerMode.SPECTRAL,
+            channel_mode=OscChannels.LEFT,
+            window_samples=2000.0,
+            pixels=500,
+            lookahead=la,
+            interpolation=SubSampleInterpolation.LANCZOS,
+        )
+        frame = proc.process(_history(f_hz=f_hz, phase=0.9))
+        windows.append(np.asarray(frame.waveform)[0, 0])
+    np.testing.assert_allclose(windows[0][16:-16], windows[1][16:-16], atol=0.01)

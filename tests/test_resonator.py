@@ -231,3 +231,46 @@ def test_resonator_spectrum_processor_end_to_end():
     row = np.asarray(r)[0, 0, 0, 0]
     assert int(np.argmax(row)) == 16
     assert abs(float(row[16]) - 1.0) < 0.01
+
+
+def test_rsnt_phase_mode_cancellation_semantics():
+    """RSNT + Phase must feed post_process (mid, cancellation) built from
+    the COMPLEX per-channel states (ref: mapResonatingSystem Phase
+    branch, TransformDSP.inl:1111-1127) — round-3 review found raw
+    per-channel magnitudes going in instead. Observable: inverted stereo
+    (R = -L) reads near-full cancellation at the tone's pixel, mono
+    (R = L) reads ~none; the mid row is identical in both."""
+    from signalizer_tpu.core.config import (
+        SpectrumChannels,
+        TransformAlgorithm,
+        ViewScaling,
+    )
+    from signalizer_tpu.core.constant import make_spectrum_constant
+    from signalizer_tpu.views.spectrum import ResonatorSpectrumProcessor
+
+    c = make_spectrum_constant(
+        axis_points=64,
+        window_size=1024,
+        configuration=SpectrumChannels.PHASE,
+        view_scaling=ViewScaling.LINEAR,
+        algo=TransformAlgorithm.RESONATOR,
+    )
+    t = np.arange(4096)
+    f = float(np.asarray(c.mapped_frequencies)[16])
+    x = np.sin(2 * np.pi * f * t / FS).astype(np.float32)
+
+    def run(r_sign):
+        p = ResonatorSpectrumProcessor(c, pairs=1)
+        blk = np.stack([x, r_sign * x])[None]
+        for i in range(4):
+            res = p.process(blk[:, :, i * 1024 : (i + 1) * 1024])
+        return np.asarray(res)[0, 0, 0]  # [rows=2, P]
+
+    mono = run(+1.0)
+    inverted = run(-1.0)
+    # mid magnitude row identical regardless of polarity
+    np.testing.assert_allclose(mono[0], inverted[0], atol=1e-4)
+    # phase (cancellation) row: inverted reads near the mid level at the
+    # tone's pixel (cancel ~1 -> phase target ~mag), mono reads at the
+    # clip floor (cancel ~0)
+    assert inverted[1][16] > mono[1][16] + 0.5
