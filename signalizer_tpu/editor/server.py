@@ -175,6 +175,15 @@ class EditorShell:
                         self.session.feed(
                             self.source(self.block_size), self.playhead
                         )
+                        # advance the playhead with the audio: a frozen
+                        # steady_clock makes the mix graph treat every
+                        # later block as a full overlap and DROP it — the
+                        # presentation stream stuck at the first block
+                        # (round-3 review, reproduced empirically)
+                        if self.playhead is not None:
+                            self.playhead = self.playhead.advanced(
+                                self.block_size
+                            )
                 frame = self.session.tick()
                 with self._lock:
                     self._frame = frame
@@ -384,7 +393,15 @@ class EditorShell:
             h._json({"freeze": self.session.freeze})
         elif path == "/api/cursor":
             frac = body.get("fraction")
+            had = self.session.cursor_fraction is not None
             self.session.cursor_fraction = None if frac is None else float(frac)
+            # the tracker feed exists iff a cursor does — (re)build it on
+            # the tick thread when that changes (a session built without
+            # a cursor otherwise never grows a tracker, and clearing the
+            # cursor left a stale tracker raising every tick)
+            if had != (frac is not None):
+                with self._lock:
+                    self._pending_feeds = True
             h._json({"ok": True})
         elif path == "/api/graph/connect":
             src = bytes.fromhex(body["src"])

@@ -659,6 +659,9 @@ async function refreshState() {
     el.textContent = s.engine + "  " + (d.fps ? d.fps.toFixed(0) + " fps " : "") +
         (s.freeze ? "  FROZEN" : "");
   }
+  // rebuild/feed-tier edits mark the widget panel stale: refetch so
+  // dependent widget values and display texts track the server
+  if (state.layoutStale) { state.layoutStale = false; loadPanel(); }
 }
 async function frameLoop() {
   try {

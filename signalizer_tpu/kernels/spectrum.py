@@ -106,7 +106,12 @@ def _mxu_fft_active() -> bool:
     1.83 ms vs XLA's 2.64 ms (1.44x) at BETTER accuracy (1.1e-7 vs
     3.7e-7 relative against float64 numpy). CPU keeps jnp.fft (the
     matmul formulation trades ~20x FLOPs for MXU throughput — a loss on
-    scalar pipelines); tools/tpu_parity_check.py compares the two."""
+    scalar pipelines); tools/tpu_parity_check.py compares the two.
+    ``SIGNALIZER_TPU_NO_MXU_FFT=1`` forces XLA's FFT everywhere."""
+    import os
+
+    if os.environ.get("SIGNALIZER_TPU_NO_MXU_FFT"):
+        return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover

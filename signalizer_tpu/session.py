@@ -32,6 +32,36 @@ from signalizer_tpu.engine import SignalizerEngine
 from signalizer_tpu.stream.audio_stream import Playhead
 from signalizer_tpu.utils.exception_log import protected_call
 
+
+def _pad_stereo(hist: np.ndarray) -> np.ndarray:
+    """Zero-pad a mono presentation history to 2 rows (the mono
+    surrogate the engine and _SgFeed apply; the RSNT/tracker paths
+    crashed on 1-channel streams without it — round-3 review)."""
+    if hist.shape[0] >= 2:
+        return hist
+    pad = np.zeros((2 - hist.shape[0], hist.shape[1]), np.float32)
+    return np.concatenate([hist, pad], axis=0)
+
+
+def _tracker_mags_impl(constant, frames):
+    import jax.numpy as jnp
+
+    from signalizer_tpu.kernels.spectrum import _half_spectrum, _pack_channels
+
+    return jnp.abs(_half_spectrum(constant, _pack_channels(constant, frames)))
+
+
+_tracker_mags = None  # jitted lazily (jax import cost at module import)
+
+
+def _tracker_mags_jit():
+    global _tracker_mags
+    if _tracker_mags is None:
+        import jax
+
+        _tracker_mags = jax.jit(_tracker_mags_impl)
+    return _tracker_mags
+
 ALL_VIEWS = ("spectrum", "oscilloscope", "vectorscope", "spectrogram")
 
 
@@ -221,7 +251,7 @@ class AnalysisSession:
                         pending = cap
                     n_chunks = pending // chunk
                     if n_chunks > 0:
-                        hist = eng.get_presentation_history(pending)  # [2, pending]
+                        hist = _pad_stereo(eng.get_presentation_history(pending))
                         bucket = 1 << (n_chunks - 1).bit_length()
                         blocks = np.zeros((1, 2, bucket, chunk), np.float32)
                         blocks[0, :, :n_chunks] = hist[:2, : n_chunks * chunk].reshape(
@@ -234,7 +264,7 @@ class AnalysisSession:
                         self._res_spectrum = np.asarray(out)[0, -1]
                     return self._res_spectrum  # [K, rows, P] (None pre-audio)
                 w = proc.constant.window_size
-                frames = eng.get_presentation_history(w)[None, None]  # [1,1,2,W]
+                frames = _pad_stereo(eng.get_presentation_history(w))[None, None]
                 return np.asarray(proc.process(frames))[0, -1]  # [K, rows, P]
 
             spectrum = protected_call(run_spectrum, context="spectrum")
@@ -259,17 +289,12 @@ class AnalysisSession:
                             low_dbs=host_view(proc.constant, "low_dbs"),
                             high_dbs=host_view(proc.constant, "high_dbs"),
                         )
-                    # FTracker = Transform: raw FFT bins
-                    from signalizer_tpu.kernels.spectrum import (
-                        _half_spectrum,
-                        _pack_channels,
-                    )
-                    import jax.numpy as jnp
-
+                    # FTracker = Transform: raw FFT bins — via the jitted
+                    # helper (eager kernels here dispatched ~seconds-each
+                    # remote ops every tick; round-3 review)
                     w = proc.constant.window_size
-                    frames = eng.get_presentation_history(w)[None]
-                    rows = _pack_channels(proc.constant, jnp.asarray(frames))
-                    mags = np.asarray(jnp.abs(_half_spectrum(proc.constant, rows)))[0, 0]
+                    frames = _pad_stereo(eng.get_presentation_history(w))[None]
+                    mags = np.asarray(_tracker_mags_jit()(proc.constant, frames))[0, 0]
                     return trk.update(
                         mags,
                         self.cursor_fraction,
@@ -287,8 +312,11 @@ class AnalysisSession:
             def run_osc():
                 # history must cover the live window (plus trigger search
                 # slack); bucket to powers of two so the jit shape set
-                # stays small as the WindowSize knob sweeps
-                win = float(oproc.effective_window_samples())
+                # stays small as the WindowSize knob sweeps.
+                # sync_device=False: the default would device_get the
+                # Cycles feedback every tick — a hot-path readback that
+                # permanently degrades remote-TPU transports (CLAUDE.md)
+                win = float(oproc.effective_window_samples(sync_device=False))
                 cap = eng.presentation_output.info.audio_history_capacity
                 need = max(16384, 1 << int(np.ceil(np.log2(max(2.0 * win, 1.0)))))
                 n = min(need, cap)
@@ -303,8 +331,16 @@ class AnalysisSession:
         vproc = self._processors.get("vectorscope")
         if vproc is not None and clock > 0:
             win = int(round(eng.vectorscope.window_size.get_transformed()))
+            # quantize to a pow2 x quarter-step ladder: the frame length
+            # is a jit compile key, and an unbucketed knob sweep compiled
+            # a fresh executable per integer value (30 s-5 min each on a
+            # remote tunnel; round-3 review). <= 12.5% window error is
+            # invisible on a lissajous trail.
+            win = max(win, 64)
+            qstep = max(1, (1 << (win.bit_length() - 1)) // 4)
+            win = -(-win // qstep) * qstep
             vs = protected_call(
-                lambda: vproc.process(eng.get_presentation_history(max(win, 64))[None]),
+                lambda: vproc.process(eng.get_presentation_history(win)[None]),
                 context="vectorscope",
             )
 

@@ -307,3 +307,18 @@ def test_feed_edit_survives_unrelated_rebuild():
     finally:
         sess.close()
         eng.close()
+
+
+def test_presentation_clock_advances_under_shell_feed(shell):
+    """The shell's per-block playhead must advance with the audio: a
+    frozen steady_clock made the mix graph drop every block after the
+    first as a full overlap, freezing the presentation stream at block
+    one (round-3 review, reproduced empirically)."""
+    sh, eng = shell[0], shell[1]
+    c0 = eng.presentation_output.sample_clock
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if eng.presentation_output.sample_clock > c0 + 4096:
+            break
+        time.sleep(0.1)
+    assert eng.presentation_output.sample_clock > c0 + 4096
