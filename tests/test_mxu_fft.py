@@ -62,3 +62,35 @@ def test_batched_leading_dims():
 def test_bad_factorization_rejected():
     with pytest.raises(ValueError):
         make_plan(1000, r=128)
+
+
+def test_mxu_fft_spectrum_integration_matches_xla(monkeypatch):
+    """The production swap point: _half_spectrum and the COMPLEX branch
+    must produce the same spectra through the MXU four-step path as
+    through jnp.fft (the TPU routes through the former; CPU tests would
+    otherwise never compile the integrated composition)."""
+    import jax.numpy as jnp
+
+    import signalizer_tpu.kernels.spectrum as ks
+    from signalizer_tpu.core.config import (
+        BinInterpolation,
+        SpectrumChannels,
+        ViewScaling,
+    )
+    from signalizer_tpu.core.constant import make_spectrum_constant
+
+    rng = np.random.default_rng(11)
+    frames = jnp.asarray(rng.standard_normal((2, 2, 1024)).astype(np.float32))
+    for cfg in (SpectrumChannels.SEPARATE, SpectrumChannels.PHASE, SpectrumChannels.COMPLEX):
+        c = make_spectrum_constant(
+            axis_points=128,
+            window_size=1024,
+            configuration=cfg,
+            bin_interpolation=BinInterpolation.LINEAR,
+            view_scaling=ViewScaling.LINEAR,
+        )
+        want = np.asarray(ks.spectrum_values(c, frames))
+        monkeypatch.setattr(ks, "_mxu_fft_active", lambda: True)
+        got = np.asarray(ks.spectrum_values(c, frames))
+        monkeypatch.undo()
+        np.testing.assert_allclose(got, want, atol=2e-5, err_msg=str(cfg))
