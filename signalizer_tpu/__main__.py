@@ -38,7 +38,9 @@ def _load_wav(path: str, max_seconds: float | None):
         data = data.astype(np.float32)
     if data.ndim == 1:
         data = data[:, None]
-    if max_seconds:
+    if max_seconds is not None:
+        if max_seconds <= 0:
+            raise SystemExit("--seconds must be positive")
         data = data[: int(max_seconds * fs)]
     return float(fs), np.ascontiguousarray(data.T)  # [channels, samples]
 
@@ -79,10 +81,18 @@ def cmd_analyze(args) -> int:
         hop = 1024
         n = audio.shape[1]
         frame = None
+        sg_feed = session.processor("spectrogram")
+        # drain the spectrogram hopper while feeding: its ring holds only
+        # ~64 blobs, so feeding a whole file before the single tick
+        # silently dropped all but the trailing fraction of a second of
+        # columns (round-3 review)
+        drain_every = 16 * hop
         for i in range(0, n, hop):  # every sample, including the tail block
             block = audio[:2, i : i + hop]
             session.feed(block, Playhead(position_samples=i, steady_clock=i,
                                          is_playing=True))
+            if sg_feed is not None and i % drain_every == 0:
+                sg_feed.pull()
         frame = session.tick()
         stem = pathlib.Path(args.input).stem
         written = []
@@ -174,7 +184,7 @@ def cmd_analyze_batch(args) -> int:
     from signalizer_tpu.core.constant import host_view
 
     spec = SpectrumProcessor(constant, pairs=n)
-    rows = np.asarray(spec.process(frames))  # [n, 1, K, rows, P]
+    rows = spec.process_to_host(frames)  # [n, 1, K, rows, P]
     vs = VectorscopeProcessor(pairs=n)
     vout = vs.process(tails)
     balance = np.asarray(vout.balance)
@@ -302,7 +312,7 @@ def main(argv=None) -> int:
     pe.add_argument("--axis-points", type=int, default=512)
     pe.add_argument("--pixels", type=int, default=512)
     pe.set_defaults(fn=cmd_editor)
-    pp = sub.add_parser("presets", help="list factory presets")
+    pp = sub.add_parser("presets", parents=[common], help="list factory presets")
     pp.set_defaults(fn=cmd_presets)
     args = parser.parse_args(argv)
     if args.cpu:

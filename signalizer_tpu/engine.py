@@ -148,7 +148,12 @@ class SignalizerEngine(SerializableObject):
         """Resize BOTH live streams: the realtime input ring and the
         presentation stream the views actually read — restoring a larger
         capacity only on the input would leave get_presentation_history
-        unable to serve the windows the restore promised."""
+        unable to serve the windows the restore promised.
+
+        Clamped: archives and .sgn imports carry this as a raw integer,
+        and an unchecked value sizes real ring allocations (2^24 samples
+        ~ 350 s @ 48 kHz, beyond the reference's whole history range)."""
+        cap = int(min(max(int(cap), 1), 1 << 24))
         self.config.history_capacity = int(cap)
         for inp in (self.realtime_input, self.mix_graph.presentation_input):
             inp.initialize_info(
@@ -361,7 +366,11 @@ class SignalizerEngine(SerializableObject):
         )
         cap = preset.history_capacity()
         if cap and cap != self.config.history_capacity:
-            self._apply_history_capacity(int(cap))
+            # clamp a corrupt/hostile u64 before it sizes a ring
+            # allocation (a raw 2^40 here would OOM/abort the process;
+            # round-3 review). 2^24 samples ~ 350 s @ 48 kHz, far beyond
+            # the reference's history range.
+            self._apply_history_capacity(int(min(max(cap, 1), 1 << 24)))
         if preset.name == "main":
             from signalizer_tpu.views.editor_settings import EditorSettings
 

@@ -53,7 +53,11 @@ def _load():
     with _lib_lock:
         if _lib is not None or _build_error is not None:
             return _lib
-        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        # a prebuilt .so without the source (deployed copy) is usable
+        # as-is; an unguarded _SRC.stat() made native_available() raise
+        if not _LIB.exists() or (
+            _SRC.exists() and _LIB.stat().st_mtime < _SRC.stat().st_mtime
+        ):
             err = _build()
             if err is not None:
                 _build_error = err
@@ -192,7 +196,10 @@ class NativeRingBuffer:
     def mix_accumulate(self, end_clock: int, src_channel: int, dst_row: np.ndarray) -> bool:
         """Accumulate one aligned channel window into dst_row; returns
         False when silence was contributed (scrolled out / bad channel)."""
-        assert dst_row.dtype == np.float32 and dst_row.flags.c_contiguous
+        # hard checks, not assert (compiled out under -O): the native
+        # accumulator writes n floats through this pointer
+        if dst_row.dtype != np.float32 or not dst_row.flags.c_contiguous:
+            raise ValueError("dst_row must be contiguous float32")
         rc = self._lib.sz_mix_accumulate(
             self._handle, end_clock, src_channel, _fp(dst_row), len(dst_row)
         )

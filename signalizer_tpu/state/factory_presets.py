@@ -241,9 +241,12 @@ def _make_archive(configure: Callable, view: Optional[str]) -> Archive:
         if view is None:
             # a factory default is parameters-only: shipping the authoring
             # engine's stream capacity or host-graph identity would clobber
-            # every new engine's construction args / node identity
+            # every new engine's construction args / node identity — and
+            # its Editor subtree would clobber the user's editor settings
+            # just like the per-view case below (round-3 review)
             full.remove_child("Engine")
             full.remove_child("host-graph")
+            full.remove_child("Editor")
             return full
         # per-view preset: keep only that view's parameter subtree —
         # including dropping the Editor subtree, which would otherwise

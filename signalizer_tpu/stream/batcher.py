@@ -66,9 +66,15 @@ class FrameBatcher:
             return 0
         total = int(np.floor((clock - self.window) / self.hop)) + 1
         # the rounded end clock of the last candidate may exceed the exact
-        # product by up to 0.5 — walk back until it is truly readable
+        # product by up to 0.5 — walk back until it is truly readable...
         while total > 0 and int((total - 1) * self.hop + 0.5) + self.window > clock:
             total -= 1
+        # ...and symmetrically the NEXT frame's rounded end may undershoot
+        # the exact product (round-down) and already be readable — walk
+        # forward, or the final frame of an offline stream is never
+        # emitted (round-3 review)
+        while int(total * self.hop + 0.5) + self.window <= clock:
+            total += 1
         return max(0, total - self._next_frame)
 
     def pull(self, max_frames: Optional[int] = None) -> np.ndarray:

@@ -418,3 +418,18 @@ def test_frame_pipeline_orders_and_threads_state():
         np.testing.assert_allclose(np.asarray(doubled), (i + 1) * 2.0)
         expect_state = 4.0 * sum(range(1, i + 2))
         np.testing.assert_allclose(float(st), expect_state)
+
+
+def test_frames_ready_walks_forward_on_rounded_end():
+    """Fractional hop: a frame whose ROUNDED end-clock is readable must
+    count as ready even when the exact product k*hop undershoots it
+    (round-3 review: the final frame of an offline stream was withheld
+    forever)."""
+    from signalizer_tpu.stream.batcher import FrameBatcher
+
+    b = FrameBatcher(1, window=20, hop=10.26, capacity=4096)
+    b.push(np.zeros((1, 71), np.float32))
+    # frame k ends at int(k*10.26 + 0.5) + 20; k=5 -> 51+20 = 71 <= 71
+    assert b.frames_ready() == 6
+    frames = b.pull()
+    assert frames.shape[0] == 6
