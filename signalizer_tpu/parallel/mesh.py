@@ -324,6 +324,54 @@ def sharded_fused_step(
     return jax.jit(mapped, donate_argnums=(0, 1))
 
 
+def sharded_resonator_step(
+    constant: SpectrumConstant,
+    resonator,
+    plan,
+    mesh: Mesh,
+    axis: str = "data",
+):
+    """The RSNT production tick over a device mesh: each chip's pairs
+    shard runs mix -> scanned resonate -> windowed readout -> decay+dB
+    entirely chip-resident (the bank state [pairs, rows, P, V, 2] never
+    leaves its shard), with one pmax diagnostic riding ICI — the same
+    pairs-parallel structure as every other view (ref: parallel_for
+    over channel pairs, SpectrumDSP.cpp:83; continuous resonate,
+    TransformDSP.inl:1163-1211).
+
+    Returns ``step(res_state, graph_state, blocks, valid) -> (results,
+    new_res_state, new_graph_state, global_peak)`` with blocks
+    [pairs, 2, T, W] pairs-sharded and valid [T] replicated."""
+    from signalizer_tpu.views.spectrum import rsnt_chunks_impl
+
+    spec_b = P(axis)
+
+    def shard_fn(res_state, graph_state, blocks, valid):
+        results, st, gs = rsnt_chunks_impl(
+            constant, resonator, res_state, graph_state, blocks, valid, plan
+        )
+        peak = jax.lax.pmax(jnp.max(results), axis)
+        return results, st, gs, peak
+
+    mapped = _shard_map(
+        shard_fn,
+        mesh,
+        in_specs=(
+            spec_b,
+            LineGraphState(magnitude=spec_b, phase=spec_b),
+            spec_b,
+            P(),
+        ),
+        out_specs=(
+            spec_b,
+            spec_b,
+            LineGraphState(magnitude=spec_b, phase=spec_b),
+            P(),
+        ),
+    )
+    return jax.jit(mapped, donate_argnums=(0, 1))
+
+
 def init_sharded_state(
     constant: SpectrumConstant, pairs: int, mesh: Mesh, axis: str = "data"
 ) -> LineGraphState:

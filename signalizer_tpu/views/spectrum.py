@@ -116,8 +116,7 @@ def _mix_rsnt(cfg, block: jax.Array) -> jax.Array:
     return block[:, :2]  # PHASE / SEPARATE / COMPLEX
 
 
-@functools.partial(jax.jit, donate_argnums=(2, 3))
-def _rsnt_chunks_step(
+def rsnt_chunks_impl(
     constant: SpectrumConstant,
     resonator,
     res_state: jax.Array,
@@ -131,7 +130,8 @@ def _rsnt_chunks_step(
 
     blocks [pairs, 2, T, W] time-ordered; valid [T] bool (False = padding,
     state untouched). Returns (results [pairs, 1, K, rows, P], res_state,
-    graph_state)."""
+    graph_state). Pure/unjitted — shard_map-able over the pairs axis
+    (parallel.mesh.sharded_resonator_step)."""
     from signalizer_tpu.core.config import SpectrumChannels
     from signalizer_tpu.kernels.resonator import (
         resonate_chunks,
@@ -161,6 +161,11 @@ def _rsnt_chunks_step(
         vals = resonator_readout(resonator, st)  # [pairs, rows, P]
     result = post_process(constant, graph_state, vals[:, None])
     return result.results, st, result.state
+
+
+_rsnt_chunks_step = functools.partial(jax.jit, donate_argnums=(2, 3))(
+    rsnt_chunks_impl
+)
 
 
 class ResonatorSpectrumProcessor:

@@ -524,3 +524,60 @@ def test_multipair_hue_rotation_matches_sharded():
         jnp.float32(128.0), jnp.float32(0.0), jnp.float32(256.0),
     )
     np.testing.assert_allclose(np.asarray(sframe.colours), cols, atol=1e-6)
+
+
+def test_sharded_resonator_step_matches_single_device():
+    """RSNT over the mesh: pairs-sharded bank state, chip-resident tick,
+    byte-level agreement with the single-device processor, and HLO
+    residency (only the intended pmax all-reduce)."""
+    from signalizer_tpu.core.config import TransformAlgorithm
+    from signalizer_tpu.parallel.mesh import sharded_resonator_step
+    from signalizer_tpu.views.spectrum import ResonatorSpectrumProcessor
+
+    constant = make_spectrum_constant(
+        axis_points=64,
+        window_size=1024,
+        configuration=SpectrumChannels.SEPARATE,
+        algo=TransformAlgorithm.RESONATOR,
+    )
+    ref = ResonatorSpectrumProcessor(constant, pairs=PAIRS)
+    rng = np.random.default_rng(5)
+    t, w = 4, 512
+    blocks_host = rng.standard_normal((PAIRS, 2, t, w)).astype(np.float32)
+    valid = np.ones(t, bool)
+    want = np.asarray(ref.process_chunks(blocks_host, valid))
+
+    mesh = _mesh()
+    sharded = ResonatorSpectrumProcessor(constant, pairs=PAIRS)
+    plan = sharded._plan(w)
+    step = sharded_resonator_step(constant, sharded.resonator, plan, mesh)
+    res_state = shard_batch(sharded._res_state, mesh)
+    graph_state = shard_batch(sharded._graph_state, mesh)
+    blocks = shard_batch(jnp.asarray(blocks_host), mesh)
+    results, res_state, graph_state, peak = step(
+        res_state, graph_state, blocks, jnp.asarray(valid)
+    )
+    np.testing.assert_allclose(np.asarray(results), want, atol=2e-5)
+    np.testing.assert_allclose(float(peak), float(np.max(want)), rtol=1e-6)
+
+    # second tick: state threads through the sharded carry
+    blocks2_host = rng.standard_normal((PAIRS, 2, t, w)).astype(np.float32)
+    want2 = np.asarray(ref.process_chunks(blocks2_host, valid))
+    results2, _, _, _ = step(
+        res_state, graph_state, shard_batch(jnp.asarray(blocks2_host), mesh),
+        jnp.asarray(valid),
+    )
+    np.testing.assert_allclose(np.asarray(results2), want2, atol=2e-5)
+
+    # HLO residency: no resharding collectives; the pmax all-reduce only
+    lowered = step.lower(
+        shard_batch(sharded._res_state, mesh),
+        shard_batch(sharded._graph_state, mesh),
+        shard_batch(jnp.asarray(blocks_host), mesh),
+        jnp.asarray(valid),
+    )
+    counts = _collective_counts(lowered.compile().as_text())
+    assert counts["all-gather"] == 0, counts
+    assert counts["collective-permute"] == 0, counts
+    assert counts["all-to-all"] == 0, counts
+    assert counts["all-reduce"] >= 1, counts
