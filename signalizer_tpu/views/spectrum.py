@@ -163,9 +163,7 @@ def rsnt_chunks_impl(
     return result.results, st, result.state
 
 
-_rsnt_chunks_step = functools.partial(jax.jit, donate_argnums=(2, 3))(
-    rsnt_chunks_impl
-)
+_rsnt_chunks_step = jax.jit(rsnt_chunks_impl, donate_argnums=(2, 3))
 
 
 class ResonatorSpectrumProcessor:
@@ -208,13 +206,31 @@ class ResonatorSpectrumProcessor:
         self._graph_state = init_line_graph_state(constant, (pairs,))
         self._plans: dict = {}  # chunk length -> ResonatorBlockPlan
 
-    def _plan(self, block: int):
+    def block_plan(self, block: int):
+        """Cached :class:`ResonatorBlockPlan` for ``block``-sample chunks.
+
+        Public so mesh callers (``parallel.mesh.sharded_resonator_step``)
+        can feed the sharded RSNT step without reaching into internals.
+        """
         from signalizer_tpu.kernels.resonator import make_block_plan
 
         plan = self._plans.get(block)
         if plan is None:
             plan = self._plans[block] = make_block_plan(self.resonator, block)
         return plan
+
+    # shorthand retained for internal call sites
+    _plan = block_plan
+
+    @property
+    def res_state(self):
+        """Current resonator bank state pytree (read for mesh sharding)."""
+        return self._res_state
+
+    @property
+    def graph_state(self):
+        """Current display decay/graph state pytree (read for mesh sharding)."""
+        return self._graph_state
 
     def reset(self) -> None:
         from signalizer_tpu.kernels.resonator import init_resonator_state

@@ -528,8 +528,9 @@ def test_multipair_hue_rotation_matches_sharded():
 
 def test_sharded_resonator_step_matches_single_device():
     """RSNT over the mesh: pairs-sharded bank state, chip-resident tick,
-    byte-level agreement with the single-device processor, and HLO
-    residency (only the intended pmax all-reduce)."""
+    float parity with the single-device processor (atol 2e-5 — sharded
+    reduction order differs), and HLO residency (only the intended pmax
+    all-reduce)."""
     from signalizer_tpu.core.config import TransformAlgorithm
     from signalizer_tpu.parallel.mesh import sharded_resonator_step
     from signalizer_tpu.views.spectrum import ResonatorSpectrumProcessor
@@ -549,10 +550,10 @@ def test_sharded_resonator_step_matches_single_device():
 
     mesh = _mesh()
     sharded = ResonatorSpectrumProcessor(constant, pairs=PAIRS)
-    plan = sharded._plan(w)
+    plan = sharded.block_plan(w)
     step = sharded_resonator_step(constant, sharded.resonator, plan, mesh)
-    res_state = shard_batch(sharded._res_state, mesh)
-    graph_state = shard_batch(sharded._graph_state, mesh)
+    res_state = shard_batch(sharded.res_state, mesh)
+    graph_state = shard_batch(sharded.graph_state, mesh)
     blocks = shard_batch(jnp.asarray(blocks_host), mesh)
     results, res_state, graph_state, peak = step(
         res_state, graph_state, blocks, jnp.asarray(valid)
@@ -571,8 +572,8 @@ def test_sharded_resonator_step_matches_single_device():
 
     # HLO residency: no resharding collectives; the pmax all-reduce only
     lowered = step.lower(
-        shard_batch(sharded._res_state, mesh),
-        shard_batch(sharded._graph_state, mesh),
+        shard_batch(sharded.res_state, mesh),
+        shard_batch(sharded.graph_state, mesh),
         shard_batch(jnp.asarray(blocks_host), mesh),
         jnp.asarray(valid),
     )
