@@ -688,7 +688,9 @@ def _run_isolated() -> None:
         except json.JSONDecodeError:
             sys.stderr.write(f"config {cfg} failed: {proc.stderr[-500:]}\n")
     if "value" not in parts:
-        raise SystemExit("headline config failed")
+        # RuntimeError (not SystemExit) so __main__'s fallback to the
+        # single-process inline run still fires
+        raise RuntimeError("headline config failed")
     print(json.dumps(parts))
 
 
