@@ -30,14 +30,16 @@ variance of +-25%):
     batch  64: both ~30-51k (dispatch-bound through the tunnel)
     accuracy vs float64 numpy: mxu 1.5e-7, XLA rfft 3.7e-7 (relative)
 
-Verdict (same policy as tools/pallas_display_map.py): parity to ~1.4x,
-inside tunnel noise — the production spectrum path keeps XLA's FFT, whose
-fusion with the surrounding window/magnitude stages is worth more than
-the ambiguous standalone delta. The module stays as the MXU-native
-transform (the DustFFT/pffft analogue, usable where a caller wants
-tighter error bounds or MXU residency) with oracle tests. cfg4 (the
-16384-pt spectrogram bench) is remap/decay-bound, not FFT-bound, so no
-headline number moves either way.
+Verdict (updated round 3): the honest scan-slope rematch at the
+HEADLINE geometry (N=4096, 4096 transforms, input rotated per step,
+scalar sync) measured **1.83 ms vs XLA's 2.64 ms (1.44x) at better
+accuracy** (1.1e-7 vs 3.7e-7 relative against float64 numpy), so
+``kernels/spectrum._mxu_fft_active`` routes the production spectrum FFT
+through this module on TPU (CPU keeps jnp.fft — the ~20x FLOP trade
+loses on scalar pipelines; ``SIGNALIZER_TPU_NO_MXU_FFT=1`` opts out).
+The 16384-pt table above predates that rematch and is batch-dependent;
+cfg4 (the 16384-pt spectrogram bench) is remap/decay-bound, not
+FFT-bound, so its number moves little either way.
 
 Run ``python -m signalizer_tpu.kernels.mxu_fft`` on the TPU rig to
 reproduce the comparison table.
