@@ -50,6 +50,7 @@ from signalizer_tpu.kernels.tracker import FrequencyTracker  # noqa: F401
 from signalizer_tpu.utils.exception_log import log_exception, protected_call  # noqa: F401
 from signalizer_tpu.views.controllers import layout_for, Page, Section, Control  # noqa: F401
 from signalizer_tpu.parallel.pipeline import PipelineOutput, ShardedAnalysisPipeline  # noqa: F401
+from signalizer_tpu.stream.frame_pipeline import FramePipeline  # noqa: F401
 from signalizer_tpu.state.sgn_import import (  # noqa: F401
     SgnPreset,
     apply_preset,
