@@ -703,4 +703,18 @@ if __name__ == "__main__":
         try:
             _run_isolated()
         except Exception:
-            main()  # fall back to the single-process run
+            try:
+                main()  # fall back to the single-process run
+            except Exception as e:  # tunnel down: still print ONE JSON line
+                print(
+                    json.dumps(
+                        {
+                            "metric": "spectrum_frames_per_sec_per_chip_4096pt_stereo",
+                            "value": 0.0,
+                            "unit": "frames/s",
+                            "vs_baseline": 0.0,
+                            "error": f"device unavailable: {type(e).__name__}: {e}"[:300],
+                        }
+                    )
+                )
+                raise
