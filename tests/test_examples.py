@@ -114,3 +114,19 @@ def test_embedding_host_runs():
     assert "state round-trip exact: True" in proc.stdout
     m = re.search(r"tracker: (\d+\.\d) Hz", proc.stdout)
     assert m and abs(float(m.group(1)) - 440.0) < 1.0, proc.stdout
+
+
+def test_remap_bench_tool_cpu_exactness():
+    """The remap A/B tool's candidate formulations must stay float-exact
+    against the production remap (it reads the constant's plan fields
+    from host views; a plan-field rename or semantic drift breaks it)."""
+    import json
+
+    proc = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "remap_bench.py"), "--cpu"],
+        capture_output=True, text=True, timeout=600, cwd=str(ROOT),
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    for key in ("maxrel_matmul", "maxrel_banded", "maxrel_both"):
+        assert out[key] < 1e-5, (key, out)
