@@ -116,14 +116,16 @@ def test_embedding_host_runs():
     assert m and abs(float(m.group(1)) - 440.0) < 1.0, proc.stdout
 
 
-def test_remap_bench_tool_cpu_exactness():
+@pytest.mark.parametrize("interp", ["linear", "lanczos"])
+def test_remap_bench_tool_cpu_exactness(interp):
     """The remap A/B tool's candidate formulations must stay float-exact
     against the production remap (it reads the constant's plan fields
     from host views; a plan-field rename or semantic drift breaks it)."""
     import json
 
     proc = subprocess.run(
-        [sys.executable, str(ROOT / "tools" / "remap_bench.py"), "--cpu"],
+        [sys.executable, str(ROOT / "tools" / "remap_bench.py"), "--cpu",
+         "--interp", interp],
         capture_output=True, text=True, timeout=600, cwd=str(ROOT),
     )
     assert proc.returncode == 0, proc.stderr[-800:]
