@@ -671,17 +671,45 @@ def main(only: str = None) -> None:
     print(json.dumps(out))
 
 
+def _probe_device(timeout_s: float = 300.0) -> None:
+    """Fail fast if the device is unreachable. The tunnel's observed
+    down-mode is a backend-init HANG (>9 min, in fresh processes) rather
+    than an error, so without this bound a down tunnel costs each config
+    subprocess its full 1800 s timeout and the inline fallback hangs
+    indefinitely. One bounded subprocess settles reachability up front."""
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import jax, jax.numpy as jnp;"
+            "assert float(jnp.sum(jnp.arange(8.0))) == 28.0;"
+            "print('up', jax.devices()[0])",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=timeout_s,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"device probe failed: {proc.stderr[-300:]}")
+
+
 def _run_isolated() -> None:
     """Run every config in its own subprocess so the tunnel's dispatch
     backpressure cannot contaminate per-config numbers."""
     parts = {}
     for cfg in CONFIG_NAMES:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--only", cfg],
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--only", cfg],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            # one pathological config (e.g. a mid-run tunnel outage) must
+            # not take the remaining configs down with it
+            sys.stderr.write(f"config {cfg} timed out\n")
+            continue
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
         try:
             parts.update(json.loads(line))
@@ -700,21 +728,30 @@ if __name__ == "__main__":
     elif os.environ.get("SZ_BENCH_INLINE"):
         main()
     else:
+        def _error_line(e: Exception) -> None:
+            # tunnel down: still print ONE parseable JSON line
+            print(
+                json.dumps(
+                    {
+                        "metric": "spectrum_frames_per_sec_per_chip_4096pt_stereo",
+                        "value": 0.0,
+                        "unit": "frames/s",
+                        "vs_baseline": 0.0,
+                        "error": f"device unavailable: {type(e).__name__}: {e}"[:300],
+                    }
+                )
+            )
+
+        try:
+            _probe_device()
+        except Exception as e:
+            _error_line(e)
+            raise
         try:
             _run_isolated()
         except Exception:
             try:
                 main()  # fall back to the single-process run
-            except Exception as e:  # tunnel down: still print ONE JSON line
-                print(
-                    json.dumps(
-                        {
-                            "metric": "spectrum_frames_per_sec_per_chip_4096pt_stereo",
-                            "value": 0.0,
-                            "unit": "frames/s",
-                            "vs_baseline": 0.0,
-                            "error": f"device unavailable: {type(e).__name__}: {e}"[:300],
-                        }
-                    )
-                )
+            except Exception as e:
+                _error_line(e)
                 raise
