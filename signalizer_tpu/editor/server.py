@@ -246,6 +246,26 @@ class EditorShell:
             h._json(self._graph_model())
         elif path == "/api/presets":
             h._json({"presets": self.engine.presets.list_presets()})
+        elif path == "/api/exceptions":
+            # reveal the exception log from the global settings, by the
+            # presets (ref: CHANGELOG 0.4.2 "Button in the global settings
+            # by the presets to reveal the exception log";
+            # MainEditor.cpp:176 CheckPruneExceptionLogFile)
+            from signalizer_tpu.utils.exception_log import get_exception_log_path
+
+            log_path = get_exception_log_path()
+            try:
+                data = log_path.read_bytes() if log_path.exists() else b""
+            except OSError:
+                data = b""
+            tail = data[-8192:].decode("utf-8", errors="replace")
+            h._json(
+                {
+                    "path": str(log_path),
+                    "size_bytes": len(data),
+                    "tail": tail,
+                }
+            )
         else:
             h._json({"error": "not found"}, 404)
 

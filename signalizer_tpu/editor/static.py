@@ -296,6 +296,19 @@ function renderGlobalPage(body) {
   fr.textContent = s.freeze ? "unfreeze" : "freeze";
   fr.onclick = () => api.post("/api/freeze", {}).then(() => refreshState());
   mk("freeze display", fr);
+  const ex = document.createElement("button");
+  ex.textContent = "reveal exception log";
+  ex.onclick = () => api.get("/api/exceptions").then(r => {
+    let pre = $("#exlog");
+    if (!pre) {
+      pre = document.createElement("pre");
+      pre.id = "exlog"; pre.className = "hint";
+      ex.parentElement.appendChild(pre);
+    }
+    pre.textContent = r.path + " (" + r.size_bytes + " bytes)\n" +
+        (r.tail || "(empty)");
+  });
+  mk("exception log", ex);
   body.appendChild(sec);
   const cs = document.createElement("div");
   cs.className = "section";

@@ -207,6 +207,24 @@ def test_presets_roundtrip(shell, tmp_path):
     assert abs(eng.spectrum.window_size.get_normalized() - 0.77) < 1e-9
 
 
+def test_exception_log_reveal(shell, tmp_path):
+    """The global-settings 'reveal exception log' affordance (ref:
+    CHANGELOG 0.4.2): the endpoint serves the pruned log's tail."""
+    from signalizer_tpu.utils import exception_log as xl
+
+    sh = shell[0]
+    old = xl.get_exception_log_path()
+    xl.set_exception_log_path(tmp_path / "exceptions.log")
+    try:
+        xl.log_exception("editor-reveal-test marker")
+        r = get(sh, "/api/exceptions")
+        assert r["path"].endswith("exceptions.log")
+        assert r["size_bytes"] > 0
+        assert "editor-reveal-test marker" in r["tail"]
+    finally:
+        xl.set_exception_log_path(old)
+
+
 def test_freeze_and_settings(shell):
     sh, eng, sess, _ = shell
     try:
