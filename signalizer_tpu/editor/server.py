@@ -293,6 +293,7 @@ class EditorShell:
             "colour_scheme": {k: list(v) for k, v in es.colour_scheme.items()},
             "ticks": ticks,
             "engine": self.engine.host_graph.name,
+            "graph_serialization": int(self.engine.host_graph.serialization_control),
             "diagnostics": {k: round(float(v), 3) for k, v in diag.items()},
             "perf": {
                 k: round(float(v), 4) for k, v in self.engine.perf_snapshot().items()
@@ -523,4 +524,12 @@ class EditorShell:
             name, rgba = body["colour"]["name"], body["colour"]["rgba"]
             if name in es.colour_scheme and len(rgba) == 4:
                 es.colour_scheme[name] = tuple(float(x) for x in rgba)
+        if "graph_serialization" in body:
+            # how the sidechain graph rides custom presets (ref:
+            # CHANGELOG 0.4.2 drop-down by the presets; HostGraph.h:194-263)
+            from signalizer_tpu.stream.host_graph import SerializationControl
+
+            self.engine.host_graph.serialization_control = SerializationControl(
+                int(body["graph_serialization"])
+            )
         return self._state()

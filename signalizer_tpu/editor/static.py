@@ -296,6 +296,17 @@ function renderGlobalPage(body) {
   fr.textContent = s.freeze ? "unfreeze" : "freeze";
   fr.onclick = () => api.post("/api/freeze", {}).then(() => refreshState());
   mk("freeze display", fr);
+  const gs = document.createElement("select");
+  for (const [i, label] of [[0, "save graph fully"],
+      [1, "ignore graph this session"], [2, "never save graph"]]) {
+    const o = document.createElement("option");
+    o.value = i; o.textContent = label;
+    if (i === (s.graph_serialization || 0)) o.selected = true;
+    gs.appendChild(o);
+  }
+  gs.onchange = () => api.post("/api/settings",
+      {graph_serialization: +gs.value}).then(r => state.appState = r);
+  mk("preset graph saving", gs);
   const ex = document.createElement("button");
   ex.textContent = "reveal exception log";
   ex.onclick = () => api.get("/api/exceptions").then(r => {

@@ -207,6 +207,21 @@ def test_presets_roundtrip(shell, tmp_path):
     assert abs(eng.spectrum.window_size.get_normalized() - 0.77) < 1e-9
 
 
+def test_graph_serialization_control(shell):
+    """The preset-graph-saving drop-down (ref: CHANGELOG 0.4.2) drives
+    HostGraph.serialization_control through /api/settings."""
+    from signalizer_tpu.stream.host_graph import SerializationControl
+
+    sh, eng = shell[0], shell[1]
+    try:
+        s = post(sh, "/api/settings", {"graph_serialization": 2})
+        assert s["graph_serialization"] == 2
+        assert eng.host_graph.serialization_control == SerializationControl.IGNORE_ALWAYS
+    finally:
+        post(sh, "/api/settings", {"graph_serialization": 0})
+    assert eng.host_graph.serialization_control == SerializationControl.FULL
+
+
 def test_exception_log_reveal(shell, tmp_path):
     """The global-settings 'reveal exception log' affordance (ref:
     CHANGELOG 0.4.2): the endpoint serves the pruned log's tail."""
