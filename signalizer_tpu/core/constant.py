@@ -22,6 +22,7 @@ to one weighted gather plus one segment-max — dense, static-shaped, fusable.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -73,6 +74,13 @@ class RemapPlan:
     single_bin: np.ndarray
     # [P] True where the bin-max pixel has an empty chunk.
     single_mask: np.ndarray
+    # [P, maxband] banded view of the same chunks: each bin-max pixel's
+    # chunk {oldBin+1 .. bin} is CONTIGUOUS, so a constant-index gather +
+    # masked max can replace the scatter-based segment max (the TPU
+    # remap A/B candidate, tools/remap_bench.py). Interp/single pixels
+    # get all-masked rows.
+    band_idx: np.ndarray
+    band_mask: np.ndarray
     n_values: int
     interp_break: int
 
@@ -163,6 +171,9 @@ def build_remap_plan(
     single_bin = np.zeros(P, dtype=np.int64)
     single_mask = np.zeros(P, dtype=bool)
 
+    band_lo = np.zeros(P, dtype=np.int64)
+    band_len = np.zeros(P, dtype=np.int64)
+
     old_bin = int(pos[interp_break])  # truncation, ref :606
     for x in range(interp_break, P):
         b = int(pos[x])
@@ -175,7 +186,14 @@ def build_remap_plan(
             lo = min(old_bin + 1, n_values - 1)
             hi = min(b, n_values - 1)
             segment_ids[lo : hi + 1] = x
+            band_lo[x] = lo
+            band_len[x] = hi - lo + 1
         old_bin = b
+
+    maxband = max(int(band_len.max()), 1)
+    j = np.arange(maxband)[None, :]
+    band_idx = np.clip(band_lo[:, None] + j, 0, n_values - 1)
+    band_mask = j < band_len[:, None]
 
     return RemapPlan(
         interp_indices=idx.astype(np.int32),
@@ -184,9 +202,27 @@ def build_remap_plan(
         segment_ids=segment_ids.astype(np.int32),
         single_bin=single_bin.astype(np.int32),
         single_mask=single_mask,
+        band_idx=band_idx.astype(np.int32),
+        band_mask=band_mask,
         n_values=n_values,
         interp_break=interp_break,
     )
+
+
+def dense_interp_matrix(plan: RemapPlan) -> np.ndarray:
+    """[n_values, P] dense interpolation matrix from the gather plan
+    (zero columns for bin-max pixels): the tap interpolation as one MXU
+    matmul — the other remap A/B candidate (tools/remap_bench.py)."""
+    p, taps = plan.interp_indices.shape
+    w = np.zeros((plan.n_values, p), np.float32)
+    cols = np.broadcast_to(np.arange(p)[:, None], (p, taps))
+    keep = np.broadcast_to(plan.interp_mask[:, None], (p, taps))
+    np.add.at(
+        w,
+        (plan.interp_indices[keep], cols[keep]),
+        plan.interp_weights[keep].astype(np.float32),
+    )
+    return w
 
 
 def remap_frequencies(
@@ -263,6 +299,13 @@ class SpectrumConstant:
     segment_ids: jax.Array  # [n_values] i32
     single_bin: jax.Array  # [P] i32
     single_mask: jax.Array  # [P] bool
+    band_idx: jax.Array  # [P, maxband] i32 — contiguous bin-max chunks
+    band_mask: jax.Array  # [P, maxband] bool
+    # [n_values, P] f32 dense interp matrix, built ONLY when the matmul
+    # remap candidate is requested (SIGNALIZER_TPU_REMAP=matmul|both):
+    # it is nv*P*4 bytes (33 MB at a 16384-pt window), too heavy to
+    # carry by default.
+    interp_dense: Optional[jax.Array] = None
 
     @property
     def num_bins(self) -> int:
@@ -382,6 +425,14 @@ def make_spectrum_constant(
         segment_ids=jnp.asarray(plan.segment_ids),
         single_bin=jnp.asarray(plan.single_bin),
         single_mask=jnp.asarray(plan.single_mask),
+        band_idx=jnp.asarray(plan.band_idx),
+        band_mask=jnp.asarray(plan.band_mask),
+        interp_dense=(
+            jnp.asarray(dense_interp_matrix(plan), dtype=dtype)
+            if os.environ.get("SIGNALIZER_TPU_REMAP", "").lower()
+            in ("matmul", "both")
+            else None
+        ),
     )
     # host-side mirror of the plan (NOT a pytree field): consumers that
     # need these on the host (render feed, resonator builder, pallas plan)

@@ -38,6 +38,7 @@ replicate.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -181,6 +182,17 @@ def _segment_reduce(data: jax.Array, constant: SpectrumConstant, op: str) -> jax
     return seg[:p].T.reshape(batch_shape + (p,))
 
 
+def _remap_mode() -> str:
+    """Display-remap routing: ``gather`` (default — tap gather +
+    scatter segment-max), ``banded`` (constant-index contiguous banded
+    gather + masked max), ``matmul`` (tap interpolation as one dense MXU
+    matmul), ``both``. Opt-in via SIGNALIZER_TPU_REMAP; the candidates
+    are float-equivalent (same taps/chunks, matmul reorders the tap sum)
+    and A/B-measured by tools/remap_bench.py."""
+    mode = os.environ.get("SIGNALIZER_TPU_REMAP", "").lower()
+    return mode if mode in ("banded", "matmul", "both") else "gather"
+
+
 def _binmax_mag(mags: jax.Array, constant: SpectrumConstant) -> jax.Array:
     """Chunked bin-max for magnitude rows (ref: TransformDSP.inl:608-639).
 
@@ -188,9 +200,34 @@ def _binmax_mag(mags: jax.Array, constant: SpectrumConstant) -> jax.Array:
     the argmax bin — for non-negative magnitudes that equals the plain
     segment max of magnitudes.
     """
-    segmax = _segment_reduce(mags, constant, "max")
+    if _remap_mode() in ("banded", "both"):
+        # each chunk {oldBin+1..bin} is contiguous: a constant-index
+        # banded gather + masked max replaces the scatter
+        g = mags[..., constant.band_idx]  # [..., P, maxband]
+        segmax = jnp.max(jnp.where(constant.band_mask, g, -jnp.inf), axis=-1)
+    else:
+        segmax = _segment_reduce(mags, constant, "max")
     single = mags[..., constant.single_bin]
     return jnp.where(constant.single_mask, single, segmax)
+
+
+def _interp_mag(mags: jax.Array, constant: SpectrumConstant) -> jax.Array:
+    """Magnitude interpolation with the |.| rectification applied (the
+    Lanczos kernel has negative lobes); routes the tap sum onto the MXU
+    as one dense matmul when the matmul candidate is active."""
+    if _remap_mode() in ("matmul", "both") and constant.interp_dense is not None:
+        return jnp.abs(
+            jnp.matmul(mags, constant.interp_dense, precision=jax.lax.Precision.HIGHEST)
+        )
+    return jnp.abs(_interp(mags, constant))
+
+
+def _remap_mag(mags: jax.Array, constant: SpectrumConstant) -> jax.Array:
+    """Interpolate-vs-binmax pixel remap for magnitude rows
+    (ref: mapToLinearSpace, TransformDSP.inl:562-639)."""
+    return jnp.where(
+        constant.interp_mask, _interp_mag(mags, constant), _binmax_mag(mags, constant)
+    )
 
 
 def _binmax_argbin(values: jax.Array, constant: SpectrumConstant) -> jax.Array:
@@ -245,12 +282,9 @@ def spectrum_values(constant: SpectrumConstant, frames: jax.Array) -> jax.Array:
         # interpolate MAGNITUDES: the reference abs()'s every csf cell
         # BEFORE its interpolation loops (`csf[i] = std::abs(csf[i])`,
         # TransformDSP.inl:999-1002 — the <complex> filter template is a
-        # storage type, the data is real); |.| outside rectifies Lanczos
-        # negative lobes
-        vals = jnp.where(
-            constant.interp_mask, jnp.abs(_interp(mags, constant)), _binmax_mag(mags, constant)
-        )
-        return (inv * vals)[..., None, :]
+        # storage type, the data is real); |.| inside _interp_mag
+        # rectifies Lanczos negative lobes
+        return (inv * _remap_mag(mags, constant))[..., None, :]
 
     rows = _pack_channels(constant, frames)  # [..., rows, W]
     spec = _half_spectrum(constant, rows)  # [..., rows, nb+1] complex
@@ -259,10 +293,7 @@ def spectrum_values(constant: SpectrumConstant, frames: jax.Array) -> jax.Array:
     if cfg in (SpectrumChannels.SEPARATE, SpectrumChannels.MIDSIDE):
         # magnitude interpolation: csf is abs()'d before the loops
         # (ref: TransformDSP.inl:866-869)
-        vals = jnp.where(
-            constant.interp_mask, jnp.abs(_interp(mags, constant)), _binmax_mag(mags, constant)
-        )
-        return inv * vals
+        return inv * _remap_mag(mags, constant)
 
     if cfg == SpectrumChannels.PHASE:
         l, r = spec[..., 0, :], spec[..., 1, :]
@@ -289,10 +320,7 @@ def spectrum_values(constant: SpectrumConstant, frames: jax.Array) -> jax.Array:
 
     # mono modes — rows == 1; magnitude interpolation (csf abs()'d before
     # the loops, ref: TransformDSP.inl:557-560)
-    vals = jnp.where(
-        constant.interp_mask, jnp.abs(_interp(mags, constant)), _binmax_mag(mags, constant)
-    )
-    return inv * vals
+    return inv * _remap_mag(mags, constant)
 
 
 # ---------------------------------------------------------------------------

@@ -377,3 +377,42 @@ def test_between_bin_tone_interpolates_magnitudes():
     assert kernel_val == pytest.approx(mag_interp, rel=1e-4)
     # ...and sits far above the would-be complex-cancellation notch
     assert kernel_val > 2.0 * complex_interp
+
+
+@pytest.mark.parametrize("mode", ["banded", "matmul", "both"])
+@pytest.mark.parametrize(
+    "cfg,interp,scaling,window",
+    [
+        (SpectrumChannels.SEPARATE, BinInterpolation.LINEAR, ViewScaling.LOGARITHMIC, 4096),
+        (SpectrumChannels.LEFT, BinInterpolation.LANCZOS, ViewScaling.LINEAR, 1024),
+        (SpectrumChannels.COMPLEX, BinInterpolation.LINEAR, ViewScaling.LOGARITHMIC, 1024),
+        (SpectrumChannels.LEFT, BinInterpolation.LINEAR, ViewScaling.LOGARITHMIC, 16384),
+    ],
+)
+def test_remap_candidates_match_production(monkeypatch, mode, cfg, interp, scaling, window):
+    """The gated remap candidates (SIGNALIZER_TPU_REMAP=banded|matmul|
+    both — banded gather segment-max, dense-matmul tap interp) are
+    float-equivalent to the default gather/scatter remap across channel
+    modes, interpolations, scalings and window sizes (the matmul only
+    reorders the tap sum; tolerance covers the accumulation order)."""
+    kwargs = dict(
+        axis_points=256,
+        window_size=window,
+        sample_rate=48_000.0,
+        configuration=cfg,
+        bin_interpolation=interp,
+        view_scaling=scaling,
+    )
+    monkeypatch.delenv("SIGNALIZER_TPU_REMAP", raising=False)
+    c_ref = make_spectrum_constant(**kwargs)
+    rng = np.random.default_rng(7)
+    frames = jnp.asarray(rng.standard_normal((3, 2, window)).astype(np.float32))
+    want = np.asarray(spectrum_values(c_ref, frames))
+
+    monkeypatch.setenv("SIGNALIZER_TPU_REMAP", mode)
+    c_alt = make_spectrum_constant(**kwargs)
+    if mode in ("matmul", "both"):
+        assert c_alt.interp_dense is not None
+    got = np.asarray(spectrum_values(c_alt, frames))
+    scale = max(float(np.max(np.abs(want))), 1e-20)
+    assert np.max(np.abs(got - want)) / scale < 1e-5

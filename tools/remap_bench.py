@@ -22,6 +22,13 @@ matmul accumulation order; tolerance 1e-6 relative) before anything is
 timed. Timings are scan-slope with the input rotated per step and a
 scalar-checksum sync (see CLAUDE.md's measurement landmines).
 
+Both candidates are ALSO wired into the production path behind
+``SIGNALIZER_TPU_REMAP=banded|matmul|both`` (plan fields in
+core/constant.py build_remap_plan/dense_interp_matrix, routing in
+kernels/spectrum._remap_mag), so a measured winner is a default flip.
+Production-path equivalence is pytest-locked
+(tests/test_spectrum.py test_remap_candidates_match_production).
+
 Run on the TPU rig:
 
     python tools/remap_bench.py [--axis 1024] [--window 4096] [--interp linear]
