@@ -234,6 +234,13 @@ def _binmax_argbin(values: jax.Array, constant: SpectrumConstant) -> jax.Array:
     """First bin index achieving the chunk max of ``values`` per pixel
     (ref: strictly-greater update in TransformDSP.inl:826-838 selects the
     first maximum). values [..., n_values] -> int32 [..., P]."""
+    if _remap_mode() in ("banded", "both"):
+        # within a mask row band_idx[x, j] = lo + j, and jnp.argmax
+        # returns the FIRST maximum — the reference's strictly-greater
+        # update semantics
+        g = jnp.where(constant.band_mask, values[..., constant.band_idx], -jnp.inf)
+        first = constant.band_idx[:, 0] + jnp.argmax(g, axis=-1).astype(jnp.int32)
+        return jnp.where(constant.single_mask, constant.single_bin, first)
     nv = constant.n_spectrum_values
     segmax = _segment_reduce(values, constant, "max")
     # scatter the per-pixel max back onto bins; bins not equal to their

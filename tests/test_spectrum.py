@@ -387,6 +387,7 @@ def test_between_bin_tone_interpolates_magnitudes():
         (SpectrumChannels.LEFT, BinInterpolation.LANCZOS, ViewScaling.LINEAR, 1024),
         (SpectrumChannels.COMPLEX, BinInterpolation.LINEAR, ViewScaling.LOGARITHMIC, 1024),
         (SpectrumChannels.LEFT, BinInterpolation.LINEAR, ViewScaling.LOGARITHMIC, 16384),
+        (SpectrumChannels.PHASE, BinInterpolation.LINEAR, ViewScaling.LOGARITHMIC, 4096),
     ],
 )
 def test_remap_candidates_match_production(monkeypatch, mode, cfg, interp, scaling, window):
