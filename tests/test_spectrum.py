@@ -417,3 +417,41 @@ def test_remap_candidates_match_production(monkeypatch, mode, cfg, interp, scali
     got = np.asarray(spectrum_values(c_alt, frames))
     scale = max(float(np.max(np.abs(want))), 1e-20)
     assert np.max(np.abs(got - want)) / scale < 1e-5
+
+
+def test_band_tables_tile_segment_ids_property():
+    """Property: across random geometries/zooms/scalings, the banded
+    chunk tables are EXACTLY the contiguous view of segment_ids — every
+    owned bin appears once under the mask at its owning pixel, nothing
+    else is unmasked, and single/interp pixels have all-masked rows."""
+    from signalizer_tpu.core.config import SpectrumChannels as SC
+    from signalizer_tpu.core.constant import build_remap_plan, remap_frequencies
+
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        p = int(rng.integers(8, 600))
+        window = int(2 ** rng.integers(5, 15))
+        fs = float(rng.choice([44100.0, 48000.0, 96000.0, 192000.0]))
+        scaling = ViewScaling(int(rng.integers(0, 2)))
+        left = float(rng.uniform(0.0, 0.6))
+        right = float(left + rng.uniform(0.05, 1.0 - left))
+        full_circle = bool(rng.integers(0, 2))
+        interp = BinInterpolation(int(rng.integers(0, 3)))
+        freqs = remap_frequencies(
+            p, fs, scaling, view_left=left, view_right=right,
+            configuration=SC.COMPLEX if full_circle else SC.LEFT,
+        )
+        plan = build_remap_plan(freqs, fs, window, interp, full_circle=full_circle)
+        nv, pts = plan.n_values, len(freqs)
+        # every unmasked band cell points at a bin owned by that pixel
+        rows = np.broadcast_to(
+            np.arange(pts)[:, None], plan.band_idx.shape
+        )[plan.band_mask]
+        bins = plan.band_idx[plan.band_mask]
+        assert bins.size == int((plan.segment_ids < pts).sum())
+        assert np.array_equal(plan.segment_ids[bins], rows)
+        assert np.unique(bins).size == bins.size  # each owned bin once
+        # interp/single pixels carry no band
+        dead = plan.interp_mask | plan.single_mask
+        assert not plan.band_mask[dead].any()
+        assert (plan.band_idx >= 0).all() and (plan.band_idx < nv).all()
