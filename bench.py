@@ -38,8 +38,28 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 CONFIG_NAMES = (
-    "headline", "pipeline", "cfg1", "cfg2", "cfg3", "cfg3b", "cfg4", "cfg5", "cfg6",
+    "headline", "pipeline", "cfg1", "cfg2", "cfg3", "cfg3b", "cfg4", "cfg4b",
+    "cfg5", "cfg6",
 )
+
+# per-config partial results persist here as each isolated subprocess
+# completes, so a mid-run tunnel death yields a partial BENCH file
+# instead of an all-or-nothing error record (round-3 verdict, Weak #5)
+PARTIAL_PATH = Path(__file__).resolve().with_name("bench_partial.json")
+
+
+def _save_partial(parts: dict) -> None:
+    try:
+        PARTIAL_PATH.write_text(json.dumps(parts))
+    except OSError:
+        pass
+
+
+def _load_partial() -> dict:
+    try:
+        return json.loads(PARTIAL_PATH.read_text())
+    except (OSError, json.JSONDecodeError):
+        return {}
 
 
 def _timeit(fn, *args, reps=10, warmup=2, chain=8):
@@ -540,6 +560,43 @@ def main(only: str = None) -> None:
             t4 / _scan_rate(sg_body, (s4, hold, f4, jnp.float32(0.0)), k1=2, k2=16), 1
         )
 
+    if want("cfg4b"):
+        # the PRODUCTION spectrogram tick path (SpectrogramProcessor.pull:
+        # host batcher -> pow2-bucketed masked frames -> ONE dispatch ->
+        # RGBA8 columns read back to host for the image). Unlike cfg4's
+        # batched device step this includes the host batcher, the bucket
+        # padding, and the device->host column readback the render loop
+        # genuinely needs — i.e. the per-tick cost an editor pays at
+        # ~60 Hz cadence (ref streaming chunker: TransformDSP.inl:1163-1211).
+        # Runs in its own subprocess: pull()'s np.asarray readback degrades
+        # this transport session to sync dispatch (measured round 2).
+        from signalizer_tpu.views.spectrogram import SpectrogramProcessor
+
+        sp = SpectrogramProcessor(
+            pairs=1,
+            blob_ms=10.0,
+            axis_points=256,
+            window_size=4096,
+            sample_rate=48_000.0,
+        )
+        tick_n = 800  # one 60 Hz editor tick of 48 kHz audio
+        blocks = rng.standard_normal((240, 2, tick_n)).astype(np.float32) * 0.25
+        # warm the pow2 bucket shapes the steady state hits (1 and 2
+        # frames/tick at this cadence) plus a backlog bucket
+        for warm_t in (4, 2, 1, 1, 2):
+            need = warm_t * 480 + (4096 if sp.batcher.frames_ready() == 0 else 0)
+            sp.push(rng.standard_normal((2, need)).astype(np.float32) * 0.25)
+            sp.pull()
+        ticks = []
+        for i in range(240):
+            sp.push(blocks[i])
+            t0 = time.perf_counter()
+            sp.pull()
+            ticks.append(time.perf_counter() - t0)
+        ticks_ms = np.asarray(ticks) * 1e3
+        out["cfg4b_pull_tick_p50_ms"] = round(float(np.percentile(ticks_ms, 50)), 4)
+        out["cfg4b_pull_tick_p99_ms"] = round(float(np.percentile(ticks_ms, 99)), 4)
+
     if want("cfg5"):
         c5 = make_spectrum_constant(
             axis_points=1024,
@@ -701,7 +758,10 @@ def _probe_device(timeout_s: float = 300.0) -> None:
 
 def _run_isolated() -> None:
     """Run every config in its own subprocess so the tunnel's dispatch
-    backpressure cannot contaminate per-config numbers."""
+    backpressure cannot contaminate per-config numbers. Partial results
+    persist to ``bench_partial.json`` after every config, so a mid-run
+    tunnel death still yields the completed configs' numbers."""
+    PARTIAL_PATH.unlink(missing_ok=True)
     parts = {}
     for cfg in CONFIG_NAMES:
         try:
@@ -719,6 +779,7 @@ def _run_isolated() -> None:
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
         try:
             parts.update(json.loads(line))
+            _save_partial(parts)
         except json.JSONDecodeError:
             sys.stderr.write(f"config {cfg} failed: {proc.stderr[-500:]}\n")
     if "value" not in parts:
@@ -735,18 +796,18 @@ if __name__ == "__main__":
         main()
     else:
         def _error_line(e: Exception) -> None:
-            # tunnel down: still print ONE parseable JSON line
-            print(
-                json.dumps(
-                    {
-                        "metric": "spectrum_frames_per_sec_per_chip_4096pt_stereo",
-                        "value": 0.0,
-                        "unit": "frames/s",
-                        "vs_baseline": 0.0,
-                        "error": f"device unavailable: {type(e).__name__}: {e}"[:300],
-                    }
-                )
-            )
+            # tunnel down: still print ONE parseable JSON line, carrying
+            # any per-config results persisted before the failure
+            record = {
+                "metric": "spectrum_frames_per_sec_per_chip_4096pt_stereo",
+                "value": 0.0,
+                "unit": "frames/s",
+                "vs_baseline": 0.0,
+                "error": f"device unavailable: {type(e).__name__}: {e}"[:300],
+            }
+            partial = _load_partial()
+            partial.update(record)  # error metadata wins on key clashes
+            print(json.dumps(partial if partial else record))
 
         try:
             _probe_device()
