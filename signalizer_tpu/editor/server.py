@@ -120,6 +120,26 @@ class EditorShell:
 
             def do_POST(self):
                 try:
+                    # CSRF defense for the fixed local port: browsers can
+                    # fire no-preflight text/plain POSTs at localhost from
+                    # any webpage, so (a) mutating endpoints require an
+                    # explicit application/json Content-Type (cross-origin
+                    # JSON POSTs trigger a preflight we never answer), and
+                    # (b) a present Origin header must match this server.
+                    ctype = (
+                        (self.headers.get("Content-Type") or "")
+                        .split(";")[0]
+                        .strip()
+                        .lower()
+                    )
+                    if ctype != "application/json":
+                        self._json(
+                            {"error": "Content-Type must be application/json"}, 415
+                        )
+                        return
+                    if not shell._origin_allowed(self.headers):
+                        self._json({"error": "forbidden origin"}, 403)
+                        return
                     n = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(n) or b"{}")
                     shell._post(self, body)
@@ -139,6 +159,32 @@ class EditorShell:
     def url(self) -> str:
         h, p = self._server.server_address[:2]
         return f"http://{h}:{p}/"
+
+    def _origin_allowed(self, headers) -> bool:
+        """A present Origin header must name this server (the app itself
+        is same-origin; anything else is a cross-site request). Absent
+        Origin (CLI tools, same-origin fetches in some browsers) passes —
+        the Content-Type gate in do_POST already blocks no-preflight
+        browser POSTs."""
+        origin = headers.get("Origin")
+        if origin is None:
+            return True
+        if origin == "null":
+            return False
+        from urllib.parse import urlsplit
+
+        try:
+            parts = urlsplit(origin)
+        except ValueError:
+            return False
+        if parts.scheme not in ("http", "https"):
+            return False
+        host, port = self._server.server_address[:2]
+        allowed_hosts = {host, "localhost", "127.0.0.1", "[::1]", "::1"}
+        origin_port = parts.port if parts.port is not None else (
+            443 if parts.scheme == "https" else 80
+        )
+        return parts.hostname in allowed_hosts and origin_port == port
 
     def start(self) -> None:
         self._running = True
@@ -451,8 +497,12 @@ class EditorShell:
                     self._pending_rebuild.update(self.session.views)
             h._json({"ok": bool(ok)})
         elif path == "/api/presets/save":
-            self.engine.save_preset(str(body["name"]))
-            h._json({"ok": True, "presets": self.engine.presets.list_presets()})
+            try:
+                self.engine.save_preset(str(body["name"]))
+            except ValueError as e:  # invalid preset name — handled, not a fault
+                h._json({"error": str(e)})
+            else:
+                h._json({"ok": True, "presets": self.engine.presets.list_presets()})
         else:
             h._json({"error": "not found"}, 404)
 

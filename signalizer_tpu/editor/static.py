@@ -86,7 +86,9 @@ INDEX_HTML = r"""<!DOCTYPE html>
 const $ = s => document.querySelector(s);
 const api = {
   get: p => fetch(p).then(r => r.json()),
-  post: (p, body) => fetch(p, {method: "POST", body: JSON.stringify(body || {})})
+  post: (p, body) => fetch(p, {method: "POST",
+      headers: {"Content-Type": "application/json"},
+      body: JSON.stringify(body || {})})
       .then(r => r.json()),
 };
 const state = {

@@ -39,14 +39,31 @@ class PresetManager:
             factory_dir = FACTORY_DIR
         self.factory_dir = Path(factory_dir)
 
+    @staticmethod
+    def _validate_name(name: str) -> str:
+        """Reject path-traversal names: preset names are plain file stems,
+        never paths (names reach this layer from network-facing editor
+        endpoints, so '../..' must not escape the preset directory)."""
+        if (
+            not name
+            or name != Path(name).name
+            or ".." in name
+            or "/" in name
+            or "\\" in name
+            or name in (".", "~")
+        ):
+            raise ValueError(f"invalid preset name: {name!r}")
+        return name
+
     def _path(self, name: str) -> Path:
+        self._validate_name(name)
         if self.directory is None:
             raise RuntimeError("PresetManager has no writable directory")
         return self.directory / (name + PRESET_EXTENSION)
 
     def _resolve(self, name: str) -> Path:
         """User dir first, then the shipped factory corpus."""
-        fname = name + PRESET_EXTENSION
+        fname = self._validate_name(name) + PRESET_EXTENSION
         if self.directory is not None:
             p = self.directory / fname
             if p.exists():

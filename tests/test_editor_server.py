@@ -59,9 +59,12 @@ def get(sh, path):
     return json.loads(_raw_get(sh, path))
 
 
-def post(sh, path, body):
+def post(sh, path, body, headers=None):
     req = urllib.request.Request(
-        sh.url.rstrip("/") + path, data=json.dumps(body).encode(), method="POST"
+        sh.url.rstrip("/") + path,
+        data=json.dumps(body).encode(),
+        method="POST",
+        headers={"Content-Type": "application/json", **(headers or {})},
     )
     with urllib.request.urlopen(req, timeout=30) as r:
         return json.loads(r.read())
@@ -205,6 +208,60 @@ def test_presets_roundtrip(shell, tmp_path):
     eng.spectrum.window_size.set_normalized(0.11)
     assert post(sh, "/api/presets/load", {"name": "editor-test"})["ok"]
     assert abs(eng.spectrum.window_size.get_normalized() - 0.77) < 1e-9
+
+
+def test_preset_name_traversal_rejected(shell, tmp_path):
+    """Client-supplied preset names must not escape the preset directory
+    (advisor finding: '../../x' reached Path joins unsanitized)."""
+    sh, eng = shell[0], shell[1]
+    eng.presets = type(eng.presets)(str(tmp_path))
+    for evil in ("../escape", "..", "a/b", "..\\win", ""):
+        r = post(sh, "/api/presets/save", {"name": evil})
+        assert "error" in r, evil
+        # nothing written outside (or inside) the preset dir
+        assert list(tmp_path.parent.glob("*.sgz")) == []
+    # loads with traversal names must not read arbitrary .sgz paths
+    outside = tmp_path.parent / "secret.sgz"
+    outside.write_bytes(b"{}")
+    assert post(sh, "/api/presets/load", {"name": "../secret"})["ok"] is False
+
+
+def test_post_requires_json_content_type(shell):
+    """No-preflight browser POSTs (text/plain, form-encoded) are refused:
+    the localhost-CSRF gate (advisor finding)."""
+    import urllib.error
+
+    sh = shell[0]
+    req = urllib.request.Request(
+        sh.url.rstrip("/") + "/api/freeze",
+        data=json.dumps({"freeze": True}).encode(),
+        method="POST",
+        headers={"Content-Type": "text/plain"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 415
+    assert get(sh, "/api/state")["freeze"] is False
+
+
+def test_post_rejects_foreign_origin(shell):
+    """A cross-site Origin is refused even with a JSON Content-Type
+    (covers DNS-rebinding, where the request is same-origin to the
+    attacker's hostname)."""
+    import urllib.error
+
+    sh = shell[0]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        post(sh, "/api/freeze", {"freeze": True},
+             headers={"Origin": "http://evil.example:1234"})
+    assert ei.value.code == 403
+    with pytest.raises(urllib.error.HTTPError):
+        post(sh, "/api/freeze", {"freeze": True}, headers={"Origin": "null"})
+    # the app's own origin passes
+    host, port = sh._server.server_address[:2]
+    r = post(sh, "/api/freeze", {"freeze": False},
+             headers={"Origin": f"http://{host}:{port}"})
+    assert r["freeze"] is False
 
 
 def test_graph_serialization_control(shell):
