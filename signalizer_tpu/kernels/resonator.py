@@ -28,7 +28,7 @@ evaluated associatively).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -36,6 +36,29 @@ import jax
 import jax.numpy as jnp
 
 from signalizer_tpu.core.windows import WindowType, window_coefficients
+
+
+@dataclasses.dataclass(frozen=True)
+class _HostPoles:
+    """Hashable host-side mirror of the complex poles.
+
+    Rides the ResonatorConstant as STATIC aux data, so it survives every
+    pytree flatten/unflatten (tree_map, jit reconstruction, checkpoint
+    restore) — unlike a stapled-on attribute, which silently vanishes and
+    then forces ``make_block_plan`` into a device readback it must refuse
+    on remote transports. Content-hashed via the raw bytes (static fields
+    must be hashable/comparable for the jit cache key)."""
+
+    data: bytes
+    shape: tuple
+
+    def array(self) -> np.ndarray:
+        return np.frombuffer(self.data, np.complex128).reshape(self.shape)
+
+    @classmethod
+    def of(cls, poles: np.ndarray) -> "_HostPoles":
+        poles = np.ascontiguousarray(poles, np.complex128)
+        return cls(data=poles.tobytes(), shape=poles.shape)
 
 
 @jax.tree_util.register_dataclass
@@ -60,6 +83,13 @@ class ResonatorConstant:
     poles: jax.Array
     combine: jax.Array
     gain: jax.Array
+    # host mirror for block-plan precomputation (make_block_plan): the
+    # remote-TPU tunnel forbids device->host readbacks (CLAUDE.md), so
+    # the complex poles are kept host-side from design time. Static aux
+    # data -> survives pytree round-trips.
+    host_poles: Optional[_HostPoles] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
 
 def make_resonator_constant(
@@ -122,7 +152,7 @@ def make_resonator_constant(
     # a real sine contributes half its amplitude at +omega
     gain = 1.0 / np.maximum(np.abs(resp) * 0.5, 1e-20)
 
-    constant = ResonatorConstant(
+    return ResonatorConstant(
         num_pixels=p,
         vectors=v,
         poles=jnp.asarray(
@@ -130,12 +160,8 @@ def make_resonator_constant(
         ),
         combine=jnp.asarray(comb, jnp.float32),
         gain=jnp.asarray(gain, jnp.float32),
+        host_poles=_HostPoles.of(poles),
     )
-    # host mirror for block-plan precomputation (make_block_plan) — the
-    # remote-TPU tunnel forbids device->host readbacks (see CLAUDE.md), so
-    # the complex poles are kept host-side at design time
-    object.__setattr__(constant, "_host_poles", poles)
-    return constant
 
 
 def init_resonator_state(
@@ -165,16 +191,14 @@ class ResonatorBlockPlan:
 
 def make_block_plan(constant: ResonatorConstant, block: int) -> ResonatorBlockPlan:
     """Host-side plan precomputation (no remote readbacks: uses the
-    design-time host mirror of the poles).
+    design-time host mirror of the poles, carried as static aux data so
+    it survives pytree round-trips).
 
-    The mirror is stapled on by make_resonator_constant and does NOT
-    survive pytree flatten/unflatten (tree_map, jit reconstruction,
-    checkpoint restore rebuild the dataclass from registered fields
-    only). When it is missing, the poles are recovered from the
-    constant's own field — free when the leaves live on CPU; refused on
-    remote devices, where a device->host readback permanently degrades
-    the transport (CLAUDE.md)."""
-    poles = getattr(constant, "_host_poles", None)
+    For constants without a mirror (hand-built, or restored by an old
+    serializer), the poles are recovered from the constant's own field —
+    free when the leaves live on CPU; refused on remote devices, where a
+    device->host readback permanently degrades the transport (CLAUDE.md)."""
+    poles = constant.host_poles.array() if constant.host_poles is not None else None
     if poles is None:
         leaf = constant.poles
         devices = getattr(leaf, "devices", None)

@@ -1,5 +1,6 @@
 """Resonator bank: unity calibration, selectivity, block equivalence."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -274,3 +275,17 @@ def test_rsnt_phase_mode_cancellation_semantics():
     # tone's pixel (cancel ~1 -> phase target ~mag), mono reads at the
     # clip floor (cancel ~0)
     assert inverted[1][16] > mono[1][16] + 0.5
+
+
+def test_block_plan_survives_pytree_roundtrip():
+    """The host pole mirror is static aux data: tree_map / jit
+    reconstruction / checkpoint restore must not lose it (advisor
+    finding round 3: a stapled-on attribute vanished on flatten,
+    turning plan builds into refused device readbacks)."""
+    rc = make_resonator_constant(np.linspace(50, 20000, 32), FS, 512)
+    rc2 = jax.tree_util.tree_map(lambda x: x, rc)
+    assert rc2.host_poles is not None
+    p1 = make_block_plan(rc, 64)
+    p2 = make_block_plan(rc2, 64)
+    np.testing.assert_array_equal(np.asarray(p1.ramp), np.asarray(p2.ramp))
+    np.testing.assert_array_equal(np.asarray(p1.decay), np.asarray(p2.decay))
