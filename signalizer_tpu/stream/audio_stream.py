@@ -297,7 +297,13 @@ class AudioStream:
             # signal before switching (see _run), so every pushed packet
             # still delivers — the drain counters stay consistent with no
             # re-anchoring (an earlier re-anchor here let wait_for_drain
-            # return while new-queue packets were in flight)
+            # return while new-queue packets were in flight). The explicit
+            # successor pointer (set BEFORE close, so the worker observing
+            # closed-and-drained always sees it) makes the worker walk
+            # swapped-out queues in swap ORDER: jumping straight to the
+            # CURRENT queue after two quick swaps stranded any packets
+            # pushed to the intermediate one (advisor finding, round 3).
+            old._swap_next = self._native_queue
             old.close()
 
     def _ingest(self, block: np.ndarray, playhead: Optional[Playhead]) -> None:
@@ -380,11 +386,14 @@ class AudioStream:
                     # stranded them (round-3 review)
                     item = q.pop(timeout_ms=100)
                 except StopIteration:
-                    # closed-and-drained: shutting down, or swapped for a
-                    # new channel geometry
-                    if not self._alive or self._native_queue is q:
+                    # closed-and-drained: shutting down (no successor), or
+                    # swapped for a new channel geometry — follow the swap
+                    # CHAIN in order, so packets pushed to an intermediate
+                    # queue between two quick swaps still deliver
+                    nxt = getattr(q, "_swap_next", None)
+                    if nxt is None:
                         return
-                    q = self._native_queue
+                    q = nxt
                     continue
                 if item is None:
                     continue

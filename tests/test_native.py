@@ -201,3 +201,50 @@ def test_threaded_stream_channel_change_recreates_queue():
     assert stream.wait_for_drain()
     np.testing.assert_array_equal(out.get_history(4)[..., -1], np.ones(4))
     stream.close()
+
+
+def test_double_geometry_swap_drains_intermediate_queue():
+    """Two quick geometry swaps with packets pushed to the intermediate
+    queue: the worker must walk the swap chain in order, or those packets
+    strand and wait_for_drain times out forever (advisor finding,
+    round 3). A blocking listener holds the worker inside the FIRST
+    queue's delivery while both swaps happen."""
+    import threading
+
+    from signalizer_tpu.stream.audio_stream import (
+        AudioStream,
+        AudioStreamInfo,
+        StreamListener,
+    )
+
+    gate = threading.Event()
+    entered = threading.Event()
+    seen = []
+
+    class Blocking(StreamListener):
+        def on_stream_audio(self, ctx, block):
+            entered.set()
+            gate.wait(timeout=10)
+            seen.append(block.shape)
+
+    inp, out = AudioStream.create(
+        threaded=True, info=AudioStreamInfo(channels=2, audio_history_capacity=4096)
+    )
+    stream = out._stream
+    out.add_listener(Blocking())
+    # worker blocks inside delivery of the first packet (queue A)
+    inp.process_incoming_audio(np.ones((2, 256), np.float32))
+    assert entered.wait(timeout=5)
+    # swap A -> B, push into B while the worker is still stuck in A
+    inp.initialize_info(lambda info: setattr(info, "channels", 4))
+    q_b = stream._native_queue
+    inp.process_incoming_audio(np.ones((4, 256), np.float32) * 2)
+    # swap B -> C, push into C
+    inp.initialize_info(lambda info: setattr(info, "channels", 6))
+    assert stream._native_queue is not q_b
+    inp.process_incoming_audio(np.ones((6, 256), np.float32) * 3)
+    gate.set()
+    # every pushed packet must deliver (B's packet included)
+    assert stream.wait_for_drain(timeout=5)
+    assert sorted(s[0] for s in seen) == [2, 4, 6]
+    stream.close()
