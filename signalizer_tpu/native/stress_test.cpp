@@ -8,8 +8,9 @@
 // pass.
 //
 // Build & run (see tools/native_stress.sh):
-//   g++ -O1 -g -fsanitize=thread -std=c++20 native/stress_test.cpp \
-//       native/host_runtime.cpp -o /tmp/sz_stress -lpthread && /tmp/sz_stress
+//   g++ -O1 -g -fsanitize=thread -std=c++20 \
+//       signalizer_tpu/native/stress_test.cpp \
+//       signalizer_tpu/native/host_runtime.cpp -o /tmp/sz_stress -lpthread && /tmp/sz_stress
 
 #include <atomic>
 #include <cstdint>

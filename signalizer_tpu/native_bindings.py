@@ -1,4 +1,4 @@
-"""ctypes bindings for the native host runtime (native/host_runtime.cpp).
+"""ctypes bindings for the native host runtime (signalizer_tpu/native/host_runtime.cpp).
 
 Builds ``libsignalizer_host.so`` with g++ on first use (cached beside the
 source), exposes :class:`NativeRingBuffer` with the same interface as
@@ -17,9 +17,9 @@ from typing import Optional
 
 import numpy as np
 
-_REPO_ROOT = Path(__file__).resolve().parent.parent
-_SRC = _REPO_ROOT / "native" / "host_runtime.cpp"
-_LIB = _REPO_ROOT / "native" / "libsignalizer_host.so"
+_PKG_ROOT = Path(__file__).resolve().parent
+_SRC = _PKG_ROOT / "native" / "host_runtime.cpp"
+_LIB = _PKG_ROOT / "native" / "libsignalizer_host.so"
 
 _lib = None
 _lib_lock = threading.Lock()

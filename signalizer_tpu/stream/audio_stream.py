@@ -13,7 +13,7 @@ job is only to (a) decouple the producer from consumers and (b) retain
 history. ``threaded=True`` reproduces the async-consumer-thread behavior:
 blocks are packetized at ``STREAM_PACKET_SIZE`` (ref: AudioStream<float,
 256>) into the **native lock-free SPSC packet queue**
-(native/host_runtime.cpp sz_pq_* — the readerwriterqueue analogue; pushes
+(signalizer_tpu/native/host_runtime.cpp sz_pq_* — the readerwriterqueue analogue; pushes
 are wait-free and allocation-free so the producer path is realtime-safe),
 falling back to a Python queue when no compiler is available.
 ``threaded=False`` delivers synchronously — useful for deterministic

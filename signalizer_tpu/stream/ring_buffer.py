@@ -120,7 +120,7 @@ class RingBuffer:
 
 def make_ring_buffer(channels: int, capacity: int, dtype=np.float32, prefer_native: bool = True):
     """Ring factory: the C++ runtime when built (the hot host path lives in
-    native/host_runtime.cpp, like the reference's cpl layer), numpy
+    signalizer_tpu/native/host_runtime.cpp, like the reference's cpl layer), numpy
     otherwise. Both share the exact same semantics (tests/test_native.py
     cross-checks them)."""
     if prefer_native and dtype == np.float32:

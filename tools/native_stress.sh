@@ -3,6 +3,7 @@
 set -e
 cd "$(dirname "$0")/.."
 g++ -O1 -g -fsanitize=thread -std=c++20 \
-    native/stress_test.cpp native/host_runtime.cpp -o /tmp/sz_stress -lpthread
+    signalizer_tpu/native/stress_test.cpp signalizer_tpu/native/host_runtime.cpp \
+    -o /tmp/sz_stress -lpthread
 TSAN_OPTIONS="halt_on_error=1" /tmp/sz_stress
 echo "tsan stress: clean"
