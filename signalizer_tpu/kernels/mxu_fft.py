@@ -70,9 +70,17 @@ def _dft_matrix(n: int) -> Tuple[np.ndarray, np.ndarray]:
 class MxuFftPlan:
     """Frozen host-side plan: DFT factor matrices + twiddles for N = R*C.
 
-    Kept as a plain object of device constants (closed over by jit, like
-    SpectrumConstant's precomputed tables) — all fields are arrays of
+    Kept as a plain object of HOST (numpy) constants closed over by jit,
+    like SpectrumConstant's precomputed tables — all fields are arrays of
     static shape, so a plan is jit-cache-friendly by identity.
+
+    The fields MUST stay numpy, never jnp: plans are lru-cached and the
+    first build can happen *inside* a trace (``_mxu_plan`` is called from
+    ``_half_spectrum`` while tracing a caller's jit). ``jnp.asarray``
+    there produces DynamicJaxprTracers; caching those poisons every later
+    trace that reuses the plan (UnexpectedTracerError — hit by the round-4
+    headline bench, where ``spectrum_batch`` traced first and
+    ``spectrum_single`` then reused the cached plan).
     """
 
     def __init__(self, n: int, r: int, c: int):
@@ -83,12 +91,12 @@ class MxuFftPlan:
         n1 = np.arange(r)[:, None].astype(np.float64)
         k2 = np.arange(c)[None, :].astype(np.float64)
         ang = -2.0 * np.pi * n1 * k2 / n
-        self.c_re = jnp.asarray(cc)   # [C, C]
-        self.c_im = jnp.asarray(cs)
-        self.r_re = jnp.asarray(rc)   # [R, R]
-        self.r_im = jnp.asarray(rs)
-        self.tw_re = jnp.asarray(np.cos(ang).astype(np.float32))  # [R, C]
-        self.tw_im = jnp.asarray(np.sin(ang).astype(np.float32))
+        self.c_re = cc  # [C, C]
+        self.c_im = cs
+        self.r_re = rc  # [R, R]
+        self.r_im = rs
+        self.tw_re = np.cos(ang).astype(np.float32)  # [R, C]
+        self.tw_im = np.sin(ang).astype(np.float32)
 
 
 @functools.lru_cache(maxsize=16)

@@ -94,3 +94,35 @@ def test_mxu_fft_spectrum_integration_matches_xla(monkeypatch):
         got = np.asarray(ks.spectrum_values(c, frames))
         monkeypatch.undo()
         np.testing.assert_allclose(got, want, atol=2e-5, err_msg=str(cfg))
+
+
+def test_plan_built_inside_a_trace_is_reusable_across_traces():
+    """Regression (round-4 headline bench): a plan lru-cached during one
+    jit's trace must stay usable from a different trace — its matrices
+    are host constants, never tracers (UnexpectedTracerError otherwise)."""
+    import jax.numpy as jnp
+
+    from signalizer_tpu.kernels.mxu_fft import make_plan, mxu_rfft_half
+
+    make_plan.cache_clear()
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 256)), jnp.float32)
+
+    @jax.jit
+    def first(v):
+        re, im = mxu_rfft_half(make_plan(256), v)
+        return jnp.sum(re) + jnp.sum(im)
+
+    first(x)  # builds the plan while tracing
+    plan = make_plan(256)
+    assert all(
+        isinstance(m, np.ndarray)
+        for m in (plan.c_re, plan.c_im, plan.r_re, plan.r_im, plan.tw_re, plan.tw_im)
+    )
+
+    @jax.jit
+    def second(v):
+        re, _ = mxu_rfft_half(make_plan(256), v)
+        return jnp.sum(re)
+
+    ref = np.fft.rfft(np.asarray(x).astype(np.float64))
+    assert np.allclose(float(second(x)), ref.real.sum(), rtol=1e-4)
