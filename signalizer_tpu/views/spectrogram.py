@@ -26,6 +26,11 @@ from signalizer_tpu.kernels.spectrum import (
     init_line_graph_state,
 )
 from signalizer_tpu.stream.batcher import FrameBatcher
+from signalizer_tpu.stream.device_ring import (
+    DeviceFrameSource,
+    extract_frames,
+    ring_update,
+)
 
 # default 5-stop gradient + background (ref: SpectrumParameters.h
 # specColours defaults; exact defaults are preset-defined, these are the
@@ -66,6 +71,35 @@ def _spectrogram_step(
     return cols, result.state
 
 
+@functools.partial(jax.jit, static_argnames=("hop",), donate_argnums=(1, 2))
+def _spectrogram_ring_step(
+    constant: SpectrumConstant,
+    ring: jax.Array,
+    state: LineGraphState,
+    new: jax.Array,
+    n_valid: jax.Array,
+    frame_valid: jax.Array,
+    colours: jax.Array,
+    ratios: jax.Array,
+    *,
+    hop: int,
+):
+    """Hop-only tick: shift the NEW samples [pairs, 2, t_max*hop] into the
+    device-resident history ring, extract the overlapped analysis windows
+    in-graph (static slices off the shift ring), analyze, colour — one
+    dispatch, upload cost O(new samples) instead of O(T * window)
+    (ref: prepareTransform reads windows in place from the stream ring,
+    TransformDSP.inl:38-231; the host never re-copies history,
+    SpectrumRendering.cpp:620-635)."""
+    ring = ring_update(ring, new, n_valid)
+    t_max = frame_valid.shape[0]
+    frames = extract_frames(ring, constant.window_size, hop, t_max, frame_axis=-3)
+    result = analyze_frames(constant, state, frames, valid=frame_valid)
+    intensity = result.results[:, :, 0, 0, :]
+    cols = spectrogram_columns(intensity, colours, ratios)
+    return cols, ring, result.state
+
+
 class SpectrogramProcessor:
     """Streaming spectrogram over batched channel pairs.
 
@@ -84,6 +118,7 @@ class SpectrogramProcessor:
         ratios: Optional[np.ndarray] = None,
         image_width: int = 512,
         stretch: float = 1.0,  # ref: spectrumStretching
+        device_ingest: bool = False,
         **constant_kwargs,
     ):
         if constant is None:
@@ -94,12 +129,28 @@ class SpectrogramProcessor:
         self.constant = constant
         self.pairs = pairs
         hop = max(1.0, blob_ms * 1e-3 * constant.sample_rate * (1.0 - overlap))
-        self.batcher = FrameBatcher(
-            pairs * 2,
-            constant.window_size,
-            hop,
-            capacity=max(constant.window_size * 4, int(hop * 64)),
-        )
+        self.device_ingest = device_ingest
+        if device_ingest:
+            # hop-only upload path: history lives on device; the hop is
+            # quantized to integer samples (the static frame grid of the
+            # shift ring — a deliberate deviation; sub-sample blob sizes
+            # stay on the host batcher)
+            self._source = DeviceFrameSource(
+                (pairs, 2),
+                constant.window_size,
+                int(round(hop)),
+                t_cap=32,
+                max_pending_frames=max(64, int(constant.window_size * 4 / hop)),
+            )
+            self._ring = self._source.init_ring()
+            self.batcher = self._source  # duck-typed: frames_ready/dropped
+        else:
+            self.batcher = FrameBatcher(
+                pairs * 2,
+                constant.window_size,
+                hop,
+                capacity=max(constant.window_size * 4, int(hop * 64)),
+            )
         self._state = init_line_graph_state(constant, (pairs,))
         base = colours if colours is not None else DEFAULT_GRADIENT
         base = np.asarray(base, np.float32)
@@ -132,7 +183,11 @@ class SpectrogramProcessor:
 
     def push(self, block: np.ndarray) -> None:
         """Feed [pairs*2, n] audio."""
-        self.batcher.push(block)
+        if self.device_ingest:
+            block = np.asarray(block, np.float32)
+            self._source.push(block.reshape(self.pairs, 2, block.shape[-1]))
+        else:
+            self.batcher.push(block)
 
     def pull(self, max_frames: Optional[int] = None) -> np.ndarray:
         """Process pending blobs -> RGBA8 columns [T, P, 4].
@@ -144,6 +199,8 @@ class SpectrogramProcessor:
         """
         if max_frames is None and self.pacer is not None:
             max_frames = self.pacer.columns_for_tick(self.batcher.frames_ready())
+        if self.device_ingest:
+            return self._pull_device(max_frames)
         frames = self.batcher.pull(max_frames)
         t = frames.shape[0]
         if t == 0:
@@ -175,8 +232,34 @@ class SpectrogramProcessor:
         self.image.push_columns(cols)
         return cols
 
+    def _pull_device(self, max_frames: Optional[int]) -> np.ndarray:
+        """Hop-only tick: each upload unit moves only NEW samples to the
+        device; windows come from the resident ring in-graph."""
+        out = []
+        for unit in self._source.pull_uploads(max_frames):
+            cols, self._ring, self._state = _spectrogram_ring_step(
+                self.constant,
+                self._ring,
+                self._state,
+                jnp.asarray(unit.samples),
+                jnp.int32(unit.n_valid),
+                jnp.asarray(unit.frame_valid),
+                self._colours,
+                self._ratios,
+                hop=self._source.hop,
+            )
+            if unit.t_valid:
+                out.append(np.asarray(cols)[unit.frame_valid])
+        if not out:
+            return np.zeros((0, self.constant.axis_points, 4), np.uint8)
+        cols = np.concatenate(out, axis=0)
+        self.image.push_columns(cols)
+        return cols
+
     def reset(self) -> None:
         self._state = init_line_graph_state(self.constant, (self.pairs,))
+        if self.device_ingest:
+            self._ring = self._source.init_ring()
 
 
 class SpectrogramImage:
