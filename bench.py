@@ -163,18 +163,17 @@ def main(only: str = None) -> None:
         jax.block_until_ready(checksum)
         dt = _timeit(lambda f: spectrum_batch(state, f)[0], frames)
         throughput = pairs * t_steps / dt
-        from signalizer_tpu.kernels.spectrum import _mxu_fft_active, _remap_mode
-
         out.update(
             metric="spectrum_frames_per_sec_per_chip_4096pt_stereo",
             value=round(throughput, 1),
             unit="frames/s",
             vs_baseline=round(throughput / 1000.0, 3),
             device=str(jax.devices()[0]),
-            # routing provenance: which production paths produced these
-            # numbers (MXU four-step FFT, display-remap formulation)
-            mxu_fft=_mxu_fft_active(),
-            remap_mode=_remap_mode(),
+            # routing provenance: the Constant's static routing fields
+            # that produced these numbers (resolved at construction)
+            mxu_fft=constant.fft_backend == "mxu",
+            fft_backend=constant.fft_backend,
+            remap_mode=constant.remap_mode,
         )
 
         # latency: single-frame host->device->host round trip

@@ -41,6 +41,20 @@ from signalizer_tpu.core.config import (
 from signalizer_tpu.core.scaling import peak_decay_pole
 from signalizer_tpu.core.windows import WindowType, generate_window
 
+# routing env is snapshotted ONCE at import (process-start-only
+# semantics, round-3 advisor): flipping these mid-process does nothing —
+# rebuild the Constant (with explicit fft_backend/remap_mode params) to
+# re-route. Kernels read the Constant's static fields, never the env.
+_ENV_REMAP = os.environ.get("SIGNALIZER_TPU_REMAP", "").lower()
+_ENV_NO_MXU_FFT = bool(os.environ.get("SIGNALIZER_TPU_NO_MXU_FFT"))
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover — backend init failure
+        return False
+
 # ref: SpectrumParameters.h:48-51 — LineMain + LineSecond.
 NUM_LINE_GRAPHS = 2
 # ref: SpectrumParameters.h:78-80.
@@ -302,10 +316,27 @@ class SpectrumConstant:
     band_idx: jax.Array  # [P, maxband] i32 — contiguous bin-max chunks
     band_mask: jax.Array  # [P, maxband] bool
     # [n_values, P] f32 dense interp matrix, built ONLY when the matmul
-    # remap candidate is requested (SIGNALIZER_TPU_REMAP=matmul|both):
-    # it is nv*P*4 bytes (33 MB at a 16384-pt window), too heavy to
-    # carry by default.
+    # remap candidate is requested (remap_mode=matmul|both): it is
+    # nv*P*4 bytes (33 MB at a 16384-pt window), too heavy to carry by
+    # default.
     interp_dense: Optional[jax.Array] = None
+
+    # --- static routing (jit key; resolved ONCE at construction) ----------
+    # Which FFT implementation the spectrum kernels use ("mxu" four-step
+    # matmul formulation — the measured 1.44x winner on TPU — or "xla"
+    # jnp.fft) and which display-remap formulation ("gather" scatter
+    # segment-max — the measured winner, 0.34 vs 0.55/0.93 us/frame on
+    # the chip — or the "banded"/"matmul"/"both" candidates). Carried as
+    # static fields so the routing rides the jit cache key instead of
+    # ambient env reads at trace time (round-3 advisor finding: env
+    # toggles silently didn't affect compiled steps, and a constant
+    # built before SIGNALIZER_TPU_REMAP=matmul fell back silently).
+    fft_backend: str = dataclasses.field(
+        default="xla", metadata=dict(static=True)
+    )
+    remap_mode: str = dataclasses.field(
+        default="gather", metadata=dict(static=True)
+    )
 
     @property
     def num_bins(self) -> int:
@@ -344,6 +375,8 @@ def make_spectrum_constant(
     num_line_graphs: int = NUM_LINE_GRAPHS,
     mapped_frequencies: Optional[np.ndarray] = None,
     dtype=jnp.float32,
+    fft_backend: Optional[str] = None,
+    remap_mode: Optional[str] = None,
 ) -> SpectrumConstant:
     """Build a :class:`SpectrumConstant` (host precompute + device upload).
 
@@ -353,6 +386,19 @@ def make_spectrum_constant(
     constructor since the result is immutable.
     """
     transform_size = max(32, next_pow2(window_size))  # ref: TransformConstant.h:84
+
+    # resolve routing ONCE at construction (env snapshot taken at import,
+    # process-start-only semantics): callers override with the explicit
+    # params; otherwise TPU gets the measured-faster MXU FFT and the
+    # measured-fastest gather remap.
+    if remap_mode is None:
+        remap_mode = _ENV_REMAP if _ENV_REMAP in ("banded", "matmul", "both") else "gather"
+    if remap_mode not in ("gather", "banded", "matmul", "both"):
+        raise ValueError(f"unknown remap_mode {remap_mode!r}")
+    if fft_backend is None:
+        fft_backend = "xla" if _ENV_NO_MXU_FFT else ("mxu" if _on_tpu() else "xla")
+    if fft_backend not in ("xla", "mxu"):
+        raise ValueError(f"unknown fft_backend {fft_backend!r}")
 
     # a zero dB range divides by log(upper/lower) = 0; the reference
     # enforces a small minimum (CHANGELOG 0.4.0 "Graphical issue when the
@@ -427,12 +473,15 @@ def make_spectrum_constant(
         single_mask=jnp.asarray(plan.single_mask),
         band_idx=jnp.asarray(plan.band_idx),
         band_mask=jnp.asarray(plan.band_mask),
+        # built iff the resolved mode needs it — a matmul-mode constant
+        # can never silently miss its matrix (round-3 advisor finding)
         interp_dense=(
             jnp.asarray(dense_interp_matrix(plan), dtype=dtype)
-            if os.environ.get("SIGNALIZER_TPU_REMAP", "").lower()
-            in ("matmul", "both")
+            if remap_mode in ("matmul", "both")
             else None
         ),
+        fft_backend=fft_backend,
+        remap_mode=remap_mode,
     )
     # host-side mirror of the plan (NOT a pytree field): consumers that
     # need these on the host (render feed, resonator builder, pallas plan)

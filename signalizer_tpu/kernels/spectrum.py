@@ -38,7 +38,6 @@ replicate.
 from __future__ import annotations
 
 import functools
-import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -101,22 +100,17 @@ def _pack_channels(constant: SpectrumConstant, frames: jax.Array) -> jax.Array:
     return rows * w
 
 
-def _mxu_fft_active() -> bool:
-    """Use the MXU four-step FFT on TPU: honest scan-slope rematch at the
-    headline geometry (N=4096, 4096 transforms, round 3) measured
-    1.83 ms vs XLA's 2.64 ms (1.44x) at BETTER accuracy (1.1e-7 vs
-    3.7e-7 relative against float64 numpy). CPU keeps jnp.fft (the
-    matmul formulation trades ~20x FLOPs for MXU throughput — a loss on
-    scalar pipelines); tools/tpu_parity_check.py compares the two.
-    ``SIGNALIZER_TPU_NO_MXU_FFT=1`` forces XLA's FFT everywhere."""
-    import os
-
-    if os.environ.get("SIGNALIZER_TPU_NO_MXU_FFT"):
-        return False
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+def _use_mxu(constant: SpectrumConstant) -> bool:
+    """MXU four-step FFT routing — a STATIC field of the Constant
+    (``fft_backend``), resolved once at construction: the honest
+    scan-slope rematch at the headline geometry (N=4096, 4096
+    transforms, round 3) measured 1.83 ms vs XLA's 2.64 ms (1.44x) at
+    BETTER accuracy (1.1e-7 vs 3.7e-7 relative against float64 numpy),
+    so TPU constants default to "mxu"; CPU keeps jnp.fft (the matmul
+    formulation trades ~20x FLOPs for MXU throughput — a loss on scalar
+    pipelines). ``SIGNALIZER_TPU_NO_MXU_FFT=1`` (snapshotted at import
+    of core.constant) or ``fft_backend="xla"`` opts out."""
+    return constant.fft_backend == "mxu"
 
 
 @functools.lru_cache(maxsize=None)
@@ -131,7 +125,7 @@ def _half_spectrum(constant: SpectrumConstant, rows: jax.Array) -> jax.Array:
     to transform_size, with DC and Nyquist halved
     (ref: TransformDSP.inl:551-554 — the one-sided display convention)."""
     n = constant.transform_size
-    if _mxu_fft_active():
+    if _use_mxu(constant):
         from signalizer_tpu.kernels.mxu_fft import mxu_rfft_half
 
         pad = n - rows.shape[-1]
@@ -182,15 +176,17 @@ def _segment_reduce(data: jax.Array, constant: SpectrumConstant, op: str) -> jax
     return seg[:p].T.reshape(batch_shape + (p,))
 
 
-def _remap_mode() -> str:
-    """Display-remap routing: ``gather`` (default — tap gather +
-    scatter segment-max), ``banded`` (constant-index contiguous banded
-    gather + masked max), ``matmul`` (tap interpolation as one dense MXU
-    matmul), ``both``. Opt-in via SIGNALIZER_TPU_REMAP; the candidates
-    are float-equivalent (same taps/chunks, matmul reorders the tap sum)
-    and A/B-measured by tools/remap_bench.py."""
-    mode = os.environ.get("SIGNALIZER_TPU_REMAP", "").lower()
-    return mode if mode in ("banded", "matmul", "both") else "gather"
+def _remap(constant: SpectrumConstant) -> str:
+    """Display-remap routing — a STATIC field of the Constant
+    (``remap_mode``, resolved at construction): ``gather`` (default —
+    tap gather + scatter segment-max), ``banded`` (constant-index
+    contiguous banded gather + masked max), ``matmul`` (tap
+    interpolation as one dense MXU matmul), ``both``. The candidates are
+    float-equivalent (same taps/chunks, matmul reorders the tap sum);
+    the round-4 chip A/B (tools/remap_bench.py, headline geometry)
+    measured gather 0.336 us/frame vs matmul 0.548 / banded 0.926 /
+    both 0.717 — the scatter default stays."""
+    return constant.remap_mode
 
 
 def _binmax_mag(mags: jax.Array, constant: SpectrumConstant) -> jax.Array:
@@ -200,7 +196,7 @@ def _binmax_mag(mags: jax.Array, constant: SpectrumConstant) -> jax.Array:
     the argmax bin — for non-negative magnitudes that equals the plain
     segment max of magnitudes.
     """
-    if _remap_mode() in ("banded", "both"):
+    if _remap(constant) in ("banded", "both"):
         # each chunk {oldBin+1..bin} is contiguous: a constant-index
         # banded gather + masked max replaces the scatter
         g = mags[..., constant.band_idx]  # [..., P, maxband]
@@ -215,7 +211,7 @@ def _interp_mag(mags: jax.Array, constant: SpectrumConstant) -> jax.Array:
     """Magnitude interpolation with the |.| rectification applied (the
     Lanczos kernel has negative lobes); routes the tap sum onto the MXU
     as one dense matmul when the matmul candidate is active."""
-    if _remap_mode() in ("matmul", "both") and constant.interp_dense is not None:
+    if _remap(constant) in ("matmul", "both"):
         return jnp.abs(
             jnp.matmul(mags, constant.interp_dense, precision=jax.lax.Precision.HIGHEST)
         )
@@ -234,7 +230,7 @@ def _binmax_argbin(values: jax.Array, constant: SpectrumConstant) -> jax.Array:
     """First bin index achieving the chunk max of ``values`` per pixel
     (ref: strictly-greater update in TransformDSP.inl:826-838 selects the
     first maximum). values [..., n_values] -> int32 [..., P]."""
-    if _remap_mode() in ("banded", "both"):
+    if _remap(constant) in ("banded", "both"):
         # within a mask row band_idx[x, j] = lo + j, and jnp.argmax
         # returns the FIRST maximum — the reference's strictly-greater
         # update semantics
@@ -272,7 +268,7 @@ def spectrum_values(constant: SpectrumConstant, frames: jax.Array) -> jax.Array:
     if cfg == SpectrumChannels.COMPLEX:
         z = _pack_channels(constant, frames)  # [..., W] complex
         n = constant.transform_size
-        if _mxu_fft_active():
+        if _use_mxu(constant):
             from signalizer_tpu.kernels.mxu_fft import mxu_fft
 
             pad = n - z.shape[-1]

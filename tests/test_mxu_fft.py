@@ -64,11 +64,12 @@ def test_bad_factorization_rejected():
         make_plan(1000, r=128)
 
 
-def test_mxu_fft_spectrum_integration_matches_xla(monkeypatch):
+def test_mxu_fft_spectrum_integration_matches_xla():
     """The production swap point: _half_spectrum and the COMPLEX branch
     must produce the same spectra through the MXU four-step path as
-    through jnp.fft (the TPU routes through the former; CPU tests would
-    otherwise never compile the integrated composition)."""
+    through jnp.fft (TPU constants default to fft_backend='mxu'; CPU
+    tests would otherwise never compile the integrated composition).
+    Routing is the Constant's static fft_backend field (round 4)."""
     import jax.numpy as jnp
 
     import signalizer_tpu.kernels.spectrum as ks
@@ -82,17 +83,19 @@ def test_mxu_fft_spectrum_integration_matches_xla(monkeypatch):
     rng = np.random.default_rng(11)
     frames = jnp.asarray(rng.standard_normal((2, 2, 1024)).astype(np.float32))
     for cfg in (SpectrumChannels.SEPARATE, SpectrumChannels.PHASE, SpectrumChannels.COMPLEX):
-        c = make_spectrum_constant(
+        kwargs = dict(
             axis_points=128,
             window_size=1024,
             configuration=cfg,
             bin_interpolation=BinInterpolation.LINEAR,
             view_scaling=ViewScaling.LINEAR,
         )
-        want = np.asarray(ks.spectrum_values(c, frames))
-        monkeypatch.setattr(ks, "_mxu_fft_active", lambda: True)
-        got = np.asarray(ks.spectrum_values(c, frames))
-        monkeypatch.undo()
+        want = np.asarray(
+            ks.spectrum_values(make_spectrum_constant(fft_backend="xla", **kwargs), frames)
+        )
+        got = np.asarray(
+            ks.spectrum_values(make_spectrum_constant(fft_backend="mxu", **kwargs), frames)
+        )
         np.testing.assert_allclose(got, want, atol=2e-5, err_msg=str(cfg))
 
 

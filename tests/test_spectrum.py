@@ -391,11 +391,12 @@ def test_between_bin_tone_interpolates_magnitudes():
     ],
 )
 def test_remap_candidates_match_production(monkeypatch, mode, cfg, interp, scaling, window):
-    """The gated remap candidates (SIGNALIZER_TPU_REMAP=banded|matmul|
-    both — banded gather segment-max, dense-matmul tap interp) are
-    float-equivalent to the default gather/scatter remap across channel
-    modes, interpolations, scalings and window sizes (the matmul only
-    reorders the tap sum; tolerance covers the accumulation order)."""
+    """The remap candidates (remap_mode=banded|matmul|both — banded
+    gather segment-max, dense-matmul tap interp) are float-equivalent to
+    the default gather/scatter remap across channel modes,
+    interpolations, scalings and window sizes (the matmul only reorders
+    the tap sum; tolerance covers the accumulation order). Routing is a
+    static Constant field since round 4 (env is snapshotted at import)."""
     kwargs = dict(
         axis_points=256,
         window_size=window,
@@ -404,14 +405,12 @@ def test_remap_candidates_match_production(monkeypatch, mode, cfg, interp, scali
         bin_interpolation=interp,
         view_scaling=scaling,
     )
-    monkeypatch.delenv("SIGNALIZER_TPU_REMAP", raising=False)
-    c_ref = make_spectrum_constant(**kwargs)
+    c_ref = make_spectrum_constant(remap_mode="gather", **kwargs)
     rng = np.random.default_rng(7)
     frames = jnp.asarray(rng.standard_normal((3, 2, window)).astype(np.float32))
     want = np.asarray(spectrum_values(c_ref, frames))
 
-    monkeypatch.setenv("SIGNALIZER_TPU_REMAP", mode)
-    c_alt = make_spectrum_constant(**kwargs)
+    c_alt = make_spectrum_constant(remap_mode=mode, **kwargs)
     if mode in ("matmul", "both"):
         assert c_alt.interp_dense is not None
     got = np.asarray(spectrum_values(c_alt, frames))
