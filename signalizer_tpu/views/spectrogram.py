@@ -118,7 +118,7 @@ class SpectrogramProcessor:
         ratios: Optional[np.ndarray] = None,
         image_width: int = 512,
         stretch: float = 1.0,  # ref: spectrumStretching
-        device_ingest: bool = False,
+        device_ingest="auto",
         **constant_kwargs,
     ):
         if constant is None:
@@ -129,7 +129,13 @@ class SpectrogramProcessor:
         self.constant = constant
         self.pairs = pairs
         hop = max(1.0, blob_ms * 1e-3 * constant.sample_rate * (1.0 - overlap))
-        self.device_ingest = device_ingest
+        if device_ingest == "auto":
+            # hop-only ingest needs an integer hop (the shift ring's
+            # static frame grid); sub-sample blob sizes keep the host
+            # batcher. Bit-exact parity is pytest-locked either way.
+            device_ingest = float(hop).is_integer()
+        self.device_ingest = bool(device_ingest)
+        device_ingest = self.device_ingest
         if device_ingest:
             # hop-only upload path: history lives on device; the hop is
             # quantized to integer samples (the static frame grid of the
