@@ -702,11 +702,19 @@ def main(only: str = None) -> None:
         tick_n = 800  # one 60 Hz editor tick of 48 kHz audio
         blocks = rng.standard_normal((240, 2, tick_n)).astype(np.float32) * 0.25
         # warm the pow2 bucket shapes the steady state hits (1 and 2
-        # frames/tick at this cadence) plus a backlog bucket
-        for warm_t in (4, 2, 1, 1, 2):
-            need = warm_t * 480 + (4096 if sp.batcher.frames_ready() == 0 else 0)
-            sp.push(rng.standard_normal((2, need)).astype(np.float32) * 0.25)
+        # frames/tick at this cadence) plus a backlog bucket. Prime first
+        # (frame 0 is its own compiled shape), then force each bucket with
+        # an explicit max_frames — the old frames_ready()==0 heuristic
+        # re-added a full window every push, so the 1- and 2-frame buckets
+        # stayed cold and the timed loop paid their remote compiles
+        # (round-4 review).
+        hop, win = 480, 4096
+        if sp.batcher.frames_ready() == 0:
+            sp.push(rng.standard_normal((2, win)).astype(np.float32) * 0.25)
             sp.pull()
+        for warm_t in (4, 2, 1, 1, 2):
+            sp.push(rng.standard_normal((2, warm_t * hop)).astype(np.float32) * 0.25)
+            sp.pull(max_frames=warm_t)
         ticks = []
         for i in range(240):
             sp.push(blocks[i])
@@ -929,6 +937,10 @@ if __name__ == "__main__":
             partial.update(record)  # error metadata wins on key clashes
             print(json.dumps(partial if partial else record))
 
+        # a stale partial file from an earlier successful run must not be
+        # reported as THIS run's numbers when the probe fails before
+        # _run_isolated gets to unlink it (round-4 review)
+        PARTIAL_PATH.unlink(missing_ok=True)
         try:
             _probe_device()
         except Exception as e:

@@ -212,6 +212,14 @@ def _interp_mag(mags: jax.Array, constant: SpectrumConstant) -> jax.Array:
     Lanczos kernel has negative lobes); routes the tap sum onto the MXU
     as one dense matmul when the matmul candidate is active."""
     if _remap(constant) in ("matmul", "both"):
+        if constant.interp_dense is None:
+            # only make_spectrum_constant builds the dense matrix;
+            # dataclasses.replace(c, remap_mode="matmul") cannot
+            raise ValueError(
+                "remap_mode is 'matmul'/'both' but interp_dense is missing — "
+                "rebuild the constant via make_spectrum_constant(..., "
+                "remap_mode=...) instead of dataclasses.replace"
+            )
         return jnp.abs(
             jnp.matmul(mags, constant.interp_dense, precision=jax.lax.Precision.HIGHEST)
         )

@@ -128,14 +128,26 @@ class DeviceFrameSource:
         self.window = int(window)
         self.hop = hop
         self.t_cap = int(t_cap)
-        need = (self.t_cap - 1) * hop + window
+        if self.t_cap < 1:
+            raise ValueError("t_cap must be >= 1")
+        # pull_uploads buckets t_valid up to the next power of two for
+        # compile reuse, so the ring must hold the largest BUCKET of
+        # frames, not just t_cap (non-pow2 t_cap would otherwise crash
+        # extract_frames on a full pull — round-4 review)
+        bucket_cap = 1 << (self.t_cap - 1).bit_length()
+        need = (bucket_cap - 1) * hop + window
         self.history = int(history) if history else max(4 * window, need)
         if self.history < need:
-            raise ValueError(f"history {self.history} < required {need}")
-        self._primed = False  # frame 0 (the first `window` samples) uploaded?
+            raise ValueError(
+                f"history {self.history} < required {need} "
+                f"(t_cap {self.t_cap} buckets up to {bucket_cap} frames)"
+            )
+        self._primed = False  # next frame's window tail already on device?
         self.max_pending_frames = max_pending_frames
         self._pending: List[np.ndarray] = []
         self._pending_n = 0
+        self._front = 0  # absolute stream position of the first pending sample
+        self._next_frame = 0  # next absolute frame index to emit (k*hop grid)
         self.frames_produced = 0
         self.dropped_frames = 0
         self.sample_clock = 0
@@ -161,12 +173,9 @@ class DeviceFrameSource:
             )
             dropped = 0
             while self._pending_n > cap:
-                # drop oldest whole hops (ref: droppedAudioFrames perf
+                # drop the oldest samples (ref: droppedAudioFrames perf
                 # counter semantics) — the ring then has a history gap,
-                # so the stream re-primes: the next pull's first upload
-                # is a fresh full window and the intervening frames are
-                # counted dropped, exactly like frames whose data fell
-                # out of the host batcher's ring
+                # so the stream re-primes on the next pull
                 drop = min(self._pending_n - cap, self._pending[0].shape[-1])
                 head = self._pending[0]
                 if drop >= head.shape[-1]:
@@ -176,16 +185,26 @@ class DeviceFrameSource:
                 self._pending_n -= drop
                 dropped += drop
             if dropped:
-                self.dropped_frames += max(1, dropped // self.hop)
+                # stay on the absolute k*hop frame grid (FrameBatcher
+                # pins frame k at [k*hop, k*hop+window) even across
+                # drops): re-prime at the first frame whose window lies
+                # entirely in surviving samples, and count exactly the
+                # frames whose data fell into the gap (round-4 review)
+                self._front += dropped
+                k0 = -(-self._front // self.hop)  # ceil
+                self.dropped_frames += max(0, k0 - self._next_frame)
+                self._next_frame = max(self._next_frame, k0)
                 self._primed = False
 
     def frames_ready(self) -> int:
         """Frames a pull would emit now."""
         if self._primed:
             return self._pending_n // self.hop
-        if self._pending_n < self.window:
+        # re-prime skips up to the next frame boundary on the absolute grid
+        skip = self._next_frame * self.hop - self._front
+        if self._pending_n < skip + self.window:
             return 0
-        return 1 + (self._pending_n - self.window) // self.hop
+        return 1 + (self._pending_n - skip - self.window) // self.hop
 
     def _take(self, n: int) -> np.ndarray:
         """Pop exactly n samples from the pending buffer -> [..., n]."""
@@ -200,6 +219,7 @@ class DeviceFrameSource:
                 self._pending[0] = head[..., take:]
             got += take
         self._pending_n -= n
+        self._front += n
         return np.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0].copy()
 
     def pull_uploads(self, max_frames: Optional[int] = None) -> List[UploadUnit]:
@@ -215,12 +235,16 @@ class DeviceFrameSource:
         units: List[UploadUnit] = []
         budget = None if max_frames is None else max(0, int(max_frames))
         if not self._primed:
-            if self._pending_n < self.window or budget == 0:
+            skip = self._next_frame * self.hop - self._front
+            if self._pending_n < skip + self.window or budget == 0:
                 return units
+            if skip:
+                self._take(skip)  # gap samples no frame on the grid reads
             units.append(
                 UploadUnit(self._take(self.window), self.window, np.ones(1, bool), 1)
             )
             self._primed = True
+            self._next_frame += 1
             self.frames_produced += 1
             if budget is not None:
                 budget -= 1
@@ -236,6 +260,7 @@ class DeviceFrameSource:
             frame_valid = np.zeros(t_max, bool)
             frame_valid[t_max - t_valid :] = True
             self.frames_produced += t_valid
+            self._next_frame += t_valid
             units.append(UploadUnit(samples, n, frame_valid, t_valid))
             hops -= t_valid
         return units

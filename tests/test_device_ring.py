@@ -144,6 +144,59 @@ def test_source_pending_cap_drops_and_reprimes():
     assert units[0].n_valid == 16 and units[0].t_valid == 1
 
 
+def test_non_pow2_t_cap_full_pull_extracts():
+    """pull_uploads buckets t_valid to the next pow2, so a non-pow2 t_cap
+    must still size the ring for the full bucket (round-4 review: t_cap=5
+    produced a t_max=8 unit extract_frames could not serve)."""
+    window = hop = 64
+    src = DeviceFrameSource((1,), window, hop, t_cap=5)
+    x = np.arange(window + 7 * hop, dtype=np.float32)[None]
+    src.push(x)
+    ring = src.init_ring()
+    got = []
+    for unit in src.pull_uploads():
+        ring = ring_ingest(ring, jnp.asarray(unit.samples), jnp.int32(unit.n_valid))
+        frames = extract_frames(ring, window, hop, unit.frame_valid.shape[0])
+        got.append(np.asarray(frames)[:, unit.frame_valid])
+    got = np.concatenate(got, axis=1)
+    assert got.shape[1] == 8
+    for k in range(8):
+        np.testing.assert_array_equal(got[:, k], x[:, k * hop : k * hop + window])
+
+
+def test_overload_drop_keeps_absolute_frame_grid():
+    """After an overload drop the source must stay on FrameBatcher's
+    absolute k*hop grid (round-4 review: re-priming at an arbitrary
+    offset phase-shifted every later frame) and count exactly the grid
+    frames whose data fell into the gap."""
+    window, hop = 32, 8
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1, 4000)).astype(np.float32)
+    src = DeviceFrameSource((1,), window, hop, t_cap=4, max_pending_frames=4)
+    ring = src.init_ring()
+    emitted = []  # (absolute frame index, [C, W] window)
+    pos = 0
+    for n in (300, 1500, 37, 900, 1263):  # big pushes overflow the cap
+        src.push(x[:, pos : pos + n])
+        pos += n
+        k = src._next_frame
+        for unit in src.pull_uploads(max_frames=3):  # slow consumer
+            ring = ring_ingest(ring, jnp.asarray(unit.samples), jnp.int32(unit.n_valid))
+            frames = extract_frames(ring, window, hop, unit.frame_valid.shape[0])
+            valid = np.asarray(frames)[:, unit.frame_valid]
+            for j in range(unit.t_valid):
+                emitted.append((k, valid[:, j]))
+                k += 1
+    assert src.dropped_frames > 0
+    # every emitted frame sits on the absolute grid with exact contents
+    for k, frame in emitted:
+        np.testing.assert_array_equal(frame, x[:, k * hop : k * hop + window])
+    # the dropped counter accounts for exactly the skipped grid indices
+    assert src._next_frame == src.frames_produced + src.dropped_frames
+    ks = [k for k, _ in emitted]
+    assert ks == sorted(ks) and len(set(ks)) == len(ks)
+
+
 def test_source_rejects_fractional_hop():
     with pytest.raises(ValueError, match="integer hop"):
         DeviceFrameSource((1,), 64, 10.5)

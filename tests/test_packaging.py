@@ -2,8 +2,14 @@
 the rebuild ships as a PEP 517 wheel; these tests pin the wheel's
 ingredients without invoking a full build)."""
 
-import tomllib
 from pathlib import Path
+
+try:  # stdlib on 3.11+; the package itself supports >=3.10
+    import tomllib
+except ModuleNotFoundError:  # pragma: no cover - py3.10 fallback
+    import pytest
+
+    tomllib = pytest.importorskip("tomli")
 
 REPO = Path(__file__).resolve().parent.parent
 PKG = REPO / "signalizer_tpu"
