@@ -555,7 +555,12 @@ def main(only: str = None) -> None:
 
         @jax.jit
         def osc_scalar(st, x):
-            fr, nst = osc_step_impl(osc.constant, st, x, win3, zero3, ns3, None)
+            # env_os=1 mirrors production: process() passes the pow2 bucket
+            # of the actual per-pixel step (1024-sample window over 8192 px
+            # is upsampling, so the envelope needs no oversampling)
+            fr, nst = osc_step_impl(
+                osc.constant, st, x, win3, zero3, ns3, None, env_os=1
+            )
             return jnp.sum(fr.waveform) + jnp.sum(fr.envelope_max), nst
 
         st3 = osc.state
@@ -607,7 +612,9 @@ def main(only: str = None) -> None:
 
         @jax.jit
         def oscb_scalar(st, x):
-            fr, nst = osc_step_impl(osc_b.constant, st, x, win_b, tp_b, ns_b, None)
+            fr, nst = osc_step_impl(
+                osc_b.constant, st, x, win_b, tp_b, ns_b, None, env_os=1
+            )
             return jnp.sum(fr.waveform) + jnp.sum(fr.fundamental), nst
 
         state_b = osc_b.state

@@ -391,8 +391,13 @@ class OscilloscopeProcessor:
         # effective_window_samples() here: its Cycles branch reads the
         # detected cycleSamples back to the host, which permanently
         # degrades remote-TPU transports to synchronous dispatch
+        h = history.shape[-1]
+        px = max(self.constant.pixels - 1, 1)
         if cycles_live and self._cycle_window_dev is not None:
             window_dev = self._cycle_window_dev
+            # window is device-resident (never read back) — keep the
+            # conservative envelope oversampling bound
+            env_os = None
         else:
             window = (
                 self.window_samples
@@ -400,6 +405,12 @@ class OscilloscopeProcessor:
                 else self.effective_window_samples(sync_device=False)
             )
             window_dev = self._dev_scalar(float(window))
+            # static envelope oversampling from the host-known window:
+            # pow2 bucket of the actual per-pixel step (bounds retraces
+            # to log2 variants), never above the conservative bound
+            step_bound = max(1.0, (min(float(window), h) - 1.0) / px)
+            bucket = 1 << (int(np.ceil(step_bound)) - 1).bit_length()
+            env_os = min(bucket, max(1, -(-h // self.constant.pixels)))
         if self.constant.trigger_mode == TriggerMode.ENVELOPE_HOLD:
             # pow2-bucketed static trigger scan over the new tail only —
             # O(new_samples) per tick instead of O(lookahead), at most
@@ -417,6 +428,7 @@ class OscilloscopeProcessor:
             self._dev_scalar(float(int(new_samples))),
             self._pair_keys,
             trigger_chunk=chunk,
+            env_os=env_os,
         )
         if cycles_live:
             # feed the detected fundamental back into the next window
@@ -525,6 +537,7 @@ def osc_step_impl(
     pair_keys: Optional[jax.Array] = None,
     *,
     trigger_chunk: Optional[int] = None,
+    env_os: Optional[int] = None,
 ) -> Tuple[OscilloscopeFrame, OscilloscopeState]:
     """Pure (unjitted) oscilloscope step — shard_map-able over the pairs
     axis (see :mod:`signalizer_tpu.parallel.mesh`).
@@ -536,7 +549,15 @@ def osc_step_impl(
     ``trigger_chunk`` (static): envelope-hold only — scan just the
     trailing ``trigger_chunk`` samples for triggers (must cover
     new_samples; ``process()`` picks a pow2 bucket). None = the full
-    lookahead region, valid-masked to the new tail."""
+    lookahead region, valid-masked to the new tail.
+
+    ``env_os`` (static): per-pixel oversampling for the min-max envelope.
+    The caller must guarantee ``env_os >= (window - 1) / (pixels - 1)``
+    (the per-pixel sample step) or the envelope under-samples; None =
+    the conservative ``ceil(h / pixels)`` bound, which is exact for any
+    window but oversamples whenever the displayed window is shorter
+    than history (``process()`` passes the pow2 bucket of the actual
+    step instead)."""
     pairs, _, h = history.shape
     pixels = constant.pixels
     sample_rate = constant.sample_rate
@@ -694,7 +715,8 @@ def osc_step_impl(
     # resample path instead of a scatter.
     from signalizer_tpu.kernels.oscilloscope import nearest_resample as _nr
 
-    os_ = max(1, -(-h // pixels))  # static ceil(h / pixels) >= any step
+    # static per-pixel oversampling >= the actual step (see env_os doc)
+    os_ = env_os if env_os is not None else max(1, -(-h // pixels))
     dense = _nr(rows, start_r, step_r / os_, pixels * os_)
     dense = dense.reshape(dense.shape[:-1] + (pixels, os_))
     env_min = jnp.min(dense, axis=-1)
@@ -763,7 +785,7 @@ def osc_step_impl(
 
 
 _osc_step = jax.jit(
-    osc_step_impl, donate_argnums=(1,), static_argnames=("trigger_chunk",)
+    osc_step_impl, donate_argnums=(1,), static_argnames=("trigger_chunk", "env_os")
 )
 
 

@@ -724,6 +724,41 @@ def test_envelope_covers_displayed_window_only():
     assert env_min.min() == 0.0
 
 
+def test_envelope_oversampling_hint_matches_conservative_bound():
+    """process() passes a static env_os sized to the ACTUAL per-pixel
+    step (pow2-bucketed) instead of the conservative ceil(h/pixels); the
+    envelope must still cover every displayed sample — its global
+    min/max equal the displayed window's, for downsampling and
+    upsampling geometries, with and without the hint."""
+    from signalizer_tpu.views.oscilloscope import osc_step_impl
+
+    rng = np.random.default_rng(11)
+    h = 4096
+    hist = rng.standard_normal((1, 2, h)).astype(np.float32)
+    for window, pixels in ((2048.0, 256), (512.0, 2048)):
+        proc = OscilloscopeProcessor(
+            pairs=1,
+            trigger_mode=TriggerMode.NONE,
+            window_samples=window,
+            pixels=pixels,
+            lookahead=2048,
+        )
+        frame = proc.process(hist)  # hinted path
+        ref, _ = osc_step_impl(  # conservative default (env_os=None)
+            proc.constant,
+            proc._state,
+            jnp.asarray(hist),
+            jnp.float32(window),
+            jnp.float32(0.0),
+            jnp.float32(h),
+            None,
+        )
+        shown = hist[0, 0, int(h - window) :]
+        for fr in (frame, ref):
+            assert np.asarray(fr.envelope_max)[0, 0].max() == shown.max()
+            assert np.asarray(fr.envelope_min)[0, 0].min() == shown.min()
+
+
 def test_spectral_phase_lock_with_window_beyond_lookahead():
     """The displayed window must not depend on the lookahead size once
     window + cycles exceeds it (round-3 review: the reference's
