@@ -111,38 +111,42 @@ def make_plan(n: int, r: Optional[int] = None) -> MxuFftPlan:
     return MxuFftPlan(n, r, n // r)
 
 
-def mxu_fft(plan: MxuFftPlan, x_re: jax.Array, x_im: Optional[jax.Array] = None
-            ) -> Tuple[jax.Array, jax.Array]:
+def mxu_fft(plan: MxuFftPlan, x_re: jax.Array, x_im: Optional[jax.Array] = None,
+            precision: jax.lax.Precision = _HIGH) -> Tuple[jax.Array, jax.Array]:
     """Batched complex FFT of the trailing axis via two MXU matmul stages.
 
     ``x_re``/``x_im``: [..., N] float32. Returns (re, im) of the full
     N-point spectrum. ``x_im=None`` is the real-input fast path (first
-    stage halves to two matmuls).
+    stage halves to two matmuls). ``precision`` trades accuracy for MXU
+    passes (HIGHEST = bf16x6 f32 emulation, the default; see the module
+    numerical note before lowering it).
     """
     r, c = plan.r, plan.c
     lead = x_re.shape[:-1]
     # n = n1 + R*n2  ->  x2d[n1, n2] = x[n1 + R*n2]: reshape to (C, R), transpose
     x2 = jnp.swapaxes(x_re.reshape(*lead, c, r), -1, -2)
     # stage 1: C-point DFT along n2 (contract x2's last axis with W_C rows)
-    y_re = jnp.matmul(x2, plan.c_re.T, precision=_HIGH)
-    y_im = jnp.matmul(x2, plan.c_im.T, precision=_HIGH)
+    y_re = jnp.matmul(x2, plan.c_re.T, precision=precision)
+    y_im = jnp.matmul(x2, plan.c_im.T, precision=precision)
     if x_im is not None:
         xi2 = jnp.swapaxes(x_im.reshape(*lead, c, r), -1, -2)
-        y_re = y_re - jnp.matmul(xi2, plan.c_im.T, precision=_HIGH)
-        y_im = y_im + jnp.matmul(xi2, plan.c_re.T, precision=_HIGH)
+        y_re = y_re - jnp.matmul(xi2, plan.c_im.T, precision=precision)
+        y_im = y_im + jnp.matmul(xi2, plan.c_re.T, precision=precision)
     # twiddle
     z_re = y_re * plan.tw_re - y_im * plan.tw_im
     z_im = y_re * plan.tw_im + y_im * plan.tw_re
     # stage 2: R-point DFT along n1 -> out[k1, k2]
-    o_re = (jnp.matmul(plan.r_re, z_re, precision=_HIGH)
-            - jnp.matmul(plan.r_im, z_im, precision=_HIGH))
-    o_im = (jnp.matmul(plan.r_re, z_im, precision=_HIGH)
-            + jnp.matmul(plan.r_im, z_re, precision=_HIGH))
+    o_re = (jnp.matmul(plan.r_re, z_re, precision=precision)
+            - jnp.matmul(plan.r_im, z_im, precision=precision))
+    o_im = (jnp.matmul(plan.r_re, z_im, precision=precision)
+            + jnp.matmul(plan.r_im, z_re, precision=precision))
     # X[k2 + C*k1] = out[k1, k2]: flatten row-major
     return o_re.reshape(*lead, plan.n), o_im.reshape(*lead, plan.n)
 
 
-def mxu_rfft_half(plan: MxuFftPlan, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def mxu_rfft_half(plan: MxuFftPlan, x: jax.Array,
+                  precision: jax.lax.Precision = _HIGH
+                  ) -> Tuple[jax.Array, jax.Array]:
     """Real-input FFT returning bins [0, N/2] (rfft layout).
 
     Since k = k2 + C*k1, every needed bin has k1 <= R/2: the second-stage
@@ -152,16 +156,16 @@ def mxu_rfft_half(plan: MxuFftPlan, x: jax.Array) -> Tuple[jax.Array, jax.Array]
     r, c = plan.r, plan.c
     lead = x.shape[:-1]
     x2 = jnp.swapaxes(x.reshape(*lead, c, r), -1, -2)
-    y_re = jnp.matmul(x2, plan.c_re.T, precision=_HIGH)
-    y_im = jnp.matmul(x2, plan.c_im.T, precision=_HIGH)
+    y_re = jnp.matmul(x2, plan.c_re.T, precision=precision)
+    y_im = jnp.matmul(x2, plan.c_im.T, precision=precision)
     z_re = y_re * plan.tw_re - y_im * plan.tw_im
     z_im = y_re * plan.tw_im + y_im * plan.tw_re
     rows = r // 2 + 1
     r_re, r_im = plan.r_re[:rows], plan.r_im[:rows]
-    o_re = (jnp.matmul(r_re, z_re, precision=_HIGH)
-            - jnp.matmul(r_im, z_im, precision=_HIGH))
-    o_im = (jnp.matmul(r_re, z_im, precision=_HIGH)
-            + jnp.matmul(r_im, z_re, precision=_HIGH))
+    o_re = (jnp.matmul(r_re, z_re, precision=precision)
+            - jnp.matmul(r_im, z_im, precision=precision))
+    o_im = (jnp.matmul(r_re, z_im, precision=precision)
+            + jnp.matmul(r_im, z_re, precision=precision))
     half = plan.n // 2 + 1
     return (o_re.reshape(*lead, rows * c)[..., :half],
             o_im.reshape(*lead, rows * c)[..., :half])

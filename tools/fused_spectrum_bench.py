@@ -68,6 +68,16 @@ def main() -> None:
         re, im = mxu_rfft_half(mplan, x * wj)
         return jnp.sqrt(re * re + im * im)
 
+    def mags_mxu_high(x):
+        # bf16x3 f32 emulation: half the MXU passes of HIGHEST
+        re, im = mxu_rfft_half(mplan, x * wj, precision=jax.lax.Precision.HIGH)
+        return jnp.sqrt(re * re + im * im)
+
+    def mags_mxu_bf16(x):
+        # raw bf16 MXU rounding: fastest, display-grade accuracy only
+        re, im = mxu_rfft_half(mplan, x * wj, precision=jax.lax.Precision.DEFAULT)
+        return jnp.sqrt(re * re + im * im)
+
     def mags_fused(x):
         return fused_window_rfft_mag(fplan, x)[..., :half]
 
@@ -83,10 +93,15 @@ def main() -> None:
     variants = {
         "xla": mags_xla,
         "mxu": mags_mxu,
+        "mxu_high": mags_mxu_high,
+        "mxu_bf16": mags_mxu_bf16,
         "fused": mags_fused,
         "fused_raw": mags_fused_raw,
         "fused_t16": mags_fused_t16,
     }
+    # display tolerance: 1e-3 relative is ~0.009 dB on the spectrum view;
+    # f32-emulated paths must stay at oracle tolerance
+    tol = {"mxu_high": 1e-4, "mxu_bf16": 2e-2}
 
     # exactness vs float64 numpy
     rng = np.random.default_rng(0)
@@ -99,7 +114,7 @@ def main() -> None:
             got = got[..., np.asarray(fplan.bin_order)]
         rel = float(np.max(np.abs(got - ref)) / np.max(ref))
         out[f"maxrel_{name}"] = round(rel, 10)
-        assert rel < 5e-6, (name, rel)
+        assert rel < tol.get(name, 5e-6), (name, rel)
 
     # scan-slope timings at the headline batch
     pairs, t_steps = 16, 128
