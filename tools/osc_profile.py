@@ -99,6 +99,19 @@ def main() -> int:
 
     report("full ZC step", full_body, (osc.state, hist_dev, jnp.float32(0.0)))
 
+    # 1b. full ZC step with the production env_os hint (window 1024 over
+    # 8192 px is upsampling -> hint 1 vs the conservative ceil(h/px)=2)
+    def full_body_hint(c):
+        st, x, acc = c
+        fr, nst = osc_step_impl(
+            osc.constant, st, x, win, jnp.float32(0.0), jnp.float32(h), None,
+            env_os=1,
+        )
+        return nst, jnp.roll(x, 1, axis=-1), acc + jnp.sum(fr.waveform) + jnp.sum(fr.envelope_max)
+
+    report("full ZC step (env_os hint)", full_body_hint,
+           (osc.state, hist_dev, jnp.float32(0.0)))
+
     # 2. step with NONE interpolation (nearest) — resample ablation
     osc_n = OscilloscopeProcessor(
         pairs=pairs, sample_rate=96_000.0, channel_mode=OscChannels.SEPARATE,
