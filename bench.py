@@ -478,6 +478,58 @@ def main(only: str = None) -> None:
         out["local_e2e_p99_ms"] = round(float(np.percentile(lats, 99) * 1e3), 4)
         out["local_platform"] = str(jax.devices()[0].platform)
 
+        # the same transport-free latency story for the OSCILLOSCOPE view:
+        # ring ingest -> ZC trigger -> resample -> envelope -> waveform
+        # readback, per 1024-sample tick. Geometry is sized so the 1-core
+        # CPU PJRT stays dispatch-dominated (256 px Lanczos) — the point
+        # of the local keys is framework overhead, not this box's FLOP
+        # rate (cfg3 measures the full display geometry on the TPU)
+        from signalizer_tpu.views.oscilloscope import (
+            OscilloscopeProcessor,
+            SubSampleInterpolation,
+            TriggerMode,
+            osc_step_impl,
+        )
+
+        osc_l = OscilloscopeProcessor(
+            pairs=1,
+            sample_rate=48_000.0,
+            channel_mode=OscChannels.SEPARATE,
+            trigger_mode=TriggerMode.ZERO_CROSSING,
+            interpolation=SubSampleInterpolation.LANCZOS,
+            window_samples=480.0,
+            pixels=256,
+            lookahead=1024,
+            trigger_threshold=0.05,
+            autogain=True,
+        )
+        oh = 2048
+        owin = jnp.float32(480.0)
+        ons = jnp.float32(1024.0)
+
+        @jax.jit
+        def osc_local_tick(state, block):
+            ring, ost = state
+            ring = ring_update(ring, block, block.shape[-1])
+            fr, nst = osc_step_impl(
+                osc_l.constant, ost, ring, owin, jnp.float32(0.0), ons, None,
+                env_os=1,
+            )
+            return fr.waveform[:, 0], (ring, nst)
+
+        ost = (jnp.zeros((1, 2, oh), jnp.float32), osc_l.state)
+        osc_block = rng.standard_normal((1, 2, 1024)).astype(np.float32) * 0.5
+        wv, ost = osc_local_tick(ost, jnp.asarray(osc_block))
+        np.asarray(wv)
+        lats = []
+        for _ in range(300):
+            t0 = time.perf_counter()
+            wv, ost = osc_local_tick(ost, jnp.asarray(osc_block))
+            np.asarray(wv)
+            lats.append(time.perf_counter() - t0)
+        out["local_osc_e2e_p50_ms"] = round(float(np.percentile(lats, 50) * 1e3), 4)
+        out["local_osc_e2e_p99_ms"] = round(float(np.percentile(lats, 99) * 1e3), 4)
+
     if want("cfg1"):
         c1 = make_spectrum_constant(
             axis_points=513,
