@@ -90,9 +90,29 @@ class AnalysisSession:
         frame_rate: Optional[float] = None,
         build_line_graph: bool = True,
         cursor_fraction: Optional[float] = None,
+        device_history: object = "auto",
     ):
         self.engine = engine
         self.views = tuple(views)
+        # device-resident presentation history: per tick only the NEW
+        # samples cross the host->device link, and every view reads its
+        # window as a static slice of the shared ring (the reference reads
+        # history in place per render frame, SpectrumRendering.cpp:620-635;
+        # host-path fallback kept for RSNT's continuous consumption and as
+        # the device_history=False escape hatch)
+        self._device_history = None
+        if device_history == "auto":
+            device_history = any(
+                v in self.views for v in ("spectrum", "oscilloscope", "vectorscope")
+            )
+        if device_history:
+            from signalizer_tpu.stream.device_history import (
+                DevicePresentationHistory,
+            )
+
+            self._device_history = DevicePresentationHistory(
+                engine.presentation_output
+            )
         self.axis_points = axis_points
         self.pixels = pixels
         if frame_rate is None:
@@ -229,6 +249,12 @@ class AnalysisSession:
         eng.diagnostics.tick_frame()
 
         spectrum = line_graph = osc = vs = cols = tracker = None
+        dh = self._device_history
+        if dh is not None and clock > 0:
+            # one hop-only upload per tick, shared by every view below;
+            # a failure falls back to host-path reads for this tick
+            if protected_call(dh.sync, context="device-history") is None:
+                dh = None
 
         proc = self._processors.get("spectrum")
         if proc is not None and clock > 0:
@@ -264,7 +290,10 @@ class AnalysisSession:
                         self._res_spectrum = np.asarray(out)[0, -1]
                     return self._res_spectrum  # [K, rows, P] (None pre-audio)
                 w = proc.constant.window_size
-                frames = _pad_stereo(eng.get_presentation_history(w))[None, None]
+                if dh is not None:
+                    frames = dh.window(w, lead=2, pad_to=2)
+                else:
+                    frames = _pad_stereo(eng.get_presentation_history(w))[None, None]
                 return np.asarray(proc.process(frames))[0, -1]  # [K, rows, P]
 
             spectrum = protected_call(run_spectrum, context="spectrum")
@@ -293,7 +322,10 @@ class AnalysisSession:
                     # helper (eager kernels here dispatched ~seconds-each
                     # remote ops every tick; round-3 review)
                     w = proc.constant.window_size
-                    frames = _pad_stereo(eng.get_presentation_history(w))[None]
+                    if dh is not None:
+                        frames = dh.window(w, lead=1, pad_to=2)
+                    else:
+                        frames = _pad_stereo(eng.get_presentation_history(w))[None]
                     mags = np.asarray(_tracker_mags_jit()(proc.constant, frames))[0, 0]
                     return trk.update(
                         mags,
@@ -320,8 +352,13 @@ class AnalysisSession:
                 cap = eng.presentation_output.info.audio_history_capacity
                 need = max(16384, 1 << int(np.ceil(np.log2(max(2.0 * win, 1.0)))))
                 n = min(need, cap)
+                history = (
+                    dh.window(n, lead=1)
+                    if dh is not None
+                    else eng.get_presentation_history(n)[None]
+                )
                 return oproc.process(
-                    eng.get_presentation_history(n)[None],
+                    history,
                     transport_position=transport,
                     new_samples=min(new_samples, n),
                 )
@@ -340,7 +377,11 @@ class AnalysisSession:
             qstep = max(1, (1 << (win.bit_length() - 1)) // 4)
             win = -(-win // qstep) * qstep
             vs = protected_call(
-                lambda: vproc.process(eng.get_presentation_history(win)[None]),
+                lambda: vproc.process(
+                    dh.window(win, lead=1)
+                    if dh is not None and win <= dh.history
+                    else eng.get_presentation_history(win)[None]
+                ),
                 context="vectorscope",
             )
 
@@ -364,4 +405,7 @@ class AnalysisSession:
         if self._sg_listener is not None:
             self.engine.presentation_output.remove_listener(self._sg_listener)
             self._sg_listener = None
+        if self._device_history is not None:
+            self._device_history.close()
+            self._device_history = None
         self.engine.close()
