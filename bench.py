@@ -530,6 +530,44 @@ def main(only: str = None) -> None:
         out["local_osc_e2e_p50_ms"] = round(float(np.percentile(lats, 50) * 1e3), 4)
         out["local_osc_e2e_p99_ms"] = round(float(np.percentile(lats, 99) * 1e3), 4)
 
+        # the PRODUCTION drive path, transport-free: AnalysisSession.tick
+        # (spectrum + oscilloscope + vectorscope, shared device-resident
+        # history ring, hop-only ingest) at a 60 Hz UI cadence. Unlike the
+        # two keys above this includes every layer a real embedder runs —
+        # engine ingest, listener delivery, per-view Python, the render
+        # readbacks. Geometry small enough that the 1-core CPU PJRT stays
+        # dispatch-dominated (the TPU cfgs measure display geometry).
+        from signalizer_tpu.engine import SignalizerEngine
+        from signalizer_tpu.session import AnalysisSession
+        from signalizer_tpu.stream.audio_stream import Playhead
+
+        eng_l = SignalizerEngine("bench-local", load_default_preset=False)
+        sess_l = AnalysisSession(
+            eng_l,
+            views=("spectrum", "oscilloscope", "vectorscope"),
+            axis_points=256,
+            pixels=256,
+        )
+        blk = 800  # one 60 Hz tick of 48 kHz audio
+        t_pos = 0
+        lats = []
+        for i in range(60 + 240):
+            x = rng.standard_normal((2, blk)).astype(np.float32) * 0.5
+            t_pos += blk
+            sess_l.feed(x, Playhead(steady_clock=t_pos, bpm=120.0, is_playing=True))
+            t0 = time.perf_counter()
+            fr = sess_l.tick()
+            # the tick's own np.asarray readbacks already synced; touch a
+            # scalar from each view so nothing resolves lazily
+            s = float(fr.spectrum[0, 0, 0]) + float(
+                np.asarray(fr.oscilloscope.waveform).flat[0]
+            ) + float(np.asarray(fr.vectorscope.vertices).flat[0])
+            if i >= 60:
+                lats.append(time.perf_counter() - t0)
+        sess_l.close()
+        out["local_session_p50_ms"] = round(float(np.percentile(lats, 50) * 1e3), 4)
+        out["local_session_p99_ms"] = round(float(np.percentile(lats, 99) * 1e3), 4)
+
     if want("cfg1"):
         c1 = make_spectrum_constant(
             axis_points=513,
