@@ -161,7 +161,27 @@ class DevicePresentationHistory:
         else:
             buf = np.zeros((ch, bucket), np.float32)
             buf[:, :n] = data
-        self._ring = _ingest(self._ring, buf, np.int32(n))
+        try:
+            self._ring = _ingest(self._ring, buf, np.int32(n))
+        except Exception:
+            # a failed dispatch must not silently lose the popped samples,
+            # and the donated ring buffer may already be invalidated —
+            # drop the ring and re-arm the prefill snapshot from the host
+            # ring (which still holds everything, including this upload's
+            # samples), so the next sync rebuilds bit-exact. Holding the
+            # lock across the snapshot keeps concurrent deliveries out of
+            # the window (write-then-deliver ordering; same one-block
+            # threaded-attach caveat as the constructor).
+            with self._lock:
+                self._pending.clear()
+                self._pending_n = 0
+                self._overrun = False
+                self._ring = None
+                self._channels = self._history = 0
+                self._prefill = np.array(
+                    self._output.get_history(h), np.float32
+                )
+            raise
         return self._ring
 
     def window(self, n: int, *, lead: int = 0, pad_to: int = 0) -> jax.Array:

@@ -164,3 +164,35 @@ def test_session_auto_enables_and_closes():
     s2 = AnalysisSession(eng2, views=("spectrogram",), axis_points=64)
     assert s2._device_history is None
     s2.close()
+
+
+def test_failed_dispatch_recovers_bit_exact(monkeypatch):
+    """If the ingest dispatch dies mid-sync (tunnel drop), no samples are
+    lost: the ring re-arms from the host ring and the next sync matches."""
+    import signalizer_tpu.stream.device_history as dhm
+
+    rng = np.random.default_rng(4)
+    inp, out = _stream(cap=1024)
+    dh = DevicePresentationHistory(out)
+    inp.process_incoming_audio(_blocks(rng, 2, [500])[0], Playhead())
+    dh.sync()
+
+    real = dhm._ingest
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("transport down")
+
+    inp.process_incoming_audio(_blocks(rng, 2, [321])[0], Playhead())
+    monkeypatch.setattr(dhm, "_ingest", flaky)
+    with pytest.raises(RuntimeError):
+        dh.sync()
+    assert calls["n"] == 1
+    monkeypatch.setattr(dhm, "_ingest", real)
+    # more audio arrives while broken; recovery must include BOTH the
+    # failed upload's samples and the new ones
+    inp.process_incoming_audio(_blocks(rng, 2, [77])[0], Playhead())
+    dh.sync()
+    np.testing.assert_array_equal(np.asarray(dh.window(1024)), out.get_history(1024))
+    dh.close()
