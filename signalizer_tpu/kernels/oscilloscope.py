@@ -204,7 +204,12 @@ def spectral_fundamental(
     quarter semitone of an integer ratio) is rejected.
     """
     n = x.shape[-1]
-    spec = jnp.fft.fft(x, axis=-1)
+    # real input: only bins [0, n/2] are ever read (candidate walk stops
+    # at n/2, quad interpolation reads one neighbour past it) — rfft does
+    # half the transform work of the reference's complex fft here.
+    # _quad_delta's roll wraps bin 0 into the last slot, but that only
+    # perturbs bin n/2's offset, which no consumer reads.
+    spec = jnp.fft.rfft(x, axis=-1)
     mags = jnp.abs(spec)
     offsets = _quad_delta(spec)
 
