@@ -174,6 +174,7 @@ def main(only: str = None) -> None:
             mxu_fft=constant.fft_backend == "mxu",
             fft_backend=constant.fft_backend,
             remap_mode=constant.remap_mode,
+            fft_precision=constant.fft_precision,
         )
 
         # latency: single-frame host->device->host round trip

@@ -47,6 +47,7 @@ from signalizer_tpu.core.windows import WindowType, generate_window
 # re-route. Kernels read the Constant's static fields, never the env.
 _ENV_REMAP = os.environ.get("SIGNALIZER_TPU_REMAP", "").lower()
 _ENV_NO_MXU_FFT = bool(os.environ.get("SIGNALIZER_TPU_NO_MXU_FFT"))
+_ENV_FFT_PRECISION = os.environ.get("SIGNALIZER_TPU_FFT_PRECISION", "").lower()
 
 
 def _on_tpu() -> bool:
@@ -337,6 +338,17 @@ class SpectrumConstant:
     remap_mode: str = dataclasses.field(
         default="gather", metadata=dict(static=True)
     )
+    # MXU matmul precision for the VALUE-path FFT only (recurrence /
+    # companion-matrix einsums stay HIGHEST unconditionally — see
+    # CLAUDE.md's pole-explosion gotcha). Measured on chip (round 4,
+    # tools/fused_spectrum_bench.py): "high" (bf16x3 f32 emulation) is
+    # 8.4% faster end-to-end than "highest" (bf16x6) at 2.2e-5 max
+    # relative error — 100x inside the 2e-3 display-space tolerance —
+    # so it is the TPU default. "bf16" (single pass) is 25% faster at
+    # 3.1e-3 relative (~0.03 dB): visible-in-principle, opt-in only.
+    fft_precision: str = dataclasses.field(
+        default="high", metadata=dict(static=True)
+    )
 
     @property
     def num_bins(self) -> int:
@@ -377,6 +389,7 @@ def make_spectrum_constant(
     dtype=jnp.float32,
     fft_backend: Optional[str] = None,
     remap_mode: Optional[str] = None,
+    fft_precision: Optional[str] = None,
 ) -> SpectrumConstant:
     """Build a :class:`SpectrumConstant` (host precompute + device upload).
 
@@ -399,6 +412,14 @@ def make_spectrum_constant(
         fft_backend = "xla" if _ENV_NO_MXU_FFT else ("mxu" if _on_tpu() else "xla")
     if fft_backend not in ("xla", "mxu"):
         raise ValueError(f"unknown fft_backend {fft_backend!r}")
+    if fft_precision is None:
+        fft_precision = (
+            _ENV_FFT_PRECISION
+            if _ENV_FFT_PRECISION in ("highest", "high", "bf16")
+            else "high"
+        )
+    if fft_precision not in ("highest", "high", "bf16"):
+        raise ValueError(f"unknown fft_precision {fft_precision!r}")
 
     # a zero dB range divides by log(upper/lower) = 0; the reference
     # enforces a small minimum (CHANGELOG 0.4.0 "Graphical issue when the
@@ -481,6 +502,7 @@ def make_spectrum_constant(
             else None
         ),
         fft_backend=fft_backend,
+        fft_precision=fft_precision,
         remap_mode=remap_mode,
     )
     # host-side mirror of the plan (NOT a pytree field): consumers that

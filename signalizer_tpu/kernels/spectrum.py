@@ -134,7 +134,16 @@ def _half_spectrum(constant: SpectrumConstant, rows: jax.Array) -> jax.Array:
             if pad
             else rows
         )
-        re, im = mxu_rfft_half(_mxu_plan(n), xr)
+        # value-path precision is a static Constant field ("high" bf16x3
+        # default: measured 8.4% faster than "highest" at 2.2e-5 maxrel
+        # on chip — see SpectrumConstant.fft_precision). Recurrence
+        # einsums elsewhere stay HIGHEST unconditionally.
+        prec = {
+            "highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "bf16": jax.lax.Precision.DEFAULT,
+        }[constant.fft_precision]
+        re, im = mxu_rfft_half(_mxu_plan(n), xr, precision=prec)
         spec = jax.lax.complex(re, im)
     else:
         spec = jnp.fft.rfft(rows, n=n, axis=-1)

@@ -129,3 +129,32 @@ def test_plan_built_inside_a_trace_is_reusable_across_traces():
 
     ref = np.fft.rfft(np.asarray(x).astype(np.float64))
     assert np.allclose(float(second(x)), ref.real.sum(), rtol=1e-4)
+
+
+def test_fft_precision_static_field_routes_value_path():
+    """fft_precision rides the Constant (jit key), validates its values,
+    and routes _half_spectrum's matmul precision. On CPU every tier is
+    numerically identical (precision only affects TPU bf16 passes), so the
+    lock here is plumbing + exactness, with the speed/accuracy trade
+    measured on chip (docs/ROUND4.md: high = 8.4% faster, 2.2e-5 maxrel)."""
+    import jax.numpy as jnp
+
+    from signalizer_tpu.core.constant import make_spectrum_constant
+    from signalizer_tpu.kernels.spectrum import analyze_frames, init_line_graph_state
+
+    with pytest.raises(ValueError):
+        make_spectrum_constant(axis_points=64, window_size=256, fft_precision="fast")
+
+    outs = {}
+    x = np.random.default_rng(7).standard_normal((1, 1, 2, 256)).astype(np.float32)
+    for prec in ("highest", "high", "bf16"):
+        c = make_spectrum_constant(
+            axis_points=64, window_size=256, fft_backend="mxu", fft_precision=prec
+        )
+        assert c.fft_precision == prec
+        st = init_line_graph_state(c, (1,))
+        outs[prec] = np.asarray(
+            jax.jit(analyze_frames)(c, st, jnp.asarray(x)).results
+        )
+    np.testing.assert_array_equal(outs["highest"], outs["high"])
+    np.testing.assert_array_equal(outs["highest"], outs["bf16"])
