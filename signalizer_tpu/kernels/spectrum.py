@@ -120,6 +120,19 @@ def _mxu_plan(n: int):
     return make_plan(n)
 
 
+def _fft_precision(constant: SpectrumConstant):
+    """VALUE-path FFT matmul precision — a static Constant field ("high"
+    bf16x3 default: measured 8.4% faster than "highest" at 2.2e-5 maxrel on
+    chip — see SpectrumConstant.fft_precision). Applies to every channel
+    configuration, Complex included. Recurrence einsums elsewhere stay
+    HIGHEST unconditionally (the CLAUDE.md pole gotcha)."""
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "bf16": jax.lax.Precision.DEFAULT,
+    }[constant.fft_precision]
+
+
 def _half_spectrum(constant: SpectrumConstant, rows: jax.Array) -> jax.Array:
     """Windowed rows [..., W] -> rFFT bins [..., N/2+1] complex, zero-padded
     to transform_size, with DC and Nyquist halved
@@ -134,16 +147,9 @@ def _half_spectrum(constant: SpectrumConstant, rows: jax.Array) -> jax.Array:
             if pad
             else rows
         )
-        # value-path precision is a static Constant field ("high" bf16x3
-        # default: measured 8.4% faster than "highest" at 2.2e-5 maxrel
-        # on chip — see SpectrumConstant.fft_precision). Recurrence
-        # einsums elsewhere stay HIGHEST unconditionally.
-        prec = {
-            "highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH,
-            "bf16": jax.lax.Precision.DEFAULT,
-        }[constant.fft_precision]
-        re, im = mxu_rfft_half(_mxu_plan(n), xr, precision=prec)
+        re, im = mxu_rfft_half(
+            _mxu_plan(n), xr, precision=_fft_precision(constant)
+        )
         spec = jax.lax.complex(re, im)
     else:
         spec = jnp.fft.rfft(rows, n=n, axis=-1)
@@ -294,7 +300,12 @@ def spectrum_values(constant: SpectrumConstant, frames: jax.Array) -> jax.Array:
                 if pad
                 else z
             )
-            re, im = mxu_fft(_mxu_plan(n), jnp.real(zp), jnp.imag(zp))
+            re, im = mxu_fft(
+                _mxu_plan(n),
+                jnp.real(zp),
+                jnp.imag(zp),
+                precision=_fft_precision(constant),
+            )
             spec = jax.lax.complex(re, im)
         else:
             spec = jnp.fft.fft(z, n=n, axis=-1)

@@ -264,7 +264,7 @@ struct SzPacketQueue {
     std::atomic<bool> alive{true};
     sem_t items;                    // filled-slot count (blocking pop)
     std::vector<float> audio;       // [capacity][channels][max_samples]
-    std::vector<int64_t> meta_i;    // [capacity][4]: n, position, steady, playing
+    std::vector<int64_t> meta_i;    // [capacity][6]: n, position, steady, playing, clock, gen
     std::vector<double> meta_d;     // [capacity]: bpm
 };
 
@@ -275,7 +275,7 @@ SzPacketQueue* sz_pq_create(int64_t channels, int64_t max_samples, int64_t capac
     q->channels = channels;
     q->max_samples = max_samples;
     q->audio.assign(static_cast<size_t>(capacity * channels * max_samples), 0.0f);
-    q->meta_i.assign(static_cast<size_t>(capacity * 4), 0);
+    q->meta_i.assign(static_cast<size_t>(capacity * 6), 0);
     q->meta_d.assign(static_cast<size_t>(capacity), 0.0);
     sem_init(&q->items, 0, 0);
     return q;
@@ -299,7 +299,8 @@ int64_t sz_pq_dropped(const SzPacketQueue* q) {
 // Producer: copy one packet in. Returns 0, or -1 when full (packet dropped,
 // counted) — the real-time thread never blocks.
 int sz_pq_push(SzPacketQueue* q, const float* block, int64_t n,
-               int64_t position, int64_t steady, double bpm, int64_t playing) {
+               int64_t position, int64_t steady, double bpm, int64_t playing,
+               int64_t end_clock, int64_t generation) {
     if (n <= 0 || n > q->max_samples) return -2;
     const int64_t head = q->head.load(std::memory_order_relaxed);
     const int64_t tail = q->tail.load(std::memory_order_acquire);
@@ -313,8 +314,9 @@ int sz_pq_push(SzPacketQueue* q, const float* block, int64_t n,
         std::memcpy(dst + c * q->max_samples, block + c * n,
                     static_cast<size_t>(n) * sizeof(float));
     }
-    int64_t* mi = q->meta_i.data() + slot * 4;
+    int64_t* mi = q->meta_i.data() + slot * 6;
     mi[0] = n; mi[1] = position; mi[2] = steady; mi[3] = playing;
+    mi[4] = end_clock; mi[5] = generation;
     q->meta_d[static_cast<size_t>(slot)] = bpm;
     q->head.store(head + 1, std::memory_order_release);
     sem_post(&q->items);
@@ -322,8 +324,8 @@ int sz_pq_push(SzPacketQueue* q, const float* block, int64_t n,
 }
 
 // Consumer: blocking pop with timeout. out must hold channels*max_samples
-// floats (written channel-major with stride max_samples); meta_out[4] gets
-// {n, position, steady, playing}; bpm_out the tempo.
+// floats (written channel-major with stride max_samples); meta_out[6] gets
+// {n, position, steady, playing, end_clock, generation}; bpm_out the tempo.
 // Returns 0 ok, -1 timeout, -2 closed-and-drained.
 int sz_pq_pop(SzPacketQueue* q, float* out, int64_t* meta_out, double* bpm_out,
               int64_t timeout_ms) {
@@ -359,8 +361,8 @@ int sz_pq_pop(SzPacketQueue* q, float* out, int64_t* meta_out, double* bpm_out,
     const float* src = q->audio.data() + slot * q->channels * q->max_samples;
     std::memcpy(out, src,
                 static_cast<size_t>(q->channels * q->max_samples) * sizeof(float));
-    const int64_t* mi = q->meta_i.data() + slot * 4;
-    meta_out[0] = mi[0]; meta_out[1] = mi[1]; meta_out[2] = mi[2]; meta_out[3] = mi[3];
+    const int64_t* mi = q->meta_i.data() + slot * 6;
+    for (int k = 0; k < 6; ++k) meta_out[k] = mi[k];
     *bpm_out = q->meta_d[static_cast<size_t>(slot)];
     q->tail.store(tail + 1, std::memory_order_release);
     return 0;

@@ -33,7 +33,8 @@ SzPacketQueue* sz_pq_create(int64_t channels, int64_t max_samples, int64_t capac
 void sz_pq_destroy(SzPacketQueue*);
 int64_t sz_pq_size(const SzPacketQueue*);
 int64_t sz_pq_dropped(const SzPacketQueue*);
-int sz_pq_push(SzPacketQueue*, const float*, int64_t, int64_t, int64_t, double, int64_t);
+int sz_pq_push(SzPacketQueue*, const float*, int64_t, int64_t, int64_t, double, int64_t,
+               int64_t, int64_t);
 int sz_pq_pop(SzPacketQueue*, float*, int64_t*, double*, int64_t);
 void sz_pq_close(SzPacketQueue*);
 }
@@ -55,7 +56,7 @@ static void stress_queue() {
 
     std::thread consumer([&] {
         std::vector<float> out(2 * 64);
-        int64_t meta[4];
+        int64_t meta[6];
         double bpm;
         int64_t last_pos = -1;
         while (true) {
@@ -79,7 +80,7 @@ static void stress_queue() {
             block[s] = v;            // ch0
             block[32 + s] = v + 0.5f;  // ch1
         }
-        sz_pq_push(q, block.data(), 32, i, i * 32, 120.0, 1);
+        sz_pq_push(q, block.data(), 32, i, i * 32, 120.0, 1, (i + 1) * 32, 0);
         if ((i & 1023) == 0) std::this_thread::yield();
     }
     // drain, then close

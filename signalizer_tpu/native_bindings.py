@@ -98,7 +98,9 @@ def _load():
         lib.sz_pq_dropped.restype = c_i64
         lib.sz_pq_dropped.argtypes = [ctypes.c_void_p]
         lib.sz_pq_push.restype = ctypes.c_int
-        lib.sz_pq_push.argtypes = [ctypes.c_void_p, c_fp, c_i64, c_i64, c_i64, c_dbl, c_i64]
+        lib.sz_pq_push.argtypes = [
+            ctypes.c_void_p, c_fp, c_i64, c_i64, c_i64, c_dbl, c_i64, c_i64, c_i64,
+        ]
         lib.sz_pq_pop.restype = ctypes.c_int
         lib.sz_pq_pop.argtypes = [ctypes.c_void_p, c_fp, c_ip, c_dp, c_i64]
         lib.sz_pq_close.argtypes = [ctypes.c_void_p]
@@ -225,7 +227,7 @@ class NativePacketQueue:
             raise RuntimeError("sz_pq_create failed")
         # consumer-side preallocated buffers (single consumer by contract)
         self._out = np.empty((channels, max_samples), np.float32)
-        self._meta = np.empty(4, np.int64)
+        self._meta = np.empty(6, np.int64)
         self._bpm = ctypes.c_double(0.0)
 
     def __del__(self):
@@ -235,9 +237,11 @@ class NativePacketQueue:
             self._handle = None
 
     def push(self, block: np.ndarray, position: int, steady: int, bpm: float,
-             playing: bool) -> bool:
+             playing: bool, end_clock: int = 0, generation: int = 0) -> bool:
         """Wait-free producer push; returns False when the queue was full
         (the packet is dropped and counted — the RT thread never blocks).
+        ``end_clock``/``generation`` stamp the packet's last sample on the
+        source ring's monotonic clock (see ListenerContext).
 
         The channel count must match the queue's: the native memcpy loop
         reads ``channels * n`` floats from the block pointer, so a
@@ -250,13 +254,14 @@ class NativePacketQueue:
         rc = self._lib.sz_pq_push(
             self._handle, _fp(block), block.shape[1],
             int(position), int(steady), float(bpm), int(bool(playing)),
+            int(end_clock), int(generation),
         )
         return rc == 0
 
     def pop(self, timeout_ms: int = 100):
         """Blocking pop: (block [channels, n], position, steady, bpm,
-        playing) or None on timeout; raises StopIteration once closed and
-        drained."""
+        playing, end_clock, generation) or None on timeout; raises
+        StopIteration once closed and drained."""
         rc = self._lib.sz_pq_pop(
             self._handle, _fp(self._out),
             self._meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -273,6 +278,8 @@ class NativePacketQueue:
             int(self._meta[2]),
             float(self._bpm.value),
             bool(self._meta[3]),
+            int(self._meta[4]),
+            int(self._meta[5]),
         )
 
     def close(self) -> None:

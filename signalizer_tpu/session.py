@@ -101,18 +101,11 @@ class AnalysisSession:
         # host-path fallback kept for RSNT's continuous consumption and as
         # the device_history=False escape hatch)
         self._device_history = None
-        if device_history == "auto":
-            device_history = any(
-                v in self.views for v in ("spectrum", "oscilloscope", "vectorscope")
-            )
-        if device_history:
-            from signalizer_tpu.stream.device_history import (
-                DevicePresentationHistory,
-            )
-
-            self._device_history = DevicePresentationHistory(
-                engine.presentation_output
-            )
+        # "auto" resolves per reconfigure() against the RESOLVED processors
+        # (an RSNT spectrum consumes the continuous stream, never the ring —
+        # keeping the ring alive for it would sync a dispatch per tick that
+        # nothing reads); True forces the ring on, False off
+        self._device_history_opt = device_history
         self.axis_points = axis_points
         self.pixels = pixels
         if frame_rate is None:
@@ -186,6 +179,39 @@ class AnalysisSession:
 
             self._sg_listener = _SgFeed()
             eng.presentation_output.add_listener(self._sg_listener)
+        self._update_device_history()
+
+    def _ring_consumers_active(self) -> bool:
+        """Does any resolved processor actually read the shared device ring?
+        (oscilloscope/vectorscope always; spectrum unless the Algorithm knob
+        resolved to the resonator, whose tick path consumes the continuous
+        stream instead — see tick()'s RSNT branch.)"""
+        if any(v in self.views for v in ("oscilloscope", "vectorscope")):
+            return True
+        if "spectrum" in self.views:
+            from signalizer_tpu.views.spectrum import ResonatorSpectrumProcessor
+
+            proc = self._processors.get("spectrum")
+            if not isinstance(proc, ResonatorSpectrumProcessor):
+                return True
+            # the cursor tracker reads the ring even under RSNT display
+            return self._feeds.get("tracker") is not None
+        return False
+
+    def _update_device_history(self) -> None:
+        opt = self._device_history_opt
+        want = self._ring_consumers_active() if opt == "auto" else bool(opt)
+        if want and self._device_history is None:
+            from signalizer_tpu.stream.device_history import (
+                DevicePresentationHistory,
+            )
+
+            self._device_history = DevicePresentationHistory(
+                self.engine.presentation_output
+            )
+        elif not want and self._device_history is not None:
+            self._device_history.close()
+            self._device_history = None
 
     def refresh_feeds(self) -> None:
         """Rebuild render feeds/trackers from the current contents WITHOUT
@@ -250,7 +276,10 @@ class AnalysisSession:
 
         spectrum = line_graph = osc = vs = cols = tracker = None
         dh = self._device_history
-        if dh is not None and clock > 0:
+        # sync lazily before the first audio, but ALWAYS once the ring holds
+        # data: a stream reset (clock back to 0, ring rebuilt) must re-prime
+        # the mirror rather than leave views reading the pre-reset window
+        if dh is not None and (clock > 0 or dh._ring is not None):
             # one hop-only upload per tick, shared by every view below;
             # a failure falls back to host-path reads for this tick
             if protected_call(dh.sync, context="device-history") is None:

@@ -111,11 +111,24 @@ class StreamListener(Protocol):
 
 
 class ListenerContext:
-    """Delivered with every callback (ref: cpl ListenerContext)."""
+    """Delivered with every callback (ref: cpl ListenerContext).
 
-    def __init__(self, output: "AudioStreamOutput", playhead: Playhead):
+    ``block_end_clock``/``ring_generation`` identify the delivered block's
+    exact position on the history ring's monotonic sample clock (stamped by
+    the producer at write time; the clock restarts whenever the generation
+    changes). ``None`` for callbacks that carry no block (properties/died)."""
+
+    def __init__(
+        self,
+        output: "AudioStreamOutput",
+        playhead: Playhead,
+        block_end_clock: Optional[int] = None,
+        ring_generation: Optional[int] = None,
+    ):
         self._output = output
         self.playhead = playhead
+        self.block_end_clock = block_end_clock
+        self.ring_generation = ring_generation
 
     @property
     def info(self) -> AudioStreamInfo:
@@ -161,12 +174,45 @@ class AudioStreamOutput:
     def sample_clock(self) -> int:
         return self._stream._history.sample_clock
 
+    @property
+    def ring_generation(self) -> int:
+        """Clock-domain id: bumps whenever the history ring is rebuilt."""
+        return self._stream._ring_generation
+
+    def history_snapshot(self, n: int):
+        """Atomic ``(window, end_clock, generation)`` of the trailing
+        history: the window ends EXACTLY at the returned clock. A concurrent
+        producer write during the copy is detected by the clock/generation
+        moving and retried (clock-level seqlock); with an audio-rate
+        producer the copy is orders of magnitude faster than the block
+        interval, so retries are vanishingly rare."""
+        data = None
+        for _ in range(16):
+            g0 = self._stream._ring_generation
+            c0 = self._stream._history.sample_clock
+            data = self._stream._history.latest(n)
+            if (
+                self._stream._history.sample_clock == c0
+                and self._stream._ring_generation == g0
+            ):
+                return data, c0, g0
+        # pathological contention: return the last copy with its post-copy
+        # clock — over-stating the clock can only drop (not duplicate) a
+        # block that raced the final copy; the gap detector re-primes then
+        return data, self._stream._history.sample_clock, self._stream._ring_generation
+
     def get_perf_measures(self) -> PerfMeasures:
         return self._stream._perf
 
     # internal
-    def _deliver(self, block: np.ndarray, playhead: Playhead) -> None:
-        ctx = ListenerContext(self, playhead)
+    def _deliver(
+        self,
+        block: np.ndarray,
+        playhead: Playhead,
+        end_clock: Optional[int] = None,
+        generation: Optional[int] = None,
+    ) -> None:
+        ctx = ListenerContext(self, playhead, end_clock, generation)
         with self._lock:
             listeners = list(self._listeners)
         for l in listeners:
@@ -240,6 +286,10 @@ class AudioStream:
     def __init__(self, threaded: bool, info: Optional[AudioStreamInfo] = None):
         self.info = info or AudioStreamInfo()
         self._history = make_ring_buffer(self.info.channels, max(self.info.audio_history_capacity, 1))
+        # bumped whenever the history ring is rebuilt (its sample clock
+        # resets): listeners keying state on block end clocks use the
+        # generation to detect that the clock domain changed underneath them
+        self._ring_generation = 0
         self._playhead = Playhead()
         self._perf = PerfMeasures()
         self.output = AudioStreamOutput(self)
@@ -280,6 +330,7 @@ class AudioStream:
         cap = max(self.info.audio_history_capacity, 1)
         if cap != self._history.capacity or self.info.channels != self._history.channels:
             self._history = make_ring_buffer(self.info.channels, cap)
+            self._ring_generation += 1  # fresh ring: sample clock restarted
         # the native packet queue's slot geometry is channel-count bound:
         # feeding a reshaped stream into the old queue would make the
         # native copy read past the block
@@ -317,6 +368,13 @@ class AudioStream:
             fixed[: min(block.shape[0], self.info.channels)] = block[: self.info.channels]
             block = fixed
         self._history.write(block)
+        # exact ring clock at this block's last sample + the clock domain's
+        # generation, stamped at WRITE time (single producer): listeners
+        # that mirror the ring (stream/device_history.py) dedup and
+        # gap-check deliveries against these, closing the written-but-not-
+        # yet-delivered races a delivery-time clock read cannot
+        end_clock = self._history.sample_clock
+        gen = self._ring_generation
         ph = playhead or self._playhead
         self._playhead = ph.advanced(block.shape[1])
         budget = block.shape[1] / max(self.info.sample_rate, 1.0)
@@ -326,14 +384,18 @@ class AudioStream:
                 # packetize at STREAM_PACKET_SIZE (ref: AudioStream<_, 256>);
                 # each push is a wait-free native copy
                 pkt_ph = ph
+                pkt_end = end_clock - block.shape[1]
                 for start in range(0, block.shape[1], STREAM_PACKET_SIZE):
                     chunk = block[:, start : start + STREAM_PACKET_SIZE]
+                    pkt_end += chunk.shape[1]
                     ok = self._native_queue.push(
                         chunk,
                         pkt_ph.position_samples,
                         pkt_ph.steady_clock,
                         pkt_ph.bpm,
                         pkt_ph.is_playing,
+                        end_clock=pkt_end,
+                        generation=gen,
                     )
                     if ok:
                         self._pushed += 1
@@ -346,13 +408,13 @@ class AudioStream:
                     # copy: callers may reuse the block buffer (e.g. the
                     # mix graph's scratch) before the worker delivers it —
                     # the native queue copies by construction
-                    self._queue.put_nowait((block.copy(), ph))
+                    self._queue.put_nowait((block.copy(), ph, end_clock, gen))
                     self._pushed += 1
                     self._perf.in_flight_packets = self._queue.qsize()
                 except queue.Full:
                     self._perf.dropped_frames += 1
         else:
-            self.output._deliver(block, ph)
+            self.output._deliver(block, ph, end_clock, gen)
         now = time.perf_counter()
         # threaded: everything after t_q0 is transport machinery (the
         # listener DSP happens on the worker thread). sync: delivery IS the
@@ -397,7 +459,7 @@ class AudioStream:
                     continue
                 if item is None:
                     continue
-                chunk, position, steady, bpm, playing = item
+                chunk, position, steady, bpm, playing, end_clock, gen = item
                 pop_time = (time.perf_counter() - t_pop0) if qsize > 0 else 0.0
                 ph = Playhead(
                     position_samples=position,
@@ -412,7 +474,7 @@ class AudioStream:
                     # the stream would silently stop forever (the reference
                     # wraps callbacks in Protected.h for the same reason)
                     protected_call(
-                        lambda: self.output._deliver(chunk, ph),
+                        lambda: self.output._deliver(chunk, ph, end_clock, gen),
                         context="stream-deliver",
                     )
                 finally:
@@ -432,12 +494,12 @@ class AudioStream:
             if item is None:
                 return
             pop_time = (time.perf_counter() - t_pop0) if qsize > 0 else 0.0
-            block, ph = item
+            block, ph, end_clock, gen = item
             budget = block.shape[1] / max(self.info.sample_rate, 1.0)
             t0 = time.perf_counter()
             try:
                 protected_call(
-                    lambda: self.output._deliver(block, ph),
+                    lambda: self.output._deliver(block, ph, end_clock, gen),
                     context="stream-deliver",
                 )
             finally:

@@ -27,13 +27,27 @@ Parity contract: ``window(n)`` equals
 the stream has produced ``n`` samples, trailing alignment after), locked by
 tests/test_device_history.py across ragged push patterns, overruns and
 re-primes.
+
+Exactness mechanism: every delivered block carries the producer's
+write-time ``(end_clock, generation)`` stamp (``ListenerContext``), and the
+mirror keys its state on the same clock. :meth:`sync` accepts only blocks
+that chain gaplessly from the ring's current clock; anything else — attach,
+stream reconfiguration, dropped packets, pending trimmed under a stalled
+consumer, a failed device dispatch — re-primes from an atomic
+``history_snapshot`` of the host ring, which by write-before-deliver
+ordering supersedes every block delivered up to that point. Stale
+re-deliveries of samples already inside a snapshot (the threaded stream's
+written-but-not-yet-delivered race) are dropped by their stamps, so the
+mirror never double-counts a block. Unstamped deliveries (a custom output
+that never stamps) fall back to ingest-everything semantics with the same
+snapshot re-prime on overrun, minus the stale-block dedup.
 """
 
 from __future__ import annotations
 
 import functools
 import threading
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -74,22 +88,17 @@ class DevicePresentationHistory:
         self._output = output
         self._explicit_history = int(history) if history else None
         self._lock = threading.Lock()
-        self._pending: List[np.ndarray] = []
+        # (block, end_clock, generation); stamps None for custom outputs
+        self._pending: List[Tuple[np.ndarray, Optional[int], Optional[int]]] = []
         self._pending_n = 0
         self._overrun = False  # pending trimmed: ring must full-re-prime
         self._ring: Optional[jax.Array] = None
         self._channels = 0
         self._history = 0
-        # audio fed BEFORE attach lives only in the host ring — snapshot it
-        # now (before add_listener) so the first device window matches
-        # get_history exactly. The stream writes its ring before it
-        # delivers to listeners, so on synchronous streams this is exact;
-        # on threaded streams a block in flight during this constructor
-        # can be double-counted once (bounded, attach-time only).
-        self._prefill: Optional[np.ndarray] = None
-        if output.sample_clock > 0:
-            ch, h = self._target_shape()
-            self._prefill = np.array(output.get_history(h), np.float32)
+        # host clock/generation of the ring's newest sample (None until the
+        # first stamped re-prime; stays None for unstamped streams)
+        self._clock: Optional[int] = None
+        self._gen: Optional[int] = None
         output.add_listener(self)
 
     # --- geometry ---------------------------------------------------------
@@ -106,23 +115,45 @@ class DevicePresentationHistory:
     # --- stream listener protocol ------------------------------------------
     def on_stream_audio(self, ctx, block) -> None:
         b = np.array(block, np.float32, copy=True)  # buffer dies after cb
+        end = getattr(ctx, "block_end_clock", None)
+        gen = getattr(ctx, "ring_generation", None)
         with self._lock:
-            self._pending.append(b)
+            self._pending.append((b, end, gen))
             self._pending_n += b.shape[-1]
             # bound host memory across long freezes / stalled consumers:
             # only the last H samples can ever reach the ring anyway
             cap = self.history
-            while self._pending_n - self._pending[0].shape[-1] >= cap:
-                self._pending_n -= self._pending.pop(0).shape[-1]
+            while self._pending_n - self._pending[0][0].shape[-1] >= cap:
+                self._pending_n -= self._pending.pop(0)[0].shape[-1]
                 self._overrun = True
 
     def on_stream_properties_changed(self, ctx, before) -> None:
-        pass  # geometry re-checked lazily in sync()
+        pass  # geometry re-checked lazily in sync(); stale blocks are
+        # rejected by their generation stamps
 
     def on_stream_died(self, ctx) -> None:
         pass
 
     # --- consumer side ------------------------------------------------------
+    def _reprime(self, ch: int, h: int) -> jax.Array:
+        """Rebuild the device ring from an atomic host snapshot. Every block
+        delivered before this moment was written before it (the stream
+        writes its ring, then delivers), so the snapshot supersedes all of
+        them; later stale re-deliveries carry end clocks <= the snapshot's
+        and are dropped by the stamp filter."""
+        snap = self._output.history_snapshot(h) if hasattr(
+            self._output, "history_snapshot"
+        ) else None
+        if snap is not None:
+            data, clock, gen = snap
+            self._clock, self._gen = int(clock), int(gen)
+        else:  # custom output: best-effort, no clock domain to key on
+            data = self._output.get_history(h)
+            self._clock = self._gen = None
+        self._ring = jnp.asarray(np.asarray(data, np.float32))
+        self._channels, self._history = ch, h
+        return self._ring
+
     def sync(self) -> jax.Array:
         """Upload everything that arrived since the last call; return the
         ring. One donated device dispatch per pow2 upload bucket."""
@@ -134,25 +165,43 @@ class DevicePresentationHistory:
 
         ch, h = self._target_shape()
         if self._ring is None or self._channels != ch or self._history != h:
-            # (re)build: topology/capacity changes re-prime from silence,
-            # exactly like RingBuffer allocations host-side
-            pre, self._prefill = self._prefill, None
-            if pre is not None and pre.shape == (ch, h):
-                self._ring = jnp.asarray(pre)
-            else:
-                self._ring = jnp.zeros((ch, h), jnp.float32)
-            self._channels, self._history = ch, h
-            overrun = False  # fresh ring, nothing stale to flush
+            return self._reprime(ch, h)
+
+        stamped = self._clock is not None and all(
+            e is not None and g is not None for _, e, g in parts
+        )
+        if stamped:
+            # any block from another clock domain (stream reconfigured
+            # back to the same shape, ring rebuilt) invalidates the chain:
+            # the snapshot supersedes everything popped so far
+            if any(g != self._gen for _, _, g in parts):
+                return self._reprime(ch, h)
+            # drop stale re-deliveries (samples already inside a snapshot)
+            parts = [p for p in parts if p[1] > self._clock]
+            n = sum(p[0].shape[-1] for p in parts)
+            # gap check: the kept blocks must chain gaplessly from the
+            # ring's clock — a break means samples the mirror never saw
+            # (dropped packets, trimmed pending)
+            expected = self._clock
+            for b, e, _ in parts:
+                if e - b.shape[-1] != expected:
+                    return self._reprime(ch, h)
+                expected = e
+        elif overrun or self._clock is not None:
+            # unstamped delivery after a stamped history (or trimmed
+            # pending without stamps to re-chain by): re-prime
+            return self._reprime(ch, h)
 
         if n == 0:
             return self._ring
 
-        data = np.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+        blocks = [p[0] for p in parts]
+        data = np.concatenate(blocks, axis=-1) if len(blocks) > 1 else blocks[0]
         if data.shape[0] != ch:  # channel-count race: rebuild next sync
             fixed = np.zeros((ch, data.shape[-1]), np.float32)
             fixed[: min(ch, data.shape[0])] = data[: min(ch, data.shape[0])]
             data = fixed
-        if n > h or overrun:
+        if n > h:
             data = data[..., -h:]
             n = data.shape[-1]
         bucket = min(1 << (max(n, 1) - 1).bit_length(), h)
@@ -164,24 +213,16 @@ class DevicePresentationHistory:
         try:
             self._ring = _ingest(self._ring, buf, np.int32(n))
         except Exception:
-            # a failed dispatch must not silently lose the popped samples,
-            # and the donated ring buffer may already be invalidated —
-            # drop the ring and re-arm the prefill snapshot from the host
-            # ring (which still holds everything, including this upload's
-            # samples), so the next sync rebuilds bit-exact. Holding the
-            # lock across the snapshot keeps concurrent deliveries out of
-            # the window (write-then-deliver ordering; same one-block
-            # threaded-attach caveat as the constructor).
-            with self._lock:
-                self._pending.clear()
-                self._pending_n = 0
-                self._overrun = False
-                self._ring = None
-                self._channels = self._history = 0
-                self._prefill = np.array(
-                    self._output.get_history(h), np.float32
-                )
+            # the donated ring buffer may already be invalidated — drop the
+            # mirror; the next sync re-primes from an atomic host snapshot
+            # (which also supersedes this upload's samples) and the stamp
+            # filter drops any of them that get re-delivered meanwhile
+            self._ring = None
+            self._channels = self._history = 0
+            self._clock = self._gen = None
             raise
+        if stamped:
+            self._clock = parts[-1][1]
         return self._ring
 
     def window(self, n: int, *, lead: int = 0, pad_to: int = 0) -> jax.Array:

@@ -196,3 +196,112 @@ def test_failed_dispatch_recovers_bit_exact(monkeypatch):
     dh.sync()
     np.testing.assert_array_equal(np.asarray(dh.window(1024)), out.get_history(1024))
     dh.close()
+
+
+class _StampedCtx:
+    """Minimal stamped ListenerContext stand-in for race simulations."""
+
+    def __init__(self, end, gen):
+        self.block_end_clock = end
+        self.ring_generation = gen
+
+
+def test_resize_discards_stale_pending():
+    """Pending blocks delivered BEFORE a capacity/channel change must not
+    leak into the re-primed ring (review finding: the host ring rebuilds to
+    zeros on resize, so pre-change pending is ghost audio the host path
+    would never render)."""
+    rng = np.random.default_rng(5)
+    inp, out = _stream(cap=2048)
+    dh = DevicePresentationHistory(out)
+    inp.process_incoming_audio(_blocks(rng, 2, [600])[0], Playhead())
+    # deliveries are buffered in _pending, NOT synced — now the stream
+    # reconfigures (host ring rebuilds from silence)
+    assert dh._pending_n == 600
+    out.modify_consumer_info(lambda info: setattr(info, "audio_history_capacity", 1024))
+    dh.sync()
+    np.testing.assert_array_equal(
+        np.asarray(dh.window(1024)), out.get_history(1024)
+    )
+    assert not np.asarray(dh.window(1024)).any()  # silence, no ghosts
+    # post-change audio chains seamlessly on the new clock domain
+    inp.process_incoming_audio(_blocks(rng, 2, [300])[0], Playhead())
+    dh.sync()
+    np.testing.assert_array_equal(
+        np.asarray(dh.window(1024)), out.get_history(1024)
+    )
+    dh.close()
+
+
+def test_stale_redelivery_is_dropped():
+    """A block whose samples are already inside a snapshot (the threaded
+    stream's written-but-not-yet-delivered race, replayed deterministically
+    via its clock stamp) must be dropped by the stamp filter, not shifted
+    in twice."""
+    rng = np.random.default_rng(6)
+    inp, out = _stream(cap=1024)
+    stale = _blocks(rng, 2, [200])[0]
+    inp.process_incoming_audio(stale, Playhead())
+    dh = DevicePresentationHistory(out)
+    dh.sync()  # primes at clock 200
+    assert dh._clock == 200
+    # replay the last block as an in-flight re-delivery (end clock <= cut)
+    dh.on_stream_audio(_StampedCtx(200, out.ring_generation), stale)
+    dh.sync()
+    np.testing.assert_array_equal(np.asarray(dh.window(1024)), out.get_history(1024))
+    assert dh._clock == 200  # nothing ingested
+    dh.close()
+
+
+def test_missed_delivery_gap_reprimes():
+    """A delivery the mirror never saw (dropped packet) breaks the stamp
+    chain; sync must detect the gap and re-prime bit-exact instead of
+    silently diverging."""
+    rng = np.random.default_rng(7)
+    inp, out = _stream(cap=1024)
+    dh = DevicePresentationHistory(out)
+    inp.process_incoming_audio(_blocks(rng, 2, [100])[0], Playhead())
+    dh.sync()
+    out.remove_listener(dh)  # simulate a dropped delivery
+    inp.process_incoming_audio(_blocks(rng, 2, [50])[0], Playhead())
+    out.add_listener(dh)
+    inp.process_incoming_audio(_blocks(rng, 2, [75])[0], Playhead())
+    dh.sync()
+    np.testing.assert_array_equal(np.asarray(dh.window(1024)), out.get_history(1024))
+    assert dh._clock == 225
+    dh.close()
+
+
+def test_generation_flip_back_reprimes():
+    """Two quick reconfigures back to the SAME shape leave the target
+    geometry unchanged but restart the host clock (new ring generation);
+    pending from the old generation must trigger a re-prime, not be
+    misinterpreted on the new clock."""
+    rng = np.random.default_rng(8)
+    inp, out = _stream(cap=1024)
+    dh = DevicePresentationHistory(out)
+    inp.process_incoming_audio(_blocks(rng, 2, [128])[0], Playhead())
+    dh.sync()
+    inp.process_incoming_audio(_blocks(rng, 2, [64])[0], Playhead())  # old gen
+    out.modify_consumer_info(lambda info: setattr(info, "audio_history_capacity", 512))
+    out.modify_consumer_info(lambda info: setattr(info, "audio_history_capacity", 1024))
+    inp.process_incoming_audio(_blocks(rng, 2, [32])[0], Playhead())  # new gen
+    dh.sync()
+    np.testing.assert_array_equal(np.asarray(dh.window(1024)), out.get_history(1024))
+    dh.close()
+
+
+def test_session_auto_skips_resonator():
+    """device_history='auto' must not keep a ring alive that nothing reads:
+    an RSNT-algorithm spectrum consumes the continuous stream, so the
+    session skips the ring (and re-creates it when the algorithm flips
+    back)."""
+    eng = SignalizerEngine("dh-rsnt", load_default_preset=False)
+    eng.spectrum.algorithm.set_normalized(1.0)  # TransformAlgorithm.RESONATOR (0.5 rounds DOWN to FFT on a 2-choice knob)
+    s = AnalysisSession(eng, views=("spectrum",), axis_points=64)
+    assert s._device_history is None
+    eng.spectrum.algorithm.set_normalized(0.0)  # back to FFT
+    s.reconfigure("spectrum")
+    assert s._device_history is not None
+    s.close()
+    assert s._device_history is None

@@ -158,3 +158,40 @@ def test_fft_precision_static_field_routes_value_path():
         )
     np.testing.assert_array_equal(outs["highest"], outs["high"])
     np.testing.assert_array_equal(outs["highest"], outs["bf16"])
+
+
+def test_complex_branch_honors_fft_precision(monkeypatch):
+    """Review regression: the COMPLEX-configuration value path must pass
+    SpectrumConstant.fft_precision to mxu_fft like every other channel
+    configuration does — the knob was silently inert there."""
+    import jax
+    import jax.numpy as jnp
+
+    import signalizer_tpu.kernels.mxu_fft as mf
+    import signalizer_tpu.kernels.spectrum as ks
+    from signalizer_tpu.core.config import SpectrumChannels
+    from signalizer_tpu.core.constant import make_spectrum_constant
+
+    seen = {}
+    real = mf.mxu_fft
+
+    def spy(plan, re, im=None, precision=jax.lax.Precision.HIGHEST):
+        seen["precision"] = precision
+        return real(plan, re, im, precision=precision)
+
+    monkeypatch.setattr(mf, "mxu_fft", spy)
+    frames = jnp.zeros((1, 2, 256), jnp.float32)
+    for prec, expect in (
+        ("bf16", jax.lax.Precision.DEFAULT),
+        ("high", jax.lax.Precision.HIGH),
+        ("highest", jax.lax.Precision.HIGHEST),
+    ):
+        c = make_spectrum_constant(
+            axis_points=64,
+            window_size=256,
+            configuration=SpectrumChannels.COMPLEX,
+            fft_backend="mxu",
+            fft_precision=prec,
+        )
+        ks.spectrum_values(c, frames)
+        assert seen["precision"] == expect, prec

@@ -123,7 +123,8 @@ def test_native_packet_queue_spsc_semantics():
     t.start()
     for i in range(20):
         blk = np.full((2, 32), float(i), np.float32)
-        q.push(blk, position=i * 32, steady=i * 32 + 7, bpm=100.0 + i, playing=(i % 2 == 0))
+        q.push(blk, position=i * 32, steady=i * 32 + 7, bpm=100.0 + i, playing=(i % 2 == 0),
+               end_clock=(i + 1) * 32, generation=3)
     # wait for drain, then close
     deadline = 50
     while q.size > 0 and deadline:
@@ -138,9 +139,10 @@ def test_native_packet_queue_spsc_semantics():
     # FIFO order and faithful metadata
     positions = [g[1] for g in got]
     assert positions == sorted(positions)
-    blk, pos, steady, bpm, playing = got[0]
+    blk, pos, steady, bpm, playing, end_clock, gen = got[0]
     i0 = pos // 32
     assert steady == i0 * 32 + 7 and bpm == 100.0 + i0 and playing == (i0 % 2 == 0)
+    assert end_clock == (i0 + 1) * 32 and gen == 3  # ring-clock stamp round-trip
     np.testing.assert_array_equal(blk, np.full((2, 32), float(i0), np.float32))
 
 

@@ -197,7 +197,7 @@ def test_session_resonator_algorithm():
     from signalizer_tpu.core.constant import host_view
 
     eng = SignalizerEngine("rsnt-session")
-    eng.spectrum.algorithm.set_normalized(0.5)  # TransformAlgorithm.RESONATOR
+    eng.spectrum.algorithm.set_normalized(1.0)  # TransformAlgorithm.RESONATOR (0.5 rounds DOWN to FFT on a 2-choice knob)
     s = AnalysisSession(eng, axis_points=128, views=("spectrum",))
     try:
         for i in range(8):
