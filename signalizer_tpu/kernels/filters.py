@@ -158,14 +158,28 @@ def three_band_split(
     return bands, new_state
 
 
-def onepole_block_update(state: jax.Array, u: jax.Array, pole) -> jax.Array:
+def onepole_block_update(state: jax.Array, u: jax.Array, pole, new_samples=None) -> jax.Array:
     """Final state of s' = u + p (s - u) over a length-W block, closed form
-    (see kernels/vectorscope.py rationale). state [...], u [..., W]."""
+    (see kernels/vectorscope.py rationale). state [...], u [..., W].
+
+    ``new_samples`` (traced scalar, 0..W) consumes only the TRAILING that
+    many samples — identity for the rest. Exact: the suffix samples keep
+    their pole^(W-1-k) weights (positions within the suffix are the same
+    distances from the block end) and the state decay becomes pole^new.
+    Lets an overlapping-window caller advance the filter over each sample
+    exactly once (the reference's audio-callback semantics)."""
     w = u.shape[-1]
     i = jnp.arange(w, dtype=u.dtype)
     pole = jnp.asarray(pole, u.dtype)
     ramp = jnp.power(pole[..., None], (w - 1) - i)
-    return jnp.power(pole, float(w)) * state + jnp.sum(u * ramp, axis=-1) * (1.0 - pole)
+    if new_samples is None:
+        decay = jnp.power(pole, float(w))
+        acc = jnp.sum(u * ramp, axis=-1)
+    else:
+        n = jnp.asarray(new_samples, u.dtype)
+        decay = jnp.power(pole, n)
+        acc = jnp.sum(jnp.where(i >= w - n, u * ramp, 0.0), axis=-1)
+    return decay * state + acc * (1.0 - pole)
 
 
 def onepole_smooth(x: jax.Array, pole, s0: jax.Array = None) -> jax.Array:

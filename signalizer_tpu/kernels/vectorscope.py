@@ -151,9 +151,16 @@ def update_meters(
     envelope_pole,
     stereo_pole,
     second_speed: float = 0.25,
+    new_samples=None,
 ) -> VectorscopeMeterState:
     """Advance all meter filters over a frame block
-    (ref: Vectorscope.cpp:319-342). frames [..., 2, W]."""
+    (ref: Vectorscope.cpp:319-342). frames [..., 2, W].
+
+    The reference advances these in the audio callback — each sample seen
+    exactly once. A caller re-reading an overlapping history window per
+    render tick must pass ``new_samples`` (traced scalar) so only the
+    trailing new samples integrate; otherwise the meter ballistics scale
+    with tick rate x window size instead of audio time (review finding)."""
     envelope_pole = jnp.asarray(envelope_pole, frames.dtype)
     stereo_pole = jnp.asarray(stereo_pole, frames.dtype)
     sq = frames[..., :2, :] ** 2  # [..., 2, W]
@@ -165,9 +172,14 @@ def update_meters(
         axis=-1,
     )  # [..., 2]
 
-    env = _block_onepole(state.envelope, sq, jnp.broadcast_to(envelope_pole, state.envelope.shape))
-    balance = _block_onepole(state.balance, sq[..., None, :, :], poles2[..., :, None])
-    phase = _block_onepole(state.phase, corr[..., None, :], poles2)
+    env = _block_onepole(
+        state.envelope, sq, jnp.broadcast_to(envelope_pole, state.envelope.shape),
+        new_samples,
+    )
+    balance = _block_onepole(
+        state.balance, sq[..., None, :, :], poles2[..., :, None], new_samples
+    )
+    phase = _block_onepole(state.phase, corr[..., None, :], poles2, new_samples)
     return VectorscopeMeterState(envelope=env, balance=balance, phase=phase)
 
 

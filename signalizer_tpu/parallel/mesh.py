@@ -65,14 +65,17 @@ def sharded_spectrum_step(
 ):
     """Build a jitted multi-chip spectrum step.
 
-    Returns ``step(state, frames) -> (results, new_state, global_peak)``
-    where frames [pairs, T, C, W] and state are sharded over ``axis`` on
-    their leading dimension and pairs %% n_devices == 0.
+    Returns ``step(state, frames, valid) -> (results, new_state,
+    global_peak)`` where frames [pairs, T, C, W] and state are sharded over
+    ``axis`` on their leading dimension and pairs %% n_devices == 0.
+    ``valid`` [T] bool (replicated) masks host-padded frames out of the
+    filter states — a backpressure pipeline that zero-pads a short batch
+    must not decay its peak state on fabricated silence (review finding).
     """
     spec_b = P(axis)
 
-    def shard_fn(state: LineGraphState, frames: jax.Array):
-        result = analyze_frames(constant, state, frames)
+    def shard_fn(state: LineGraphState, frames: jax.Array, valid: jax.Array):
+        result = analyze_frames(constant, state, frames, valid=valid)
         local_peak = jnp.max(result.results)
         peak = jax.lax.pmax(local_peak, axis)  # rides ICI
         return result.results, result.state, peak
@@ -83,6 +86,7 @@ def sharded_spectrum_step(
         in_specs=(
             LineGraphState(magnitude=spec_b, phase=spec_b),
             spec_b,
+            P(),
         ),
         out_specs=(spec_b, LineGraphState(magnitude=spec_b, phase=spec_b), P()),
     )
@@ -117,6 +121,13 @@ def sharded_mix_step(mesh: Mesh, axis: str = "data", max_channels: int = 16):
     """
 
     def shard_fn(sources: jax.Array, routing: jax.Array):
+        if routing.shape[-1] > max_channels:
+            # enforce the documented contract instead of silently mixing
+            # into an oversized matrix (review finding: dead parameter)
+            raise ValueError(
+                f"routing out_ch ({routing.shape[-1]}) exceeds "
+                f"max_channels ({max_channels})"
+            )
         # local partial mix on this chip's sources; HIGHEST keeps the
         # audio sum in f32 (TPU matmul defaults to bf16 rounding)
         partial = jnp.einsum(
@@ -163,13 +174,11 @@ def sharded_oscilloscope_step(constant, mesh: Mesh, axis: str = "data",
     from signalizer_tpu.views.oscilloscope import osc_step_impl
 
     spec_b = P(axis)
-    key_table = None
-    if pairs is not None and pairs > 1:
-        from signalizer_tpu.core.constant import host_view
-        from signalizer_tpu.utils.colour import pair_key_table
+    # one canonical rotation-table builder shared with the single-device
+    # processor so sharded and local multi-pair colours cannot drift
+    from signalizer_tpu.views.oscilloscope import make_pair_key_colours
 
-        kc = host_view(constant, "key_colours")
-        key_table = jnp.asarray(pair_key_table(kc[0], kc[1], pairs))
+    key_table = make_pair_key_colours(constant, pairs or 1)
 
     def shard_fn(state, history, window, transport, new_samples):
         pair_keys = None
@@ -205,17 +214,23 @@ def sharded_vectorscope_step(mesh: Mesh, axis: str = "data", **static_kwargs):
 
     ``static_kwargs``: mode/autogain/rotation/scale_to_fill, as accepted by
     the single-chip ``_vs_step``. Returns ``step(state, peak_env, frames,
-    envelope_pole, stereo_pole, user_gain, peak_coeff) ->
-    (frame, new_state, new_peak_env, global_level)``.
+    envelope_pole, stereo_pole, user_gain, peak_coeff, new_samples) ->
+    (frame, new_state, new_peak_env, global_level)``. ``new_samples``
+    (replicated scalar) limits the meter filters to the window's trailing
+    new samples — a rolling-history caller re-reads overlapping windows,
+    and the reference's meters see each sample exactly once
+    (Vectorscope.cpp:319-342; review finding).
     """
     from signalizer_tpu.views.vectorscope import vs_step_impl
 
     spec_b = P(axis)
+    rotation = static_kwargs.pop("rotation", 0.0)
 
-    def shard_fn(state, peak_env, frames, envelope_pole, stereo_pole, user_gain, peak_coeff):
+    def shard_fn(state, peak_env, frames, envelope_pole, stereo_pole,
+                 user_gain, peak_coeff, new_samples):
         frame, new_state, new_peak = vs_step_impl(
             state, peak_env, frames, envelope_pole, stereo_pole, user_gain,
-            peak_coeff, **static_kwargs,
+            peak_coeff, rotation, new_samples, **static_kwargs,
         )
         level = jax.lax.pmax(jnp.max(jnp.abs(frames)), axis)
         return frame, new_state, new_peak, level
@@ -223,7 +238,7 @@ def sharded_vectorscope_step(mesh: Mesh, axis: str = "data", **static_kwargs):
     mapped = _shard_map(
         shard_fn,
         mesh,
-        in_specs=(spec_b, spec_b, spec_b, P(), P(), P(), P()),
+        in_specs=(spec_b, spec_b, spec_b, P(), P(), P(), P(), P()),
         out_specs=(spec_b, spec_b, spec_b, P()),
     )
     return jax.jit(mapped, donate_argnums=(0, 1))
@@ -235,15 +250,17 @@ def sharded_spectrogram_step(constant: SpectrumConstant, mesh: Mesh, axis: str =
     colour, the associative ONE_MINUS_SRC_COLOR composite is order-free in
     its additive premultiplied form — the per-chip partials multiply).
 
-    Returns ``step(state, frames, colours, ratios) ->
-    (columns [T, P, 4] u8 replicated, new_state sharded)``.
+    Returns ``step(state, frames, colours, ratios, valid) ->
+    (columns [T, P, 4] u8 replicated, new_state sharded)``; ``valid`` [T]
+    masks zero-padded frames out of the filter state (padded slots still
+    emit columns — consumers index real columns by the same mask).
     """
     from signalizer_tpu.kernels.colormap import gradient_map, quantize_rgba8
 
     spec_b = P(axis)
 
-    def shard_fn(state: LineGraphState, frames, colours, ratios):
-        result = analyze_frames(constant, state, frames)
+    def shard_fn(state: LineGraphState, frames, colours, ratios, valid):
+        result = analyze_frames(constant, state, frames, valid=valid)
         intensity = result.results[:, :, 0, 0, :]  # [local_pairs, T, P]
         rgb = jax.vmap(lambda inten, cols: gradient_map(inten, cols, ratios))(
             intensity, colours
@@ -268,6 +285,7 @@ def sharded_spectrogram_step(constant: SpectrumConstant, mesh: Mesh, axis: str =
             spec_b,
             spec_b,
             P(),
+            P(),
         ),
         out_specs=(P(), LineGraphState(magnitude=spec_b, phase=spec_b)),
     )
@@ -288,21 +306,27 @@ def sharded_fused_step(
     spectrum + waveform resample + min-max envelopes + stereo meters per
     pair shard, with a single cross-chip pmax diagnostic.
 
-    Returns ``step(state, vstate, frames) -> (results, wave, mins, maxs,
-    corr, new_state, new_vstate, global_peak)``.
+    Returns ``step(state, vstate, frames, valid) -> (results, wave,
+    mins, maxs, corr, new_state, new_vstate, global_peak)``; ``valid`` [T]
+    masks zero-padded frames out of the peak-decay state, and the meter
+    update (which consumes the NEWEST frame) holds when that frame is a
+    pad (review finding).
     """
     from signalizer_tpu.kernels.oscilloscope import minmax_decimate, sinc_resample_static
     from signalizer_tpu.kernels.vectorscope import correlation, update_meters
 
     spec_b = P(axis)
 
-    def shard_fn(state: LineGraphState, vstate, frames):
-        r = analyze_frames(constant, state, frames)
+    def shard_fn(state: LineGraphState, vstate, frames, valid):
+        r = analyze_frames(constant, state, frames, valid=valid)
         corr = correlation(frames)
         wave = sinc_resample_static(frames[..., 0, :], resample_matrix)
         mins, maxs = minmax_decimate(frames[..., 0, :], pixels)
-        vnew = update_meters(
+        vupd = update_meters(
             vstate, frames[:, -1], envelope_pole=envelope_pole, stereo_pole=stereo_pole
+        )
+        vnew = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(valid[-1], a, b), vupd, vstate
         )
         peak = jax.lax.pmax(jnp.max(r.results), axis)
         return r.results, wave, mins, maxs, corr, r.state, vnew, peak
@@ -314,6 +338,7 @@ def sharded_fused_step(
             LineGraphState(magnitude=spec_b, phase=spec_b),
             spec_b,
             spec_b,
+            P(),
         ),
         out_specs=(
             spec_b, spec_b, spec_b, spec_b, spec_b,

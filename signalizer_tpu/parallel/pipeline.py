@@ -151,7 +151,7 @@ class ShardedAnalysisPipeline:
             if view == "fused":
                 resample_m = sinc_resample_matrix(w, 0.0, w / pixels, pixels)
                 self._step = sharded_fused_step(
-                    constant, jnp.asarray(resample_m), self.mesh, pixels=pixels
+                    constant, resample_m, self.mesh, pixels=pixels
                 )
                 self._vstate = shard_batch(init_meter_state((pairs,)), self.mesh)
             elif view == "spectrum":
@@ -233,24 +233,31 @@ class ShardedAnalysisPipeline:
         return self.ring.valid_samples > 0
 
     # --- tick ---------------------------------------------------------------
-    def tick(self):
-        """Run one sharded step; None until the ingest has enough audio."""
+    def tick(self, transport_position: float = 0.0):
+        """Run one sharded step; None until the ingest has enough audio.
+
+        ``transport_position`` (oscilloscope view): the playhead position
+        in samples — TriggerMode.WINDOW scrolls the display against it
+        (views/oscilloscope.py:osc_step_impl real_offset; without it the
+        window pins to the history end, review finding)."""
         if not self.ready():
             return None
         if self.view in FRAMED_VIEWS:
-            frames_dev = self._pull_framed()
+            frames_dev, valid = self._pull_framed()
             if self.view == "fused":
                 (results, wave, mins, maxs, corr,
                  self._state, self._vstate, peak) = self._step(
-                    self._state, self._vstate, frames_dev
+                    self._state, self._vstate, frames_dev, valid
                 )
                 out = PipelineOutput(results, wave, mins, maxs, corr, peak)
             elif self.view == "spectrum":
-                results, self._state, peak = self._step(self._state, frames_dev)
+                results, self._state, peak = self._step(
+                    self._state, frames_dev, valid
+                )
                 out = SpectrumOutput(results, peak)
             else:
                 cols, self._state = self._step(
-                    self._state, frames_dev, self._colours, self._ratios
+                    self._state, frames_dev, self._colours, self._ratios, valid
                 )
                 out = SpectrogramOutput(cols)
         else:
@@ -265,14 +272,17 @@ class ShardedAnalysisPipeline:
                     self._state,
                     hist_dev,
                     jnp.float32(self.window_samples),
-                    jnp.float32(0.0),
+                    jnp.float32(transport_position),
                     jnp.float32(min(new, self.history_samples)),
                 )
                 out = OscilloscopeOutput(frame, level)
             else:
                 ep, sp, ug, pc = self._vs_scalars
                 frame, self._state, self._peak_env, level = self._step(
-                    self._state, self._peak_env, hist_dev, ep, sp, ug, pc
+                    self._state, self._peak_env, hist_dev, ep, sp, ug, pc,
+                    # meters see each sample once across overlapping
+                    # rolling-window reads (audio-callback cadence)
+                    jnp.float32(min(new, self.history_samples)),
                 )
                 out = VectorscopeOutput(frame, level)
         self.ticks += 1
@@ -281,17 +291,21 @@ class ShardedAnalysisPipeline:
     def _pull_framed(self):
         t = self.frames_per_tick
         frames = self.batcher.pull(t)  # [T, pairs*2, W]
-        if frames.shape[0] < t:
+        real = frames.shape[0]
+        if real < t:
             # frames scrolled out of the ring under backpressure: zero-pad
             # to keep the compiled shape (drops are counted by the batcher)
-            pad = np.zeros((t - frames.shape[0],) + frames.shape[1:], np.float32)
+            pad = np.zeros((t - real,) + frames.shape[1:], np.float32)
             frames = np.concatenate([frames, pad], axis=0)
         stacked = (
             frames.reshape(t, self.pairs, 2, self.constant.window_size)
             .transpose(1, 0, 2, 3)
             .copy()
         )
-        return shard_batch(jnp.asarray(stacked), self.mesh)
+        # padded slots must not advance the filter states (the step masks
+        # them); replicated [T] bool
+        valid = jnp.asarray(np.arange(t) < real)
+        return shard_batch(jnp.asarray(stacked), self.mesh), valid
 
     @property
     def meter_state(self):

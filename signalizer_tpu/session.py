@@ -409,7 +409,11 @@ class AnalysisSession:
                 lambda: vproc.process(
                     dh.window(win, lead=1)
                     if dh is not None and win <= dh.history
-                    else eng.get_presentation_history(win)[None]
+                    else eng.get_presentation_history(win)[None],
+                    # meters consume each sample once (audio-callback
+                    # cadence) even though the display window overlaps
+                    # across ticks — same masking the oscilloscope uses
+                    new_samples=new_samples,
                 ),
                 context="vectorscope",
             )

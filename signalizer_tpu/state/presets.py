@@ -93,7 +93,12 @@ class PresetManager:
     def try_load(self, name: str) -> Optional[Archive]:
         try:
             return self.load(name)
-        except (FileNotFoundError, ValueError):
+        except Exception:
+            # the tolerant path: a corrupt/truncated/hostile archive can
+            # raise KeyError/AttributeError/TypeError out of
+            # Archive.from_bytes, not just ValueError (review finding —
+            # a malformed default.main.sgz crashed engine construction,
+            # and /api/presets/load is network-reachable)
             return None
 
     def load_default(self) -> Optional[Archive]:

@@ -155,6 +155,15 @@ class Archive:
         doc = json.loads(data.decode("utf-8"))
         if doc.get("magic") != FORMAT_MAGIC:
             raise ValueError("not a signalizer-tpu archive")
+        fmt = doc.get("format", 0)
+        if not isinstance(fmt, int) or fmt > FORMAT_VERSION:
+            # a future encoding must refuse loudly, not mis-decode into
+            # wrong values (the module's whole purpose is version-gated
+            # deserialization; review finding)
+            raise ValueError(
+                f"archive format {fmt!r} is newer than this reader "
+                f"(supports <= {FORMAT_VERSION})"
+            )
         return cls._from_tree(doc["root"])
 
     def set_version_recursive(self, version: int) -> None:

@@ -250,6 +250,21 @@ def _pack_rows(frames: jax.Array, mode: OscChannels) -> jax.Array:
     raise ValueError(mode)
 
 
+def make_pair_key_colours(constant, pairs: int):
+    """Hue-rotated key-colour table for multi-pair draws, or None for a
+    single pair (ref: CHANGELOG 0.4.0 / ColourRotation). The one canonical
+    builder — the sharded step (parallel/mesh.py) and the single-device
+    processor must agree on the rotation rule (review finding: a private
+    duplicate in mesh.py could drift)."""
+    if pairs <= 1:
+        return None
+    from signalizer_tpu.core.constant import host_view
+    from signalizer_tpu.utils.colour import pair_key_table
+
+    kc = host_view(constant, "key_colours")
+    return jnp.asarray(pair_key_table(kc[0], kc[1], pairs))
+
+
 class OscilloscopeProcessor:
     """Stateful oscilloscope engine over batched channel pairs.
 
@@ -297,15 +312,7 @@ class OscilloscopeProcessor:
         self._state = self._init_state()
 
     def _make_pair_keys(self):
-        # pairs beyond the first draw with hue-rotated key colours
-        # (ref: CHANGELOG 0.4.0 / ColourRotation)
-        if self.pairs <= 1:
-            return None
-        from signalizer_tpu.core.constant import host_view
-        from signalizer_tpu.utils.colour import pair_key_table
-
-        kc = host_view(self.constant, "key_colours")
-        return jnp.asarray(pair_key_table(kc[0], kc[1], self.pairs))
+        return make_pair_key_colours(self.constant, self.pairs)
 
     # legacy attribute views (round-1 public surface)
     @property

@@ -59,13 +59,18 @@ def vs_step_impl(
     user_gain: jax.Array,
     peak_coeff: jax.Array,
     rotation: jax.Array = 0.0,
+    new_samples: jax.Array = None,
     *,
     mode: OperationalMode,
     autogain: AutoGain,
     scale_to_fill: bool,
 ):
+    # new_samples: trailing-samples meter mask for overlapping-window
+    # callers (see kernels/vectorscope.update_meters); the vertex/display
+    # path always renders the full window
     new_state = update_meters(
-        state, frames, envelope_pole=envelope_pole, stereo_pole=stereo_pole
+        state, frames, envelope_pole=envelope_pole, stereo_pole=stereo_pole,
+        new_samples=new_samples,
     )
     if autogain == AutoGain.RMS:
         gain = rms_autogain(new_state) * user_gain
@@ -135,7 +140,12 @@ class VectorscopeProcessor:
         self._state = init_meter_state((self.pairs,))
         self._peak_env = jnp.zeros((self.pairs, 2), jnp.float32)
 
-    def process(self, frames) -> VectorscopeFrame:
+    def process(self, frames, new_samples=None) -> VectorscopeFrame:
+        """``new_samples``: when re-reading an overlapping history window
+        per tick, the count of samples that are NEW since the last call —
+        the meter filters consume each sample exactly once (the
+        reference's audio-callback cadence, Vectorscope.cpp:319-342);
+        None keeps the whole-window semantics for non-overlapping feeds."""
         if not isinstance(frames, jax.Array):
             frames = jnp.asarray(frames, jnp.float32)
         w = frames.shape[-1]
@@ -157,11 +167,14 @@ class VectorscopeProcessor:
                 jnp.asarray(self.rotation, jnp.float32),
             )
             self._scalar_cache[key] = scalars
+        if new_samples is not None:
+            new_samples = jnp.float32(min(float(new_samples), float(w)))
         frame, self._state, self._peak_env = _vs_step(
             self._state,
             self._peak_env,
             frames,
             *scalars,
+            new_samples,
             mode=self.mode,
             autogain=self.autogain,
             scale_to_fill=self.scale_to_fill,

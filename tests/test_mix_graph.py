@@ -317,7 +317,7 @@ def test_sharded_spectrum_step_matches_single_device():
     step = sharded_spectrum_step(constant, mesh)
     state = init_sharded_state(constant, pairs, mesh)
     frames = shard_batch(jnp.asarray(frames_host), mesh)
-    results, new_state, peak = step(state, frames)
+    results, new_state, peak = step(state, frames, jnp.ones((t,), bool))
     jax.block_until_ready(results)
     # must equal the single-device result bit-for-bit (pure data parallel)
     ref_state = init_line_graph_state(constant, (pairs,))

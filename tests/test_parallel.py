@@ -133,8 +133,9 @@ def test_sharded_vectorscope_matches_single_device():
     ug = jnp.asarray(1.0, jnp.float32)
     pc = ep ** (256 / 60.0)
 
-    f1, state, peak_env, level = step(state, peak_env, frames, ep, sp, ug, pc)
-    f2, state2, peak_env2, _ = step(state, peak_env, frames, ep, sp, ug, pc)
+    ns = jnp.float32(frames_host.shape[-1])  # whole window is new audio
+    f1, state, peak_env, level = step(state, peak_env, frames, ep, sp, ug, pc, ns)
+    f2, state2, peak_env2, _ = step(state, peak_env, frames, ep, sp, ug, pc, ns)
 
     assert len(f1.vertices.sharding.device_set) == 8
     assert state2.envelope.sharding == state.envelope.sharding
@@ -176,7 +177,7 @@ def test_sharded_spectrogram_matches_single_device():
     frames = shard_batch(jnp.asarray(frames_host), mesh)
     colours = shard_batch(jnp.asarray(colours_host), mesh)
 
-    cols, state2 = step(state, frames, colours, ratios)
+    cols, state2 = step(state, frames, colours, ratios, jnp.ones((t,), bool))
     assert state2.magnitude.sharding == state.magnitude.sharding
     got = np.asarray(cols)
     assert got.shape == ref_cols.shape == (t, 64, 4)
@@ -226,7 +227,9 @@ def test_sharded_fused_pipeline_matches_single_device():
     vstate = shard_batch(init_meter_state((PAIRS,)), mesh)
     frames = shard_batch(fj, mesh)
 
-    results, wave, mins, maxs, corr, state2, vstate2, peak = step(state, vstate, frames)
+    results, wave, mins, maxs, corr, state2, vstate2, peak = step(
+        state, vstate, frames, jnp.ones((frames.shape[1],), bool)
+    )
     assert len(results.sharding.device_set) == 8
     assert state2.magnitude.sharding == state.magnitude.sharding
     assert vstate2.envelope.sharding == vstate.envelope.sharding
@@ -391,10 +394,13 @@ def test_sharded_pipeline_every_view(view):
             jnp.zeros((pairs, 2, 2, constant.window_size), jnp.float32), mesh
         )
         if view == "spectrum":
-            lowered = pipe._step.lower(pipe._state, frames_dev)
+            lowered = pipe._step.lower(
+                pipe._state, frames_dev, jnp.ones((2,), bool)
+            )
         else:
             lowered = pipe._step.lower(
-                pipe._state, frames_dev, pipe._colours, pipe._ratios
+                pipe._state, frames_dev, pipe._colours, pipe._ratios,
+                jnp.ones((2,), bool),
             )
     elif view == "oscilloscope":
         hist_dev = shard_batch(jnp.zeros((pairs, 2, 1024), jnp.float32), mesh)
@@ -404,7 +410,10 @@ def test_sharded_pipeline_every_view(view):
     else:
         hist_dev = shard_batch(jnp.zeros((pairs, 2, 1024), jnp.float32), mesh)
         ep, sp, ug, pc = pipe._vs_scalars
-        lowered = pipe._step.lower(pipe._state, pipe._peak_env, hist_dev, ep, sp, ug, pc)
+        lowered = pipe._step.lower(
+            pipe._state, pipe._peak_env, hist_dev, ep, sp, ug, pc,
+            jnp.float32(64.0),
+        )
     counts = _collective_counts(lowered.compile().as_text())
     assert counts["all-gather"] == 0, counts
     assert counts["collective-permute"] == 0, counts
@@ -582,3 +591,121 @@ def test_sharded_resonator_step_matches_single_device():
     assert counts["collective-permute"] == 0, counts
     assert counts["all-to-all"] == 0, counts
     assert counts["all-reduce"] >= 1, counts
+
+
+def test_framed_padding_masks_filter_state():
+    """Review regression: zero frames padded onto a short batch under
+    backpressure must not advance the peak-decay state — the sharded step's
+    valid mask must make (real frames + padding) leave the same state as
+    the real frames alone."""
+    from signalizer_tpu.kernels.spectrum import init_line_graph_state
+    from signalizer_tpu.parallel.mesh import sharded_spectrum_step
+
+    mesh = _mesh()
+    constant = make_spectrum_constant(
+        axis_points=64, window_size=128,
+        configuration=SpectrumChannels.SEPARATE,
+        bin_interpolation=BinInterpolation.LINEAR,
+    )
+    step = sharded_spectrum_step(constant, mesh)
+    rng = np.random.default_rng(3)
+    t = 4
+    real = rng.standard_normal((PAIRS, 2, 2, 128)).astype(np.float32)
+    padded = np.zeros((PAIRS, t, 2, 128), np.float32)
+    padded[:, :2] = real
+    valid = jnp.asarray(np.arange(t) < 2)
+
+    s0 = shard_batch(init_line_graph_state(constant, (PAIRS,)), mesh)
+    _, s_pad, _ = step(s0, shard_batch(jnp.asarray(padded), mesh), valid)
+
+    s0b = shard_batch(init_line_graph_state(constant, (PAIRS,)), mesh)
+    _, s_real, _ = step(
+        s0b,
+        shard_batch(jnp.asarray(np.pad(real, ((0, 0), (0, 2), (0, 0), (0, 0)))), mesh),
+        valid,
+    )
+    np.testing.assert_array_equal(np.asarray(s_pad.magnitude), np.asarray(s_real.magnitude))
+
+    # and WITHOUT the mask the padding visibly decays the state (the bug)
+    s0c = shard_batch(init_line_graph_state(constant, (PAIRS,)), mesh)
+    _, s_nomask, _ = step(
+        s0c, shard_batch(jnp.asarray(padded), mesh), jnp.ones((t,), bool)
+    )
+    assert not np.array_equal(np.asarray(s_nomask.magnitude), np.asarray(s_pad.magnitude))
+
+
+def test_vectorscope_new_samples_meter_mask():
+    """Review regression: a rolling-history caller re-reads overlapping
+    windows; the meters must integrate each sample exactly once. The masked
+    block update over [old | new] with new_samples=n must equal the
+    unmasked update over the new suffix alone."""
+    from signalizer_tpu.kernels.vectorscope import init_meter_state, update_meters
+
+    rng = np.random.default_rng(4)
+    old = rng.standard_normal((3, 2, 96)).astype(np.float32)
+    new = rng.standard_normal((3, 2, 32)).astype(np.float32)
+    window = jnp.asarray(np.concatenate([old, new], axis=-1))
+    st = init_meter_state((3,))
+    # warm the state so decays matter
+    st = update_meters(st, jnp.asarray(old), envelope_pole=0.99, stereo_pole=0.97)
+
+    masked = update_meters(
+        st, window, envelope_pole=0.99, stereo_pole=0.97,
+        new_samples=jnp.float32(32.0),
+    )
+    suffix = update_meters(
+        st, jnp.asarray(new), envelope_pole=0.99, stereo_pole=0.97
+    )
+    for a, b in zip(masked, suffix):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    # new_samples=0 is a hold (pure redraw tick)
+    held = update_meters(
+        st, window, envelope_pole=0.99, stereo_pole=0.97,
+        new_samples=jnp.float32(0.0),
+    )
+    for a, b in zip(held, st):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_pipeline_oscilloscope_transport_position():
+    """Review regression: TriggerMode.WINDOW scrolls the display against
+    the playhead; the pipeline must expose transport_position (it was
+    hardcoded to 0.0, pinning the window to the history end)."""
+    from signalizer_tpu.core.config import OscChannels
+    from signalizer_tpu.parallel.pipeline import ShardedAnalysisPipeline
+    from signalizer_tpu.views.oscilloscope import TriggerMode, make_oscilloscope_constant
+
+    mesh = _mesh()
+    oc = make_oscilloscope_constant(
+        channel_mode=OscChannels.SEPARATE,
+        trigger_mode=TriggerMode.WINDOW,
+        pixels=64,
+        lookahead=256,
+    )
+    rng = np.random.default_rng(5)
+    block = rng.standard_normal((PAIRS * 2, 2048)).astype(np.float32)
+
+    waves = {}
+    for transport in (0.0, 300.0):
+        pipe = ShardedAnalysisPipeline(
+            pairs=PAIRS, mesh=mesh, view="oscilloscope",
+            osc_constant=oc, window_samples=512.0, history_samples=2048,
+        )
+        pipe.push(block)
+        out = pipe.tick(transport_position=transport)
+        waves[transport] = np.asarray(out.frame.waveform)
+    assert not np.array_equal(waves[0.0], waves[300.0])
+
+
+def test_mix_step_enforces_max_channels():
+    """Review regression: the documented out_ch <= max_channels contract
+    is enforced instead of being a dead parameter."""
+    from signalizer_tpu.parallel.mesh import sharded_mix_step
+
+    mesh = _mesh()
+    step = sharded_mix_step(mesh, max_channels=4)
+    src = jnp.zeros((8, 2, 64), jnp.float32)
+    routing = jnp.zeros((8, 2, 8), jnp.float32)  # out_ch 8 > max 4
+    with pytest.raises(ValueError, match="max_channels"):
+        step(shard_batch(src, mesh), shard_batch(routing, mesh))

@@ -558,3 +558,43 @@ def test_window_size_normalize_degenerate_capacity():
     assert tf.normalize(50.0) == 0.0
     tf.set_stream_properties(48_000.0, 64)
     assert 0.0 <= tf.normalize(10.0) <= 1.0
+
+
+def test_archive_rejects_newer_format():
+    """Review regression: from_bytes must refuse a future format version
+    instead of silently mis-decoding it with format-1 rules."""
+    import json
+
+    import pytest
+
+    from signalizer_tpu.state.serialize import Archive
+
+    ar = Archive()
+    ar["x"] = 1
+    doc = json.loads(ar.to_bytes())
+    doc["format"] = 99
+    with pytest.raises(ValueError, match="format"):
+        Archive.from_bytes(json.dumps(doc).encode())
+    # current format still round-trips
+    assert Archive.from_bytes(ar.to_bytes())["x"] == 1
+
+
+def test_preset_try_load_tolerates_corrupt_archives(tmp_path):
+    """Review regression: try_load returned None only for
+    FileNotFoundError/ValueError, but corrupt archives raise
+    KeyError/AttributeError/TypeError out of from_bytes — a malformed
+    default preset crashed engine construction."""
+    from signalizer_tpu.state.presets import PresetManager
+
+    pm = PresetManager(tmp_path)
+    cases = {
+        "keyerror": b'{"magic": "signalizer-tpu/archive", "format": 1}',  # no root
+        "attrerror": b'{"magic": "signalizer-tpu/archive", "format": 1, "root": []}',
+        "typeerror": b'{"magic": "signalizer-tpu/archive", "format": 1, "root": '
+        b'{"values": {"v": {"__ndarray__": "x", "dtype": 42, "shape": 1}}, '
+        b'"children": {}, "version": 0}}',
+        "junk": b"not json at all",
+    }
+    for name, payload in cases.items():
+        (tmp_path / f"{name}.sgz").write_bytes(payload)
+        assert pm.try_load(name) is None, name
