@@ -275,6 +275,61 @@ def remap_frequencies(
     return np.where(arg < 0.5, lower, upper)
 
 
+@dataclasses.dataclass(frozen=True)
+class HostMirror:
+    """Hashable host-side mirror of design-time constant fields.
+
+    Rides a Constant as STATIC aux data (the resonator ``_HostPoles``
+    pattern) so it survives every pytree flatten/unflatten —
+    ``dataclasses.replace``, ``tree_map``, jit reconstruction, checkpoint
+    restore — unlike a stapled-on ``_host_data`` attribute, which silently
+    vanishes and then forces :func:`host_view` into the device readback it
+    exists to avoid (a single readback permanently degrades remote-TPU
+    transports to synchronous dispatch; see CLAUDE.md). Bytes-backed so
+    static-field hashing/equality for the jit cache key is well defined;
+    the hash is computed once and cached (the mirror can hold ~100 KB of
+    plan tables — hashing that per dispatch would tax sub-ms ticks).
+
+    The mirror holds DESIGN-TIME values: if a caller retunes a mirrored
+    array leaf via ``dataclasses.replace`` without rebuilding the
+    constant, the mirror keeps the design-time copy (stale by intent —
+    rebuild via the ``make_*_constant`` factory to refresh it).
+    """
+
+    names: tuple
+    blobs: tuple
+    shapes: tuple
+    dtypes: tuple
+
+    @classmethod
+    def of(cls, **arrays) -> "HostMirror":
+        names, blobs, shapes, dtypes = [], [], [], []
+        for name in sorted(arrays):
+            arr = np.ascontiguousarray(np.asarray(arrays[name]))
+            names.append(name)
+            blobs.append(arr.tobytes())
+            shapes.append(arr.shape)
+            dtypes.append(str(arr.dtype))
+        return cls(tuple(names), tuple(blobs), tuple(shapes), tuple(dtypes))
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.names
+
+    def get(self, name: str):
+        i = self.names.index(name)
+        arr = np.frombuffer(self.blobs[i], self.dtypes[i]).reshape(self.shapes[i])
+        # writable copy; scalars come back as python scalars (the legacy
+        # dict mirror stored inv_size/low_dbs/high_dbs as floats)
+        return arr[()] if arr.ndim == 0 else np.array(arr)
+
+    def __hash__(self):
+        h = self.__dict__.get("_hash")
+        if h is None:
+            h = hash((self.names, self.blobs, self.shapes, self.dtypes))
+            object.__setattr__(self, "_hash", h)
+        return h
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SpectrumConstant:
@@ -348,6 +403,12 @@ class SpectrumConstant:
     # 3.1e-3 relative (~0.03 dB): visible-in-principle, opt-in only.
     fft_precision: str = dataclasses.field(
         default="high", metadata=dict(static=True)
+    )
+    # host-side mirror of the design-time plan (STATIC aux data so it
+    # survives pytree round-trips — see :class:`HostMirror`); read via
+    # :func:`host_view`, never by device readback
+    host_data: Optional[HostMirror] = dataclasses.field(
+        default=None, metadata=dict(static=True)
     )
 
     @property
@@ -504,22 +565,21 @@ def make_spectrum_constant(
         fft_backend=fft_backend,
         fft_precision=fft_precision,
         remap_mode=remap_mode,
-    )
-    # host-side mirror of the plan (NOT a pytree field): consumers that
-    # need these on the host (render feed, resonator builder, pallas plan)
-    # must NOT read the device leaves back — on the remote-TPU tunnel a
-    # single device->host readback degrades the session to synchronous
-    # per-call dispatch (measured 100x throughput loss). Access via
-    # :func:`host_view`.
-    object.__setattr__(
-        constant,
-        "_host_data",
-        dict(
+        # host-side mirror of the plan: consumers that need these on the
+        # host (render feed, resonator builder, pallas plan) must NOT
+        # read the device leaves back — on the remote-TPU tunnel a
+        # single device->host readback degrades the session to
+        # synchronous per-call dispatch (measured 100x throughput loss).
+        # Access via :func:`host_view`. Static aux data (HostMirror) so
+        # it survives dataclasses.replace / tree_map / jit round-trips.
+        host_data=HostMirror.of(
             mapped_frequencies=np.asarray(mapped_frequencies, np.float64),
             window_kernel=np.asarray(kernel, np.float64),
-            inv_size=float(inv_size),
-            low_dbs=float(low_dbs),
-            high_dbs=float(high_dbs),
+            # stored 0-d so host_view returns python scalars (legacy
+            # dict-mirror behaviour: these were float(...) entries)
+            inv_size=np.float64(np.ravel(inv_size)[0]),
+            low_dbs=np.float64(np.ravel(low_dbs)[0]),
+            high_dbs=np.float64(np.ravel(high_dbs)[0]),
             slope_map=np.asarray(slope_map, np.float64),
             interp_indices=plan.interp_indices,
             interp_weights=plan.interp_weights,
@@ -532,13 +592,18 @@ def make_spectrum_constant(
     return constant
 
 
-def host_view(constant: SpectrumConstant, name: str):
+def host_view(constant, name: str):
     """Host copy of a constant field without a device readback.
 
-    Falls back to ``jax.device_get`` (with a one-time warning cost on
-    remote devices) for constants that crossed a jit boundary and lost
-    their host mirror.
+    Reads the constant's :class:`HostMirror` static field (survives every
+    pytree round-trip), then any legacy stapled ``_host_data`` dict, and
+    only then falls back to ``jax.device_get`` — which on a remote-TPU
+    transport permanently degrades the session to synchronous dispatch
+    (CLAUDE.md), so mirrored constants should never reach it.
     """
+    mirror = getattr(constant, "host_data", None)
+    if mirror is not None and name in mirror:
+        return mirror.get(name)
     data = getattr(constant, "_host_data", None)
     if data is not None and name in data:
         return data[name]

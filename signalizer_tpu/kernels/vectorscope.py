@@ -40,6 +40,11 @@ class VectorscopeMeterState(NamedTuple):
     envelope: jax.Array  # [..., 2] smoothed L^2 / R^2
     balance: jax.Array  # [..., 2(speed), 2(ch)] smoothed L^2 / R^2
     phase: jax.Array  # [..., 2(speed)] smoothed correlation
+    # [...] last NORMAL raw autogain: the reference only overwrites
+    # envelopeGain when the fresh 1/max(sqrt(env)) isnormal()
+    # (Vectorscope.cpp:362-366, VectorscopeRendering.cpp:884-888), so on
+    # silence/reset the previous gain persists instead of popping to 1
+    gain: jax.Array
 
 
 def init_meter_state(batch_shape: Tuple[int, ...] = ()) -> VectorscopeMeterState:
@@ -47,6 +52,7 @@ def init_meter_state(batch_shape: Tuple[int, ...] = ()) -> VectorscopeMeterState
         envelope=jnp.zeros(batch_shape + (2,), jnp.float32),
         balance=jnp.zeros(batch_shape + (2, 2), jnp.float32),
         phase=jnp.zeros(batch_shape + (2,), jnp.float32),
+        gain=jnp.ones(batch_shape, jnp.float32),
     )
 
 
@@ -180,7 +186,9 @@ def update_meters(
         state.balance, sq[..., None, :, :], poles2[..., :, None], new_samples
     )
     phase = _block_onepole(state.phase, corr[..., None, :], poles2, new_samples)
-    return VectorscopeMeterState(envelope=env, balance=balance, phase=phase)
+    return VectorscopeMeterState(
+        envelope=env, balance=balance, phase=phase, gain=state.gain
+    )
 
 
 def meter_readout(state: VectorscopeMeterState):
@@ -211,9 +219,14 @@ def meter_readout(state: VectorscopeMeterState):
 # ---------------------------------------------------------------------------
 
 
-def rms_autogain(state: VectorscopeMeterState, fallback=1.0) -> jax.Array:
+def rms_autogain(state: VectorscopeMeterState, fallback=None) -> jax.Array:
     """RMS auto-gain 1 / max(sqrt(envL), sqrt(envR))
-    (ref: Vectorscope.cpp:347-366), falling back when degenerate."""
+    (ref: Vectorscope.cpp:347-366). When the fresh value is degenerate
+    (zero/inf envelope) the reference's isnormal() guard KEEPS the
+    previous envelopeGain — the default fallback is the state's carried
+    last-normal gain; pass ``fallback`` to override."""
+    if fallback is None:
+        fallback = state.gain
     g = 1.0 / jnp.maximum(
         jnp.sqrt(state.envelope[..., 0]), jnp.sqrt(state.envelope[..., 1])
     )
@@ -221,17 +234,19 @@ def rms_autogain(state: VectorscopeMeterState, fallback=1.0) -> jax.Array:
 
 
 def peak_autogain_update(
-    envelope: jax.Array, frames: jax.Array, decay_coeff
+    envelope: jax.Array, frames: jax.Array, decay_coeff, fallback=1.0
 ) -> Tuple[jax.Array, jax.Array]:
     """Peak-decay auto-gain over the visible buffer
     (ref: runPeakFilter, VectorscopeRendering.cpp:825-889):
     env[ch] = max(env * coeff, peak[ch]^2); gain = 1/max(sqrt(env)).
 
-    envelope [..., 2]; frames [..., 2, W]. Returns (new_envelope, gain)."""
+    envelope [..., 2]; frames [..., 2, W]. Returns (new_envelope, gain).
+    ``fallback`` replaces a degenerate gain — pass the previous gain for
+    the reference's isnormal() hold (VectorscopeRendering.cpp:884-888)."""
     peaks = jnp.max(jnp.abs(frames[..., :2, :]), axis=-1)  # [..., 2]
     new_env = jnp.maximum(envelope * decay_coeff, peaks**2)
     g = 1.0 / jnp.sqrt(jnp.maximum(new_env[..., 0], new_env[..., 1]))
-    gain = jnp.where(jnp.isfinite(g) & (g > 0), g, 1.0)
+    gain = jnp.where(jnp.isfinite(g) & (g > 0), g, fallback)
     return new_env, gain
 
 

@@ -112,7 +112,9 @@ def _coloured_oscilloscope(e) -> None:
     """Spectral-energy colouring on."""
     oc = e.oscilloscope
     _norm_choice(oc.channel_colouring, 1, 2)
-    oc.frequency_colouring_blend.set_normalized(0.0)
+    # full energy-colour weight, like the reference corpus role
+    # (coloured.oscilloscope.sgn carries FColBlend 1.0)
+    oc.frequency_colouring_blend.set_normalized(1.0)
     oc.colour_smoothing.set_normalized(0.5)
 
 

@@ -486,7 +486,13 @@ class OscilloscopeContent(SerializableObject):
             ),
             key_colour=tuple(self.primary_colour.get_rgb()),
             secondary_colour=tuple(self.secondary_colour.get_rgb()),
-            colour_blend=1.0 - self.frequency_colouring_blend.get_transformed(),
+            # the kernel's blend IS the energy-colour weight; the reference's
+            # internal variable is 1 - knob and lerps TOWARD the key colour
+            # by that amount (OscilloscopeDSP.inl:503, :493), so knob ==
+            # energy weight — no inversion here. Polarity pinned by the
+            # shipped corpus: coloured.oscilloscope.sgn carries FColBlend
+            # 1.0, init 0.8 (full/strong frequency colouring).
+            colour_blend=self.frequency_colouring_blend.get_transformed(),
             manual_gain=10.0 ** (self.input_gain.get_transformed() / 20.0),
             # the knob is 1-based like the reference (trigger1Base - 1,
             # OscilloscopeDSP.inl:496-501); kernels index 0-based

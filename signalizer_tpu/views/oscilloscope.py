@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from signalizer_tpu.core.config import OscChannels
+from signalizer_tpu.core.constant import HostMirror
 from signalizer_tpu.params.transformatters import TimeMode
 from signalizer_tpu.kernels.filters import (
     CrossoverState,
@@ -53,6 +54,7 @@ from signalizer_tpu.kernels.oscilloscope import (
     zero_crossing_triggers,
     linear_resample,
     median_record_filter,
+    nearest_resample,
     peak_hold_triggers,
     sinc_resample,
     spectral_colour_track,
@@ -127,6 +129,14 @@ class OscilloscopeConstant:
     manual_gain: jax.Array  # scalar f32
     custom_trigger_frequency: jax.Array  # scalar f32 Hz
 
+    # host mirror as STATIC aux data (core.constant.HostMirror): survives
+    # dataclasses.replace / tree_map / jit round-trips, unlike a stapled
+    # attribute, so make_pair_key_colours never falls back to a device
+    # readback (which permanently degrades remote-TPU transports)
+    host_data: Optional[HostMirror] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+
     @property
     def rows(self) -> int:
         return 2 if self.channel_mode in (OscChannels.SEPARATE, OscChannels.MIDSIDE) else 1
@@ -188,13 +198,11 @@ def make_oscilloscope_constant(
         colour_blend=jnp.asarray(colour_blend, jnp.float32),
         manual_gain=jnp.asarray(manual_gain, jnp.float32),
         custom_trigger_frequency=jnp.asarray(custom_trigger_frequency, jnp.float32),
-    )
-    # host mirror (not a pytree field) — see core.constant.host_view: never
-    # read device leaves back on the remote-TPU tunnel
-    object.__setattr__(
-        constant,
-        "_host_data",
-        dict(key_colours=np.stack([key[:3], second[:3]]).astype(np.float64)),
+        # host mirror — see core.constant.host_view: never read device
+        # leaves back on the remote-TPU tunnel
+        host_data=HostMirror.of(
+            key_colours=np.stack([key[:3], second[:3]]).astype(np.float64)
+        ),
     )
     return constant
 
@@ -417,7 +425,11 @@ class OscilloscopeProcessor:
             # to log2 variants), never above the conservative bound
             step_bound = max(1.0, (min(float(window), h) - 1.0) / px)
             bucket = 1 << (int(np.ceil(step_bound)) - 1).bit_length()
-            env_os = min(bucket, max(1, -(-h // self.constant.pixels)))
+            # cap at the conservative bound ceil((h-1)/(px)) — NOT
+            # ceil(h/pixels), which is fractionally below the true
+            # fence-post step (h-1)/(pixels-1) when pixels divides h and
+            # would skip source samples at window == h
+            env_os = min(bucket, max(1, -(-(h - 1) // px)))
         if self.constant.trigger_mode == TriggerMode.ENVELOPE_HOLD:
             # pow2-bucketed static trigger scan over the new tail only —
             # O(new_samples) per tick instead of O(lookahead), at most
@@ -561,10 +573,10 @@ def osc_step_impl(
     ``env_os`` (static): per-pixel oversampling for the min-max envelope.
     The caller must guarantee ``env_os >= (window - 1) / (pixels - 1)``
     (the per-pixel sample step) or the envelope under-samples; None =
-    the conservative ``ceil(h / pixels)`` bound, which is exact for any
-    window but oversamples whenever the displayed window is shorter
-    than history (``process()`` passes the pow2 bucket of the actual
-    step instead)."""
+    the conservative ``ceil((h - 1) / (pixels - 1))`` bound, which is
+    exact for any window but oversamples whenever the displayed window
+    is shorter than history (``process()`` passes the pow2 bucket of
+    the actual step instead)."""
     pairs, _, h = history.shape
     pixels = constant.pixels
     sample_rate = constant.sample_rate
@@ -707,8 +719,6 @@ def osc_step_impl(
     elif constant.interpolation == SubSampleInterpolation.LINEAR:
         wave = linear_resample(rows, start_r, step_r, pixels)
     else:  # NONE / RECTANGULAR: nearest sample (banded access pattern)
-        from signalizer_tpu.kernels.oscilloscope import nearest_resample
-
         wave = nearest_resample(rows, start_r, step_r, pixels)
 
     # min-max envelope over the DISPLAYED window [start, start+window)
@@ -720,11 +730,12 @@ def osc_step_impl(
     # hits every source sample in the span, so with OS >= h/pixels >=
     # max step this is the exact min/max, and it rides the banded/Pallas
     # resample path instead of a scatter.
-    from signalizer_tpu.kernels.oscilloscope import nearest_resample as _nr
-
-    # static per-pixel oversampling >= the actual step (see env_os doc)
-    os_ = env_os if env_os is not None else max(1, -(-h // pixels))
-    dense = _nr(rows, start_r, step_r / os_, pixels * os_)
+    # static per-pixel oversampling >= the actual step (see env_os doc);
+    # the fence-post bound ceil((h-1)/(pixels-1)) dominates the max
+    # possible step (window-1)/(pixels-1) for every window <= h (plain
+    # ceil(h/pixels) does NOT when pixels divides h: 4095/255 > 4096/256)
+    os_ = env_os if env_os is not None else max(1, -(-(h - 1) // max(pixels - 1, 1)))
+    dense = nearest_resample(rows, start_r, step_r / os_, pixels * os_)
     dense = dense.reshape(dense.shape[:-1] + (pixels, os_))
     env_min = jnp.min(dense, axis=-1)
     env_max = jnp.max(dense, axis=-1)
@@ -758,8 +769,6 @@ def osc_step_impl(
         # at ~1/cycle (the CLAUDE.md landmine; several ms at display
         # widths — round-3 review). Fold the rgb channels into the row
         # axis so the resampler sees [pairs, rows*3, H].
-        from signalizer_tpu.kernels.oscilloscope import nearest_resample
-
         nrows = colours.shape[1]
         cflat = jnp.moveaxis(colours, -1, 2).reshape(pairs, nrows * 3, h)
         pix = nearest_resample(cflat, start_r, step_r, pixels)

@@ -72,11 +72,19 @@ def vs_step_impl(
         state, frames, envelope_pole=envelope_pole, stereo_pole=stereo_pole,
         new_samples=new_samples,
     )
+    # degenerate autogain readings HOLD the carried last-normal gain
+    # instead of popping to unity (the reference's isnormal() guard,
+    # Vectorscope.cpp:362-366 / VectorscopeRendering.cpp:884-888)
     if autogain == AutoGain.RMS:
-        gain = rms_autogain(new_state) * user_gain
+        g = rms_autogain(new_state, fallback=state.gain)
+        new_state = new_state._replace(gain=g)
+        gain = g * user_gain
         new_peak_env = peak_env
     elif autogain == AutoGain.PEAK_DECAY:
-        new_peak_env, g = peak_autogain_update(peak_env, frames, peak_coeff)
+        new_peak_env, g = peak_autogain_update(
+            peak_env, frames, peak_coeff, fallback=state.gain
+        )
+        new_state = new_state._replace(gain=g)
         gain = g * user_gain
     else:
         gain = jnp.broadcast_to(user_gain, frames.shape[:-2])
@@ -168,7 +176,14 @@ class VectorscopeProcessor:
             )
             self._scalar_cache[key] = scalars
         if new_samples is not None:
-            new_samples = jnp.float32(min(float(new_samples), float(w)))
+            # cache the device scalar: a steady hop re-sends the same
+            # value every render tick, one avoidable upload per tick on
+            # tunneled devices (the oscilloscope's _dev_scalar pattern)
+            ns = min(float(new_samples), float(w))
+            new_samples = self._scalar_cache.get(("ns", ns))
+            if new_samples is None:
+                new_samples = jnp.float32(ns)
+                self._scalar_cache[("ns", ns)] = new_samples
         frame, self._state, self._peak_env = _vs_step(
             self._state,
             self._peak_env,

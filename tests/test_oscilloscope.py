@@ -759,6 +759,44 @@ def test_envelope_oversampling_hint_matches_conservative_bound():
             assert np.asarray(fr.envelope_min)[0, 0].min() == shown.min()
 
 
+def test_envelope_fencepost_bound_drops_no_sample():
+    """The conservative envelope bound must be ceil((h-1)/(pixels-1)),
+    not ceil(h/pixels): when pixels divides h and window == h the true
+    fence-post step (h-1)/(pixels-1) = 16.0588 exceeds ceil(h/pixels)
+    = 16, and nearest sampling at that spacing provably skips source
+    samples (136, 410, 683, ... at this geometry; enumerated against the
+    kernel's actual rounding) — a single-sample transient there vanished
+    from the envelope (review finding)."""
+    from signalizer_tpu.views.oscilloscope import osc_step_impl
+
+    h, pixels, window = 4096, 256, 4096.0
+    # spike at one of the indices the old ceil(h/pixels) bound skipped
+    for spike_at in (136, 410, 683):
+        hist = np.zeros((1, 2, h), np.float32)
+        hist[0, :, spike_at] = 3.0
+        proc = OscilloscopeProcessor(
+            pairs=1,
+            trigger_mode=TriggerMode.NONE,
+            window_samples=window,
+            pixels=pixels,
+            lookahead=2048,
+        )
+        frame = proc.process(hist)  # hinted path
+        ref, _ = osc_step_impl(  # conservative default (env_os=None)
+            proc.constant,
+            proc._state,
+            jnp.asarray(hist),
+            jnp.float32(window),
+            jnp.float32(0.0),
+            jnp.float32(h),
+            None,
+        )
+        for fr in (frame, ref):
+            assert np.asarray(fr.envelope_max)[0, 0].max() == 3.0, (
+                f"spike at {spike_at} dropped from the min-max envelope"
+            )
+
+
 def test_spectral_phase_lock_with_window_beyond_lookahead():
     """The displayed window must not depend on the lookahead size once
     window + cycles exceeds it (round-3 review: the reference's
@@ -783,3 +821,106 @@ def test_spectral_phase_lock_with_window_beyond_lookahead():
         frame = proc.process(_history(f_hz=f_hz, phase=0.9))
         windows.append(np.asarray(frame.waveform)[0, 0])
     np.testing.assert_allclose(windows[0][16:-16], windows[1][16:-16], atol=0.01)
+
+
+def test_fcolourblend_polarity_matches_reference_corpus():
+    """The FColourBlend knob IS the energy-colour weight: the reference
+    lerps its energy colour TOWARD the key colour by (1 - knob)
+    (OscilloscopeDSP.inl:493,:503), and its shipped corpus pins the
+    polarity — coloured.oscilloscope.sgn (the spectral-colouring
+    showcase) carries FColBlend 1.0, init 0.8. A double inversion in
+    make_processor_kwargs made the knob work backwards (review
+    finding)."""
+    from pathlib import Path
+
+    from signalizer_tpu.views.content import OscilloscopeContent
+
+    oc = OscilloscopeContent()
+    oc.frequency_colouring_blend.set_normalized(1.0)
+    assert oc.make_processor_kwargs()["colour_blend"] == 1.0
+    oc.frequency_colouring_blend.set_normalized(0.0)
+    assert oc.make_processor_kwargs()["colour_blend"] == 0.0
+
+    corpus = Path("/root/reference/Make/Skeleton/presets")
+    if corpus.exists():
+        from signalizer_tpu.state.sgn_import import apply_preset, load_sgn
+
+        oc2 = OscilloscopeContent()
+        apply_preset(
+            load_sgn(corpus / "coloured.oscilloscope.sgn"), oscilloscope=oc2
+        )
+        kw = oc2.make_processor_kwargs()
+        assert kw["colour_enabled"] is True
+        assert kw["colour_blend"] == 1.0, (
+            "the reference's colouring showcase must come through fully "
+            "frequency-coloured"
+        )
+
+    # behavioural pin: blend 0 -> pure key colour; blend 1 -> pure
+    # (normalized) energy colour, independent of the key
+    rng = np.random.default_rng(3)
+    hist = rng.standard_normal((1, 2, 2048)).astype(np.float32)
+    outs = {}
+    for blend, key in ((0.0, (0.2, 0.7, 0.4)), (1.0, (0.2, 0.7, 0.4)),
+                       (1.0, (0.9, 0.1, 0.1))):
+        proc = OscilloscopeProcessor(
+            pairs=1, trigger_mode=TriggerMode.NONE, window_samples=1024.0,
+            pixels=64, lookahead=1024, colour_enabled=True,
+            colour_blend=blend, key_colour=key, secondary_colour=key,
+        )
+        outs[(blend, key)] = np.asarray(proc.process(hist).colours)
+    pure_key = outs[(0.0, (0.2, 0.7, 0.4))]
+    assert np.allclose(pure_key, np.asarray((0.2, 0.7, 0.4)), atol=1e-6), (
+        "blend 0 must show the static key colour"
+    )
+    # blend 1 ignores the key colour entirely
+    assert np.allclose(outs[(1.0, (0.2, 0.7, 0.4))], outs[(1.0, (0.9, 0.1, 0.1))])
+
+
+def test_host_mirrors_survive_pytree_round_trips(monkeypatch):
+    """Host mirrors ride the constants as STATIC aux data (HostMirror),
+    so dataclasses.replace / tree_map round-trips keep them and
+    host_view never falls back to a device readback — which would
+    permanently degrade a remote-TPU transport (review finding; the
+    resonator's _HostPoles pattern)."""
+    import dataclasses as dc
+
+    import jax
+
+    import signalizer_tpu.core.constant as cc
+    from signalizer_tpu.views.oscilloscope import (
+        make_oscilloscope_constant,
+        make_pair_key_colours,
+    )
+
+    def boom(x):  # noqa: ANN001
+        raise AssertionError("host_view fell back to a device readback")
+
+    monkeypatch.setattr(cc.jax, "device_get", boom)
+
+    osc = make_oscilloscope_constant(key_colour=(0.0, 1.0, 0.0))
+    for variant in (
+        osc,
+        dc.replace(osc, manual_gain=osc.manual_gain * 2.0),
+        jax.tree_util.tree_map(lambda x: x, osc),
+    ):
+        kt = np.asarray(make_pair_key_colours(variant, 2))
+        assert kt.shape == (2, 2, 3)
+
+    spec = cc.make_spectrum_constant(
+        axis_points=64, window_size=256, sample_rate=48_000.0
+    )
+    for variant in (
+        spec,
+        dc.replace(spec, clip_db=spec.clip_db),
+        jax.tree_util.tree_map(lambda x: x, spec),
+    ):
+        mf = cc.host_view(variant, "mapped_frequencies")
+        assert mf.shape == (64,)
+        assert isinstance(float(cc.host_view(variant, "inv_size")), float)
+    # identical constants agree on the static jit key
+    spec2 = cc.make_spectrum_constant(
+        axis_points=64, window_size=256, sample_rate=48_000.0
+    )
+    assert hash(spec.host_data) == hash(spec2.host_data)
+    assert spec.host_data == spec2.host_data

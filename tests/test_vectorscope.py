@@ -210,3 +210,63 @@ def test_processor_end_to_end(mode, autogain):
     assert np.all(np.isfinite(np.asarray(out.vertices)))
     out2 = proc.process(frames)  # state carries without error
     assert np.all(np.isfinite(np.asarray(out2.vertices)))
+
+
+def test_degenerate_autogain_holds_previous_gain():
+    """The reference only overwrites envelopeGain when the fresh
+    1/max(sqrt(env)) isnormal() (Vectorscope.cpp:362-366,
+    VectorscopeRendering.cpp:884-888): on a degenerate reading (zero
+    envelope — reset or deep silence) the PREVIOUS gain persists. The
+    old kernels snapped to 1.0 instead (review finding)."""
+    from signalizer_tpu.kernels.vectorscope import (
+        peak_autogain_update,
+        rms_autogain,
+    )
+    from signalizer_tpu.views.vectorscope import vs_step_impl
+
+    # kernel level: zero envelope + carried gain 5 -> 5, not 1
+    st = init_meter_state()._replace(gain=jnp.float32(5.0))
+    assert float(rms_autogain(st)) == 5.0
+    env = jnp.zeros((2,), jnp.float32)
+    zero_frames = jnp.zeros((2, 64), jnp.float32)
+    _, g = peak_autogain_update(env, zero_frames, jnp.float32(0.5), fallback=jnp.float32(5.0))
+    assert float(g) == 5.0
+
+    # step level: signal establishes a gain, then total silence with a
+    # zeroed envelope state must HOLD it across both autogain modes
+    for autogain in (AutoGain.RMS, AutoGain.PEAK_DECAY):
+        state = init_meter_state((1,))
+        peak_env = jnp.zeros((1, 2), jnp.float32)
+        loud = jnp.asarray(_frames(1, pairs=1, w=256) * 4.0)
+        frame, state, peak_env = vs_step_impl(
+            state, peak_env, loud,
+            jnp.float32(0.5), jnp.float32(0.5), jnp.float32(1.0),
+            jnp.float32(0.0), jnp.float32(0.0), None,
+            mode=OperationalMode.LISSAJOUS, autogain=autogain,
+            scale_to_fill=False,
+        )
+        established = float(np.asarray(frame.gain)[0])
+        assert np.isfinite(established) and established != 1.0
+        # force the degenerate reading the silence limit converges to
+        state = state._replace(envelope=jnp.zeros_like(state.envelope))
+        peak_env = jnp.zeros_like(peak_env)
+        silent = jnp.zeros((1, 2, 256), jnp.float32)
+        frame2, state, peak_env = vs_step_impl(
+            state, peak_env, silent,
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1.0),
+            jnp.float32(0.0), jnp.float32(0.0), None,
+            mode=OperationalMode.LISSAJOUS, autogain=autogain,
+            scale_to_fill=False,
+        )
+        assert float(np.asarray(frame2.gain)[0]) == established, (
+            f"{autogain}: degenerate reading popped the gain"
+        )
+        # and it keeps holding on the next silent step too
+        frame3, state, peak_env = vs_step_impl(
+            state, peak_env, silent,
+            jnp.float32(0.0), jnp.float32(0.0), jnp.float32(1.0),
+            jnp.float32(0.0), jnp.float32(0.0), None,
+            mode=OperationalMode.LISSAJOUS, autogain=autogain,
+            scale_to_fill=False,
+        )
+        assert float(np.asarray(frame3.gain)[0]) == established
