@@ -2,8 +2,11 @@
 
 Headline metric (driver BASELINE.json): stereo 4096-pt spectrum
 frames/sec/chip at 48 kHz (target >= 1000) and p50 frame latency
-(target < 1 ms). Prints exactly ONE JSON line with the headline plus the
-other configs' numbers as extra keys.
+(target < 1 ms). Prints one cumulative JSON line after EVERY config
+completes (each a superset of the previous), so the LAST stdout line is
+always the most complete parseable record even when the run is killed
+mid-way; a wall-clock budget (``SZ_BENCH_BUDGET_S``, default 900 s)
+skips + names remaining configs rather than overrunning the driver.
 
 Measurement notes for this rig:
 * the TPU is reached through a network tunnel with ~25 ms no-op RTT
@@ -37,10 +40,22 @@ import numpy as np
 # make the package importable regardless of the invoking cwd
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# Ordered by scoreboard importance: the driver may kill the run at any
+# point, and the LAST stdout line it sees must already carry the most
+# valuable keys (round-4 verdict: a 23-min full run overran the driver's
+# budget with zero stdout — the scoreboard recorded nothing). "headline"
+# is throughput-only so its value lands within the first few minutes;
+# the latency floors and on-device slopes ride their own subprocesses.
 CONFIG_NAMES = (
-    "headline", "pipeline", "ring", "local", "cfg1", "cfg2", "cfg3", "cfg3b",
-    "cfg4", "cfg4b", "cfg5", "cfg6",
+    "headline", "latency", "device", "local", "cfg1", "cfg2", "cfg3",
+    "cfg4", "cfg5", "pipeline", "ring", "cfg3b", "cfg4b", "cfg6",
 )
+
+# total wall-clock budget for the isolated runner (probe included);
+# remaining configs are skipped — and named in ``skipped_configs`` —
+# once it runs out, so the run always ENDS with a parseable superset
+# line instead of being cut mid-config
+DEFAULT_BUDGET_S = 900.0
 
 # per-config partial results persist here as each isolated subprocess
 # completes, so a mid-run tunnel death yields a partial BENCH file
@@ -87,7 +102,16 @@ def _scan_rate(body, init_carry, k1=8, k2=64, reps=5):
     (A per-call chain slope only cancels the per-sync RTT — each call
     still pays ~1 ms of tunnel dispatch, dominating small steps.)
     ``body`` must keep every measured output live through the carry
-    (e.g. fold sums into a scalar) or XLA dead-code-eliminates it."""
+    (e.g. fold sums into a scalar) or XLA dead-code-eliminates it.
+
+    Returns ``(sec_per_step, meta)``. Two INDEPENDENT slope estimates must
+    agree within 30% or the key is re-measured once and flagged
+    ``degraded`` — round 4's driver-run capture inflated the headline's
+    on-device slope 24x vs the clean-run record, which this method's own
+    additive-cost cancellation cannot explain unless the device time
+    itself scaled with scan length (chip sharing/throttling, or tunnel
+    backpressure delaying execution proportionally). Publish the flag,
+    not the weather."""
     import functools
 
     import jax
@@ -108,7 +132,57 @@ def _scan_rate(body, init_carry, k1=8, k2=64, reps=5):
             ts.append(time.perf_counter() - t0)
         return sorted(ts)[reps // 2]
 
-    return max((med(k2) - med(k1)) / (k2 - k1), 1e-9)
+    def slope():
+        return max((med(k2) - med(k1)) / (k2 - k1), 1e-9)
+
+    slopes = [slope(), slope()]
+    spread = abs(slopes[0] - slopes[1]) / min(slopes)
+    if spread <= 0.30:
+        return float(np.mean(slopes)), {"degraded": False, "spread": round(spread, 3)}
+    slopes.append(slope())
+    s = sorted(slopes)
+    lo_pair, hi_pair = (s[0], s[1]), (s[1], s[2])
+    pair = lo_pair if (s[1] - s[0]) <= (s[2] - s[1]) else hi_pair
+    pspread = (pair[1] - pair[0]) / max(pair[0], 1e-12)
+    meta = {
+        "degraded": True,
+        "recovered": bool(pspread <= 0.30),
+        "spread": round(pspread, 3),
+        "slopes_us": [round(x * 1e6, 3) for x in slopes],
+    }
+    rate = float(np.mean(pair)) if pspread <= 0.30 else float(np.median(slopes))
+    return rate, meta
+
+
+def _scan_key(out: dict, key: str, work_per_step: float, body, carry, **kw) -> None:
+    """Record a scan-slope throughput key plus its degraded-capture flags."""
+    rate, meta = _scan_rate(body, carry, **kw)
+    out[key] = round(work_per_step / rate, 1)
+    if meta.get("degraded"):
+        out[key + "_degraded"] = True
+        out[key + "_spread"] = meta["spread"]
+        if not meta.get("recovered", False):
+            out[key + "_slopes_us"] = meta["slopes_us"]
+
+
+def _rtt_floor_ms(reps: int = 15) -> float:
+    """Median no-op round trip (8 floats) — the tunnel's protocol floor at
+    THIS moment, stamped per config so a degraded capture is attributable
+    to transport weather afterwards. Must run AFTER a config's throughput
+    measurements: the device->host readback it performs permanently
+    degrades the process's transport session to sync dispatch (CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jnp.zeros(8, jnp.float32)
+    noop = jax.jit(lambda x: x + 1.0)
+    np.asarray(noop(tiny))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(noop(tiny))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts) * 1e3)
 
 
 def main(only: str = None) -> None:
@@ -136,8 +210,8 @@ def main(only: str = None) -> None:
     rng = np.random.default_rng(0)
     out = {}
 
-    if want("headline"):
-        constant = make_spectrum_constant(
+    def _headline_constant():
+        return make_spectrum_constant(
             axis_points=1024,
             window_size=4096,
             sample_rate=48_000.0,
@@ -145,6 +219,9 @@ def main(only: str = None) -> None:
             bin_interpolation=BinInterpolation.LINEAR,
             view_scaling=ViewScaling.LOGARITHMIC,
         )
+
+    if want("headline"):
+        constant = _headline_constant()
 
         @jax.jit
         def spectrum_batch(state, frames):
@@ -176,6 +253,10 @@ def main(only: str = None) -> None:
             remap_mode=constant.remap_mode,
             fft_precision=constant.fft_precision,
         )
+        out["headline_rtt_floor_ms"] = round(_rtt_floor_ms(), 4)
+
+    if want("latency"):
+        constant = _headline_constant()
 
         # latency: single-frame host->device->host round trip
         @jax.jit
@@ -229,6 +310,17 @@ def main(only: str = None) -> None:
             float(np.percentile(np.asarray(lats) - np.asarray(tfloors), 50) * 1e3), 4
         )
 
+    if want("device"):
+        constant = _headline_constant()
+
+        @jax.jit
+        def spectrum_single(state, frame):
+            r = analyze_frames(constant, state, frame)
+            return r.results[:, 0, 0], r.state
+
+        lat_state = init_line_graph_state(constant, (1,))
+        host_frame = rng.standard_normal((1, 1, 2, 4096)).astype(np.float32)
+
         # on-device step latency: K state-chained single-frame steps inside
         # ONE dispatch (lax.scan). Two chain lengths, slope = per-step
         # device time — the additive network RTT cancels exactly, so this
@@ -258,34 +350,63 @@ def main(only: str = None) -> None:
         k_lo, k_hi = 64, 8256
         run_lo, run_hi = chained(k_lo), chained(k_hi)
         dev_frame = jnp.asarray(host_frame)
-        mins = []
-        for run in (run_lo, run_hi):
+        for run in (run_lo, run_hi):  # warm both shapes before timing
             r0, _ = run(lat_state, dev_frame)
             np.asarray(r0)
-            times = []
-            for _ in range(12):
-                t0 = time.perf_counter()
-                r0, _ = run(lat_state, dev_frame)
-                np.asarray(r0)
-                times.append(time.perf_counter() - t0)
-            mins.append(float(np.min(times)))
-        out["on_device_step_us"] = round(
-            max(mins[1] - mins[0], 0.0) / (k_hi - k_lo) * 1e6, 3
-        )
+
+        def step_slope_us():
+            mins = []
+            for run in (run_lo, run_hi):
+                times = []
+                for _ in range(6):
+                    t0 = time.perf_counter()
+                    r0, _ = run(lat_state, dev_frame)
+                    np.asarray(r0)
+                    times.append(time.perf_counter() - t0)
+                mins.append(float(np.min(times)))
+            return max(mins[1] - mins[0], 0.0) / (k_hi - k_lo) * 1e6
+
+        # two independent estimates must agree within 30% (same degraded-
+        # capture guard as _scan_rate: round 4's driver run inflated this
+        # key 24x — chip/tunnel contention, not the framework)
+        vals = [step_slope_us(), step_slope_us()]
+        spread = abs(vals[0] - vals[1]) / max(min(vals), 1e-9)
+        if spread > 0.30:
+            vals.append(step_slope_us())
+            out["on_device_step_us_degraded"] = True
+            out["on_device_step_us_slopes"] = [round(v, 3) for v in vals]
+        out["on_device_step_us"] = round(float(np.median(vals)), 3)
+        out["on_device_step_us_spread"] = round(spread, 3)
 
         # on-device THROUGHPUT at the saturating batch (single-stream
         # latency above is FFT-latency-bound; the chip's frame rate is
         # set by the batched pipeline)
+        @jax.jit
+        def spectrum_batch(state, frames):
+            r = analyze_frames(constant, state, frames)
+            return jnp.sum(r.results), r.state
+
+        pairs, t_steps = 16, 128
+        frames = jnp.asarray(
+            rng.standard_normal((pairs, t_steps, 2, 4096)).astype(np.float32)
+        )
+        state = init_line_graph_state(constant, (pairs,))
+        checksum, state = spectrum_batch(state, frames)
+        jax.block_until_ready(checksum)
+
         def batch_body(c):
             st, fr, acc = c
             r = analyze_frames(constant, st, fr)
             return r.state, jnp.roll(fr, 1, axis=-1), acc + jnp.sum(r.results)
 
-        out["on_device_frames_per_sec"] = round(
-            pairs * t_steps
-            / _scan_rate(batch_body, (state, frames, jnp.float32(0.0))),
-            1,
+        _scan_key(
+            out,
+            "on_device_frames_per_sec",
+            pairs * t_steps,
+            batch_body,
+            (state, frames, jnp.float32(0.0)),
         )
+        out["device_rtt_floor_ms"] = round(_rtt_floor_ms(), 4)
 
     if want("pipeline"):
         # pipelined ingest — the production-shaped path (the reference
@@ -590,6 +711,7 @@ def main(only: str = None) -> None:
         s1 = init_line_graph_state(c1, (p1,))
         dt = _timeit(lambda f: mono_batch(s1, f)[0], f1)
         out["cfg1_mono1024_frames_per_sec"] = round(p1 * t1 / dt, 1)
+        out["cfg1_rtt_floor_ms"] = round(_rtt_floor_ms(), 4)
 
     if want("cfg2"):
         from signalizer_tpu.kernels.vectorscope import (
@@ -615,6 +737,7 @@ def main(only: str = None) -> None:
         vstate = init_meter_state((b2,))
         dt = _timeit(lambda f: vs_step(vstate, f)[0], vf)
         out["cfg2_vectorscope_frames_per_sec"] = round(b2 / dt, 1)
+        out["cfg2_rtt_floor_ms"] = round(_rtt_floor_ms(), 4)
 
     if want("cfg3"):
         from signalizer_tpu.views.oscilloscope import (
@@ -665,9 +788,11 @@ def main(only: str = None) -> None:
             s, ns = osc_scalar(st, x)
             return ns, jnp.roll(x, 1, axis=-1), acc + s
 
-        out["cfg3_on_device_frames_per_sec"] = round(
-            16 / _scan_rate(osc3_body, (st3, hist_dev, jnp.float32(0.0))), 1
+        _scan_key(
+            out, "cfg3_on_device_frames_per_sec", 16,
+            osc3_body, (st3, hist_dev, jnp.float32(0.0)),
         )
+        out["cfg3_rtt_floor_ms"] = round(_rtt_floor_ms(), 4)
 
     if want("cfg3b"):
         # the EXPENSIVE trigger at the same geometry: SPECTRAL mode runs an
@@ -720,9 +845,11 @@ def main(only: str = None) -> None:
             # rotate the input so no per-frame work is loop-invariant
             return ns, jnp.roll(x, 1, axis=-1), acc + s
 
-        out["cfg3b_on_device_frames_per_sec"] = round(
-            16 / _scan_rate(osc_body, (state_b, hist_dev, jnp.float32(0.0))), 1
+        _scan_key(
+            out, "cfg3b_on_device_frames_per_sec", 16,
+            osc_body, (state_b, hist_dev, jnp.float32(0.0)),
         )
+        out["cfg3b_rtt_floor_ms"] = round(_rtt_floor_ms(), 4)
 
     if want("cfg4"):
         c4 = make_spectrum_constant(
@@ -774,9 +901,11 @@ def main(only: str = None) -> None:
             checksum, ns, nh = sg_step(state, x, h)
             return ns, nh, jnp.roll(x, 1, axis=-1), acc + checksum
 
-        out["cfg4_on_device_frames_per_sec"] = round(
-            t4 / _scan_rate(sg_body, (s4, hold, f4, jnp.float32(0.0)), k1=2, k2=16), 1
+        _scan_key(
+            out, "cfg4_on_device_frames_per_sec", t4,
+            sg_body, (s4, hold, f4, jnp.float32(0.0)), k1=2, k2=16,
         )
+        out["cfg4_rtt_floor_ms"] = round(_rtt_floor_ms(), 4)
 
     if want("cfg4b"):
         # the PRODUCTION spectrogram tick path (SpectrogramProcessor.pull:
@@ -875,9 +1004,11 @@ def main(only: str = None) -> None:
             # rotate the input per step so nothing is loop-invariant
             return ns, nv, jnp.roll(x, 1, axis=-1), acc + checksum
 
-        out["cfg5_on_device_frames_per_sec"] = round(
-            4 * t5 / _scan_rate(fused_body, (s5, v5, f5, jnp.float32(0.0))), 1
+        _scan_key(
+            out, "cfg5_on_device_frames_per_sec", 4 * t5,
+            fused_body, (s5, v5, f5, jnp.float32(0.0)),
         )
+        out["cfg5_rtt_floor_ms"] = round(_rtt_floor_ms(), 4)
 
     if want("cfg6"):
         # informational (not a BASELINE config): the RSNT resonator bank —
@@ -953,9 +1084,11 @@ def main(only: str = None) -> None:
             s, ns = res_step(st, x)
             return ns, jnp.roll(x, 1, axis=-1), acc + s
 
-        out["cfg6_on_device_readouts_per_sec"] = round(
-            pairs6 / _scan_rate(res_body, (st6, block6, jnp.float32(0.0)), k1=64, k2=4096), 1
+        _scan_key(
+            out, "cfg6_on_device_readouts_per_sec", pairs6,
+            res_body, (st6, block6, jnp.float32(0.0)), k1=64, k2=4096,
         )
+        out["cfg6_rtt_floor_ms"] = round(_rtt_floor_ms(), 4)
 
     print(json.dumps(out))
 
@@ -982,25 +1115,65 @@ def _probe_device(timeout_s: float = 300.0) -> None:
         raise RuntimeError(f"device probe failed: {proc.stderr[-300:]}")
 
 
-def _run_isolated() -> None:
+def _cumulative_record(parts: dict, extra: dict) -> dict:
+    """The driver-facing record: headline fields always present (zeros
+    until the headline config lands), overlaid with every completed
+    config's keys."""
+    record = {
+        "metric": "spectrum_frames_per_sec_per_chip_4096pt_stereo",
+        "value": 0.0,
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+    }
+    record.update(parts)
+    record.update(extra)
+    return record
+
+
+def _run_isolated(t_start: float) -> None:
     """Run every config in its own subprocess so the tunnel's dispatch
-    backpressure cannot contaminate per-config numbers. Partial results
-    persist to ``bench_partial.json`` after every config, so a mid-run
-    tunnel death still yields the completed configs' numbers."""
+    backpressure cannot contaminate per-config numbers.
+
+    Driver survivability (round-4 verdict #1): after EVERY config the
+    cumulative record is printed as one flushed stdout line — each line a
+    superset of the last — so a run killed at any point still leaves a
+    parseable tail with everything measured so far. A total wall-clock
+    budget (``SZ_BENCH_BUDGET_S``, default 900 s, probe included) skips
+    remaining configs rather than being cut off mid-config; skipped and
+    timed-out configs are named in the record. Partial results also
+    persist to ``bench_partial.json`` for the multi-run aggregator."""
+    budget = float(os.environ.get("SZ_BENCH_BUDGET_S", str(DEFAULT_BUDGET_S)))
     PARTIAL_PATH.unlink(missing_ok=True)
     parts = {}
+    timed_out = []
+    remaining_cfgs = list(CONFIG_NAMES)
+
+    def emit():
+        extra = {"elapsed_s": round(time.monotonic() - t_start, 1)}
+        if remaining_cfgs:
+            extra["skipped_configs"] = list(remaining_cfgs)
+        if timed_out:
+            extra["timed_out_configs"] = list(timed_out)
+        print(json.dumps(_cumulative_record(parts, extra)), flush=True)
+
     for cfg in CONFIG_NAMES:
+        remaining_s = budget - (time.monotonic() - t_start)
+        if remaining_s < 60.0:
+            break
+        remaining_cfgs.remove(cfg)
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--only", cfg],
                 capture_output=True,
                 text=True,
-                timeout=1800,
+                timeout=min(1800.0, remaining_s),
             )
         except subprocess.TimeoutExpired:
             # one pathological config (e.g. a mid-run tunnel outage) must
             # not take the remaining configs down with it
             sys.stderr.write(f"config {cfg} timed out\n")
+            timed_out.append(cfg)
+            emit()
             continue
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
         try:
@@ -1008,11 +1181,11 @@ def _run_isolated() -> None:
             _save_partial(parts)
         except json.JSONDecodeError:
             sys.stderr.write(f"config {cfg} failed: {proc.stderr[-500:]}\n")
+        emit()
     if "value" not in parts:
         # RuntimeError (not SystemExit) so __main__'s fallback to the
         # single-process inline run still fires
         raise RuntimeError("headline config failed")
-    print(json.dumps(parts))
 
 
 if __name__ == "__main__":
@@ -1039,13 +1212,14 @@ if __name__ == "__main__":
         # reported as THIS run's numbers when the probe fails before
         # _run_isolated gets to unlink it (round-4 review)
         PARTIAL_PATH.unlink(missing_ok=True)
+        t_start = time.monotonic()
         try:
             _probe_device()
         except Exception as e:
             _error_line(e)
             raise
         try:
-            _run_isolated()
+            _run_isolated(t_start)
         except Exception:
             try:
                 main()  # fall back to the single-process run
