@@ -62,10 +62,26 @@ DEFAULT_BUDGET_S = 900.0
 # instead of an all-or-nothing error record (round-3 verdict, Weak #5)
 PARTIAL_PATH = Path(__file__).resolve().with_name("bench_partial.json")
 
+# every completed run also appends a capture here; README numbers are
+# medians over N runs with spread via tools/bench_aggregate.py, not
+# best-of-N (round-4 verdict #3: cfg2 swung 2.5x between two same-day
+# "clean" runs — the spread is signal, publish it)
+RUNS_DIR = Path(__file__).resolve().with_name("bench_runs")
+
 
 def _save_partial(parts: dict) -> None:
     try:
         PARTIAL_PATH.write_text(json.dumps(parts))
+    except OSError:
+        pass
+
+
+def _save_run(parts: dict) -> None:
+    if not parts:
+        return
+    try:
+        RUNS_DIR.mkdir(exist_ok=True)
+        (RUNS_DIR / f"run_{int(time.time())}.json").write_text(json.dumps(parts))
     except OSError:
         pass
 
@@ -1182,6 +1198,7 @@ def _run_isolated(t_start: float) -> None:
         except json.JSONDecodeError:
             sys.stderr.write(f"config {cfg} failed: {proc.stderr[-500:]}\n")
         emit()
+    _save_run(parts)
     if "value" not in parts:
         # RuntimeError (not SystemExit) so __main__'s fallback to the
         # single-process inline run still fires

@@ -133,3 +133,40 @@ def test_scan_rate_returns_meta():
     assert out["k"] > 0
     if out.get("k_degraded"):
         assert "k_spread" in out
+
+
+def test_aggregate_medians_and_degraded_exclusion():
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_aggregate as agg
+
+    runs = [
+        {"value": 100.0, "cfg2_x": 10.0, "on_device_step_us": 40.0},
+        {"value": 300.0, "cfg2_x": 30.0, "on_device_step_us": 1000.0,
+         "on_device_step_us_degraded": True},
+        {"value": 200.0, "cfg2_x": 20.0, "fft_backend": "mxu",
+         "mxu_fft": True, "elapsed_s": 99.0},
+    ]
+    out = agg.aggregate(runs)
+    assert out["value"] == {
+        "n": 3, "degraded_n": 0, "median": 200.0, "min": 100.0,
+        "max": 300.0, "spread_pct": 100.0,
+    }
+    # degraded capture excluded from stats but counted
+    assert out["on_device_step_us"]["n"] == 1
+    assert out["on_device_step_us"]["median"] == 40.0
+    assert out["on_device_step_us"]["degraded_n"] == 1
+    # strings, bools, and metadata keys are not measurements
+    assert "fft_backend" not in out and "mxu_fft" not in out
+    assert "elapsed_s" not in out and "on_device_step_us_degraded" not in out
+    md = agg.to_markdown(out)
+    assert "| value | 3 | 200.0 |" in md
+
+
+def test_save_run_appends_capture(monkeypatch, tmp_path):
+    monkeypatch.setattr(bench, "RUNS_DIR", tmp_path / "bench_runs")
+    bench._save_run({"value": 7.0})
+    files = list((tmp_path / "bench_runs").glob("run_*.json"))
+    assert len(files) == 1
+    assert json.loads(files[0].read_text()) == {"value": 7.0}
+    bench._save_run({})  # empty capture is not persisted
+    assert len(list((tmp_path / "bench_runs").glob("run_*.json"))) == 1
