@@ -420,7 +420,17 @@ def _banded_dispatch(x, pos, step, num_out, support, kind, gather_fallback):
     the fused Pallas kernel on TPU (3.1x the XLA band path at cfg3 —
     kernels/pallas_resample.py), else the narrowest XLA band, falling
     back to the per-tap gather for deep zoom-out. All formulations are
-    exact — only the access pattern differs."""
+    exact — only the access pattern differs.
+
+    On CPU the per-tap gather wins outright: the band/matmul forms exist
+    because TPU serializes scattered gathers at ~1 element/cycle and has
+    an MXU to feed — XLA:CPU has neither, vectorizes gathers well, and
+    pays the full dense band dot (measured: the session-geometry min-max
+    envelope costs 0.50 ms banded vs ~10 us gathered on the 1-core box).
+    The nearest-kind gather uses the same ties-upward rounding as the
+    banded branch, so this routing is bit-stable for display sampling."""
+    if jax.default_backend() == "cpu":
+        return gather_fallback()
     if num_out % _BAND_BLOCK != 0:
         return gather_fallback()
     max_step = jnp.max(jnp.asarray(step, jnp.float32))
@@ -612,9 +622,9 @@ def linear_resample(x: jax.Array, start, step, num_out: int) -> jax.Array:
 
 def nearest_resample(x: jax.Array, start, step, num_out: int) -> jax.Array:
     """Nearest-sample pick (ref: SubSampleInterpolation::None /
-    Rectangular). Banded like the other kernels; the banded branch
-    resolves exact .5 ties upward where the gather branch uses
-    round-half-even — indistinguishable for display sampling."""
+    Rectangular). Banded like the other kernels; both branches resolve
+    exact .5 ties upward (floor(pos + 0.5)), so the CPU-gather and
+    TPU-banded routes agree bit-for-bit."""
     w = x.shape[-1]
     p = jnp.arange(num_out, dtype=jnp.float32)
     start = jnp.asarray(start, jnp.float32)
@@ -623,7 +633,7 @@ def nearest_resample(x: jax.Array, start, step, num_out: int) -> jax.Array:
     pos = jnp.clip(pos, -1.0, w * 1.0)
 
     def gather():
-        idx = jnp.clip(jnp.round(pos).astype(jnp.int32), 0, w - 1)
+        idx = jnp.clip(jnp.floor(pos + 0.5).astype(jnp.int32), 0, w - 1)
         bidx = jnp.broadcast_to(
             idx, jnp.broadcast_shapes(x.shape[:-1], idx.shape[:-1]) + (num_out,)
         )

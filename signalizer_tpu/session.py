@@ -91,6 +91,7 @@ class AnalysisSession:
         build_line_graph: bool = True,
         cursor_fraction: Optional[float] = None,
         device_history: object = "auto",
+        fused_tick: bool = True,
     ):
         self.engine = engine
         self.views = tuple(views)
@@ -121,6 +122,10 @@ class AnalysisSession:
         self._sg_listener = None
         self.freeze = False  # ref: MainEditor kfreeze (hold the display)
         self._frozen_frame: Optional[SessionFrame] = None
+        # one-dispatch all-views step when spectrum+oscilloscope+vectorscope
+        # are all active over the device ring (views/fused_tick.py); False
+        # forces the per-view path (the parity test's reference arm)
+        self.fused_tick = bool(fused_tick)
         # resonator-path stream cursor + last readout (the RSNT processor
         # consumes a continuous stream, not re-read windows)
         self._res_consumed = 0
@@ -243,6 +248,31 @@ class AnalysisSession:
         accessor for embedders (e.g. the spectrogram's scrolled image)."""
         return self._processors.get(view)
 
+    def _vs_window(self) -> int:
+        """Vectorscope display window, quantized to a pow2 x quarter-step
+        ladder: the frame length is a jit compile key, and an unbucketed
+        knob sweep compiled a fresh executable per integer value
+        (30 s-5 min each on a remote tunnel; round-3 review). <= 12.5%
+        window error is invisible on a lissajous trail. Shared by the
+        per-view path and the fused tick (identical compile keys)."""
+        win = int(round(self.engine.vectorscope.window_size.get_transformed()))
+        win = max(win, 64)
+        qstep = max(1, (1 << (win.bit_length() - 1)) // 4)
+        win = -(-win // qstep) * qstep
+        # the ladder rounds UP: at the knob's top the quantized window can
+        # exceed the history capacity (49152 > 48000) and the view died
+        # every tick (pre-existing; exposed by the fused-parity tests)
+        cap = int(self.engine.presentation_output.info.audio_history_capacity)
+        return min(win, cap) if cap > 0 else win
+
+    def _vs_meter_window(self, new_samples: int, vs_w: int) -> int:
+        """pow2 bucket of the tick's new samples, clamped to the display
+        window — the trailing slice the vectorscope meters integrate
+        (each sample exactly once). Shared by the per-view path and the
+        fused tick so both stay bit-equal."""
+        n = max(int(new_samples), 1)
+        return min(1 << (n - 1).bit_length(), vs_w)
+
     # --- audio cadence ------------------------------------------------------
     def feed(self, block: np.ndarray, playhead: Optional[Playhead] = None) -> None:
         """Real-time audio entry: engine ingest (the spectrogram hopper is
@@ -285,6 +315,23 @@ class AnalysisSession:
             if protected_call(dh.sync, context="device-history") is None:
                 dh = None
 
+        # WINDOW-mode oscilloscope sync rides the transport (playhead
+        # position), not the free-running stream clock
+        transport = float(eng._playhead.position_samples)
+
+        if self.fused_tick and dh is not None and clock > 0:
+            # one dispatch for spectrum+oscilloscope+vectorscope off the
+            # shared ring; None (ineligible or a protected failure) falls
+            # back to the per-view dispatches below for this tick
+            from signalizer_tpu.views.fused_tick import run_fused_tick
+
+            fused = protected_call(
+                lambda: run_fused_tick(self, dh, new_samples, transport),
+                context="fused-tick",
+            )
+            if fused is not None:
+                spectrum, osc, vs = fused
+
         proc = self._processors.get("spectrum")
         if proc is not None and clock > 0:
             def run_spectrum():
@@ -325,7 +372,8 @@ class AnalysisSession:
                     frames = _pad_stereo(eng.get_presentation_history(w))[None, None]
                 return np.asarray(proc.process(frames))[0, -1]  # [K, rows, P]
 
-            spectrum = protected_call(run_spectrum, context="spectrum")
+            if spectrum is None:
+                spectrum = protected_call(run_spectrum, context="spectrum")
             feed = self._feeds.get("line_graph")
             if spectrum is not None and feed is not None:
                 line_graph = protected_call(
@@ -365,10 +413,7 @@ class AnalysisSession:
                 tracker = protected_call(run_tracker, context="tracker")
 
         oproc = self._processors.get("oscilloscope")
-        if oproc is not None and clock > 0:
-            # WINDOW mode syncs to the transport (playhead position), not
-            # the free-running stream clock
-            transport = float(eng._playhead.position_samples)
+        if oproc is not None and clock > 0 and osc is None:
 
             def run_osc():
                 # history must cover the live window (plus trigger search
@@ -395,28 +440,26 @@ class AnalysisSession:
             osc = protected_call(run_osc, context="oscilloscope")
 
         vproc = self._processors.get("vectorscope")
-        if vproc is not None and clock > 0:
-            win = int(round(eng.vectorscope.window_size.get_transformed()))
-            # quantize to a pow2 x quarter-step ladder: the frame length
-            # is a jit compile key, and an unbucketed knob sweep compiled
-            # a fresh executable per integer value (30 s-5 min each on a
-            # remote tunnel; round-3 review). <= 12.5% window error is
-            # invisible on a lissajous trail.
-            win = max(win, 64)
-            qstep = max(1, (1 << (win.bit_length() - 1)) // 4)
-            win = -(-win // qstep) * qstep
-            vs = protected_call(
-                lambda: vproc.process(
-                    dh.window(win, lead=1)
-                    if dh is not None and win <= dh.history
-                    else eng.get_presentation_history(win)[None],
+        if vproc is not None and clock > 0 and vs is None:
+            win = self._vs_window()
+
+            def run_vs():
+                if dh is not None and win <= dh.history:
                     # meters consume each sample once (audio-callback
-                    # cadence) even though the display window overlaps
-                    # across ticks — same masking the oscilloscope uses
+                    # cadence): integrate only the new-samples bucket —
+                    # same slice the fused tick takes (parity)
+                    mw = self._vs_meter_window(new_samples, win)
+                    return vproc.process(
+                        dh.window(win, lead=1),
+                        new_samples=new_samples,
+                        meter_frames=dh.window(mw, lead=1),
+                    )
+                return vproc.process(
+                    eng.get_presentation_history(win)[None],
                     new_samples=new_samples,
-                ),
-                context="vectorscope",
-            )
+                )
+
+            vs = protected_call(run_vs, context="vectorscope")
 
         sg = self._processors.get("spectrogram")
         if sg is not None:

@@ -236,6 +236,13 @@ class DevicePresentationHistory:
             raise ValueError(f"window {n} exceeds device history {self._history}")
         return _tail(self._ring, n=n, lead=int(lead), pad_to=int(pad_to))
 
+    @property
+    def ring(self) -> Optional[jax.Array]:
+        """The device ring [channels, H] (None before the first sync) —
+        for callers composing their own in-graph tail slices (the
+        session's fused all-views tick)."""
+        return self._ring
+
     def close(self) -> None:
         self._output.remove_listener(self)
         self._ring = None

@@ -394,6 +394,26 @@ class OscilloscopeProcessor:
             history = jnp.asarray(history, jnp.float32)
         if new_samples is None:
             new_samples = history.shape[-1]
+        prep = self._prep_step(history.shape[-1], transport_position, new_samples)
+        window_dev, transport_dev, ns_dev, chunk, env_os, cycles_live = prep
+        frame, self._state = _osc_step(
+            self.constant, self._state, history,
+            window_dev,
+            transport_dev,
+            ns_dev,
+            self._pair_keys,
+            trigger_chunk=chunk,
+            env_os=env_os,
+        )
+        if cycles_live:
+            self._post_cycle_feedback(frame)
+        return frame
+
+    def _prep_step(self, h: int, transport_position: float, new_samples: int):
+        """Host-side static/scalar prep shared by :meth:`process` and the
+        session's fused all-views tick — ONE source of truth, so the two
+        paths pick identical pow2 buckets/scalars and stay bit-equal
+        (and share the same jit-variant ladder)."""
         cycles_live = (
             self.time_mode == TimeMode.CYCLES
             and self.constant.trigger_mode == TriggerMode.SPECTRAL
@@ -406,7 +426,6 @@ class OscilloscopeProcessor:
         # effective_window_samples() here: its Cycles branch reads the
         # detected cycleSamples back to the host, which permanently
         # degrades remote-TPU transports to synchronous dispatch
-        h = history.shape[-1]
         px = max(self.constant.pixels - 1, 1)
         if cycles_live and self._cycle_window_dev is not None:
             window_dev = self._cycle_window_dev
@@ -435,33 +454,32 @@ class OscilloscopeProcessor:
             # O(new_samples) per tick instead of O(lookahead), at most
             # log2(lookahead) compiled variants (the RSNT/spectrogram
             # bucketing pattern)
-            la = min(self.constant.lookahead, history.shape[-1])
+            la = min(self.constant.lookahead, h)
             n = max(1, min(int(new_samples), la))
             chunk = min(1 << (n - 1).bit_length(), la)
         else:
             chunk = None
-        frame, self._state = _osc_step(
-            self.constant, self._state, history,
+        return (
             window_dev,
             self._dev_transport(float(transport_position)),
             self._dev_scalar(float(int(new_samples))),
-            self._pair_keys,
-            trigger_chunk=chunk,
-            env_os=env_os,
+            chunk,
+            env_os,
+            cycles_live,
         )
-        if cycles_live:
-            # feed the detected fundamental back into the next window
-            # (ref: triggerState.cycleSamples -> effectiveWindowSize,
-            # Oscilloscope.cpp:299-303) — computed ON DEVICE: a host
-            # readback here would permanently degrade remote-TPU
-            # transports to synchronous dispatch (see CLAUDE.md)
-            v = self.window_value if self.window_value is not None else self.window_samples
-            self._cycle_window_dev, self._cycle_samples_dev = _cycle_feedback(
-                frame.fundamental,
-                self._dev_scalar(float(v)),
-                self._dev_scalar(self.constant.sample_rate),
-            )
-        return frame
+
+    def _post_cycle_feedback(self, frame: "OscilloscopeFrame") -> None:
+        """Feed the detected fundamental back into the next window
+        (ref: triggerState.cycleSamples -> effectiveWindowSize,
+        Oscilloscope.cpp:299-303) — computed ON DEVICE: a host readback
+        here would permanently degrade remote-TPU transports to
+        synchronous dispatch (see CLAUDE.md)."""
+        v = self.window_value if self.window_value is not None else self.window_samples
+        self._cycle_window_dev, self._cycle_samples_dev = _cycle_feedback(
+            frame.fundamental,
+            self._dev_scalar(float(v)),
+            self._dev_scalar(self.constant.sample_rate),
+        )
 
     def _dev_scalar(self, value: float) -> jax.Array:
         """Device-cached f32 scalar: re-uploading tiny scalars every

@@ -60,6 +60,7 @@ def vs_step_impl(
     peak_coeff: jax.Array,
     rotation: jax.Array = 0.0,
     new_samples: jax.Array = None,
+    meter_frames: jax.Array = None,
     *,
     mode: OperationalMode,
     autogain: AutoGain,
@@ -67,9 +68,15 @@ def vs_step_impl(
 ):
     # new_samples: trailing-samples meter mask for overlapping-window
     # callers (see kernels/vectorscope.update_meters); the vertex/display
-    # path always renders the full window
+    # path always renders the full window. meter_frames: optionally a
+    # SHORTER trailing slice covering (at least) the new samples — the
+    # meters only integrate those, and the masked full-window form wastes
+    # window/new_samples x the transcendental work (pow/atan/cos per
+    # sample); the session passes the pow2 bucket of the tick's new
+    # samples. None = integrate over ``frames`` (non-overlapping feeds).
     new_state = update_meters(
-        state, frames, envelope_pole=envelope_pole, stereo_pole=stereo_pole,
+        state, frames if meter_frames is None else meter_frames,
+        envelope_pole=envelope_pole, stereo_pole=stereo_pole,
         new_samples=new_samples,
     )
     # degenerate autogain readings HOLD the carried last-normal gain
@@ -148,15 +155,39 @@ class VectorscopeProcessor:
         self._state = init_meter_state((self.pairs,))
         self._peak_env = jnp.zeros((self.pairs, 2), jnp.float32)
 
-    def process(self, frames, new_samples=None) -> VectorscopeFrame:
+    def process(self, frames, new_samples=None, meter_frames=None) -> VectorscopeFrame:
         """``new_samples``: when re-reading an overlapping history window
         per tick, the count of samples that are NEW since the last call —
         the meter filters consume each sample exactly once (the
         reference's audio-callback cadence, Vectorscope.cpp:319-342);
-        None keeps the whole-window semantics for non-overlapping feeds."""
+        None keeps the whole-window semantics for non-overlapping feeds.
+        ``meter_frames``: optional shorter trailing slice for the meter
+        update (see :func:`vs_step_impl`)."""
         if not isinstance(frames, jax.Array):
             frames = jnp.asarray(frames, jnp.float32)
-        w = frames.shape[-1]
+        meter_w = frames.shape[-1] if meter_frames is None else meter_frames.shape[-1]
+        scalars, new_samples = self._prep_step(
+            frames.shape[-1], new_samples, meter_w=meter_w
+        )
+        frame, self._state, self._peak_env = _vs_step(
+            self._state,
+            self._peak_env,
+            frames,
+            *scalars,
+            new_samples,
+            meter_frames,
+            mode=self.mode,
+            autogain=self.autogain,
+            scale_to_fill=self.scale_to_fill,
+        )
+        return frame
+
+    def _prep_step(self, w: int, new_samples, meter_w: int = None):
+        """Host-side scalar prep shared by :meth:`process` and the
+        session's fused all-views tick (one source of truth so the two
+        paths dispatch identical scalars and stay bit-equal).
+        ``meter_w``: width of the meter slice the new-samples count must
+        clamp to (defaults to the display window width)."""
         key = (w, self.envelope_pole, self.stereo_pole, self.user_gain, self.rotation)
         scalars = self._scalar_cache.get(key)
         if scalars is None:
@@ -179,19 +210,9 @@ class VectorscopeProcessor:
             # cache the device scalar: a steady hop re-sends the same
             # value every render tick, one avoidable upload per tick on
             # tunneled devices (the oscilloscope's _dev_scalar pattern)
-            ns = min(float(new_samples), float(w))
+            ns = min(float(new_samples), float(w if meter_w is None else meter_w))
             new_samples = self._scalar_cache.get(("ns", ns))
             if new_samples is None:
                 new_samples = jnp.float32(ns)
                 self._scalar_cache[("ns", ns)] = new_samples
-        frame, self._state, self._peak_env = _vs_step(
-            self._state,
-            self._peak_env,
-            frames,
-            *scalars,
-            new_samples,
-            mode=self.mode,
-            autogain=self.autogain,
-            scale_to_fill=self.scale_to_fill,
-        )
-        return frame
+        return scalars, new_samples

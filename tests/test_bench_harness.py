@@ -50,6 +50,7 @@ def _fake_run_factory(results: dict, timeouts=()):
 
 def test_isolated_runner_emits_cumulative_superset(monkeypatch, capsys, tmp_path):
     monkeypatch.setattr(bench, "PARTIAL_PATH", tmp_path / "partial.json")
+    monkeypatch.setattr(bench, "RUNS_DIR", tmp_path / "bench_runs")
     monkeypatch.setenv("SZ_BENCH_BUDGET_S", "1e9")
     results = {
         "headline": {"value": 123.0, "metric": "m", "unit": "frames/s",
@@ -84,6 +85,7 @@ def test_isolated_runner_emits_cumulative_superset(monkeypatch, capsys, tmp_path
 
 def test_isolated_runner_budget_skips_and_names_remaining(monkeypatch, capsys, tmp_path):
     monkeypatch.setattr(bench, "PARTIAL_PATH", tmp_path / "partial.json")
+    monkeypatch.setattr(bench, "RUNS_DIR", tmp_path / "bench_runs")
     # budget covers the headline config only: fake clock advances 100 s
     # per subprocess call against a 140 s budget
     monkeypatch.setenv("SZ_BENCH_BUDGET_S", "140")
@@ -113,6 +115,7 @@ def test_isolated_runner_budget_skips_and_names_remaining(monkeypatch, capsys, t
 
 def test_isolated_runner_headline_failure_raises(monkeypatch, capsys, tmp_path):
     monkeypatch.setattr(bench, "PARTIAL_PATH", tmp_path / "partial.json")
+    monkeypatch.setattr(bench, "RUNS_DIR", tmp_path / "bench_runs")
     monkeypatch.setenv("SZ_BENCH_BUDGET_S", "1e9")
     monkeypatch.setattr(bench.subprocess, "run", _fake_run_factory({}))
     with pytest.raises(RuntimeError):
