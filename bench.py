@@ -958,15 +958,24 @@ def main(only: str = None) -> None:
         for warm_t in (4, 2, 1, 1, 2):
             sp.push(rng.standard_normal((2, warm_t * hop)).astype(np.float32) * 0.25)
             sp.pull(max_frames=warm_t)
-        ticks = []
+        ticks, lags = [], []
         for i in range(240):
             sp.push(blocks[i])
             t0 = time.perf_counter()
             sp.pull()
             ticks.append(time.perf_counter() - t0)
+            lag = sp.freshness_lag()
+            if lag is not None:
+                lags.append(lag)
         ticks_ms = np.asarray(ticks) * 1e3
         out["cfg4b_pull_tick_p50_ms"] = round(float(np.percentile(ticks_ms, 50)), 4)
         out["cfg4b_pull_tick_p99_ms"] = round(float(np.percentile(ticks_ms, 99)), 4)
+        # freshness: samples between the stream clock and the newest
+        # emitted frame's end, at pull time — stays below one hop (480):
+        # the preliminary-audio stitch semantics (frames form the moment
+        # their final sample arrives, TransformDSP.inl:233-484)
+        out["cfg4b_freshness_lag_p50_smps"] = round(float(np.percentile(lags, 50)), 1)
+        out["cfg4b_freshness_lag_max_smps"] = round(float(np.max(lags)), 1)
 
     if want("cfg5"):
         c5 = make_spectrum_constant(

@@ -73,6 +73,48 @@ def init_line_graph_state(
 # ---------------------------------------------------------------------------
 
 
+def stitch_preliminary(
+    constant: SpectrumConstant,
+    history: jax.Array,
+    preliminary: jax.Array,
+    num_samples: int = None,
+) -> jax.Array:
+    """Stitch an analysis window from retained history plus a raw
+    in-flight block that has NOT been committed to the history yet
+    (ref: the preliminary-audio prepareTransform overload,
+    TransformDSP.inl:233-484 — the spectrogram's audioEntryPoint frames
+    each blob the moment it completes, pulling the newest ``stop =
+    min(numSamples, windowSize)`` samples straight from the current
+    audio callback's block and the remaining ``windowSize - stop`` from
+    the history views, per channel mode).
+
+    ``history`` [..., C, H >= window - stop] (newest last), ``preliminary``
+    [..., C, S]; ``num_samples`` (static, defaults to S) = how many leading
+    preliminary samples are valid. Returns the stitched [..., C, window]
+    frame for :func:`analyze_frames` — windowing/packing then follow the
+    committed-history path exactly, so a stitched frame is bit-equal to
+    framing after the block commits (locked by tests).
+
+    Deliberate deviation: the reference's ``extraDiscardedSamples`` branch
+    (views larger than the window, TransformDSP.inl:246-260) under-fills
+    the window's newest slots by the discard count; here the caller hands
+    exact-tail history and no discard quirk exists.
+    """
+    w = constant.window_size
+    s = preliminary.shape[-1]
+    stop = min(int(num_samples) if num_samples is not None else s, w)
+    hist_n = w - stop
+    parts = []
+    if hist_n:
+        h = history.shape[-1]
+        if h < hist_n:
+            raise ValueError(f"history {h} < required tail {hist_n}")
+        parts.append(jax.lax.slice_in_dim(history, h - hist_n, h, axis=-1))
+    if stop:
+        parts.append(preliminary[..., :stop])
+    return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+
+
 def _pack_channels(constant: SpectrumConstant, frames: jax.Array) -> jax.Array:
     """frames [..., C, W] -> windowed real rows [..., rows, W] (or complex
     [..., W] for Complex mode). Ref packing factors: TransformDSP.inl:91-215."""

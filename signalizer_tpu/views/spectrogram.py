@@ -195,6 +195,30 @@ class SpectrogramProcessor:
         else:
             self.batcher.push(block)
 
+    def freshness_lag(self) -> Optional[float]:
+        """Stream-clock samples between "now" and the end of the newest
+        frame already emitted (None before the first frame).
+
+        Parity evidence for the reference's preliminary-audio stitch
+        (TransformDSP.inl:233-484): the reference forms a spectrogram
+        frame the moment its final sample arrives by stitching history
+        with the in-flight block; this framework commits each pushed
+        block to the hopper before framing, so the same-push availability
+        holds and the post-pull lag stays strictly below one hop
+        (tests/test_spectrum_preliminary.py; bench cfg4b records the
+        production-tick p50)."""
+        b = self.batcher
+        nf = b._next_frame
+        if nf <= 0:
+            return None
+        if self.device_ingest:
+            clock = float(b.sample_clock)
+            end = float((nf - 1) * b.hop + b.window)
+        else:
+            clock = float(b.ring.sample_clock)
+            end = float(int((nf - 1) * b.hop + 0.5) + b.window)
+        return clock - end
+
     def pull(self, max_frames: Optional[int] = None) -> np.ndarray:
         """Process pending blobs -> RGBA8 columns [T, P, 4].
 

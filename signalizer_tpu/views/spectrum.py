@@ -88,6 +88,23 @@ class SpectrumProcessor:
     def process_to_host(self, frames) -> np.ndarray:
         return np.asarray(self.process(frames))
 
+    def process_with_preliminary(
+        self, history, preliminary, num_samples: int = None
+    ) -> jax.Array:
+        """Analyze one frame stitched from retained history plus the raw
+        in-flight block of the current audio callback — the reference's
+        preliminary-audio path (TransformDSP.inl:233-484): display keeps
+        up with the newest samples without waiting for the history
+        commit. ``history`` [pairs, 2, H] newest-last, ``preliminary``
+        [pairs, 2, S]; returns display results [pairs, 1, K, rows, P].
+        Bit-equal to committing the block first (tests lock this)."""
+        from signalizer_tpu.kernels.spectrum import stitch_preliminary
+
+        history = jnp.asarray(history, jnp.float32)
+        preliminary = jnp.asarray(preliminary, jnp.float32)
+        frame = stitch_preliminary(self.constant, history, preliminary, num_samples)
+        return self.process(frame[:, None])
+
 
 # ---------------------------------------------------------------------------
 # RSNT algorithm path (ref: TransformDSP.inl:1213-1295 resonatingDispatch)
