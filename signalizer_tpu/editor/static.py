@@ -113,6 +113,7 @@ function renderTabs() {
   bar.appendChild(status);
 }
 function selectTab(t) {
+  if (t === state.tab) t = "none";  // deselect -> idle view (CDefaultView)
   state.tab = t;
   state.layout = null;
   api.post("/api/settings", {selected_tab: state.tabs.indexOf(t)});
@@ -231,6 +232,8 @@ function presetWidget() {
 
 function loadPanel() {
   const body = $("#pagebody"), ptabs = $("#pagetabs");
+  if (state.tab === "none") { ptabs.innerHTML = ""; body.innerHTML =
+      '<div class="hint">no view selected - click a tab</div>'; return; }
   if (state.tab === "graph") { ptabs.innerHTML = ""; body.innerHTML =
       '<div class="hint">drag pin to pin to connect - click an edge to remove<br>' +
       'double-click the host node to rename</div>'; return; }
@@ -363,6 +366,51 @@ function fit() {
 window.addEventListener("resize", fit);
 const rgba = c => "rgba(" + Math.round(c[0] * 255) + "," + Math.round(c[1] * 255) +
     "," + Math.round(c[2] * 255) + "," + (c.length > 3 ? c[3] : 1) + ")";
+
+// ------------------------------------------------------ default (idle) view
+// ref: CDefaultView, SignalizerDesign.h:437-617 — bouncing "No view
+// selected" text on a black canvas; the colour re-randomizes on every
+// wall collision (the JUCE glow becomes a canvas shadow), moving 1 px
+// per `speed` ms with fractional-move accumulation so the animation is
+// frame-rate independent (repaintMainContent2's fractionateMoves math).
+const dflt = {x: null, y: null, vx: 1, vy: 1, colour: "#888", last: 0,
+              frac: 0, speed: 10, text: "No view selected"};
+function dfltCollide() {
+  const r = () => Math.floor(Math.random() * 256);
+  dflt.colour = "rgb(" + r() + "," + r() + "," + r() + ")";
+}
+function drawDefaultView() {
+  const w = canvas.width, h = canvas.height;
+  ctx.fillStyle = "#000"; ctx.fillRect(0, 0, w, h);
+  const fs = 20 * devicePixelRatio;
+  ctx.font = fs + "px sans-serif";
+  const tw = ctx.measureText(dflt.text).width, th = fs;
+  if (dflt.x === null) {  // first paint: random start (ref resized())
+    dflt.x = Math.random() * Math.max(1, w - tw);
+    dflt.y = Math.random() * Math.max(1, h - th);
+    dflt.last = Date.now();
+    dfltCollide();
+  }
+  const now = Date.now();
+  const precise = dflt.frac + (now - dflt.last) / dflt.speed;
+  let moves = Math.floor(precise);
+  dflt.frac = precise - moves;
+  dflt.last = now;
+  while (moves-- > 0) {
+    dflt.x += dflt.vx; dflt.y += dflt.vy;
+    let hit = false;
+    if (dflt.x + tw >= w) { dflt.vx = -dflt.vx; dflt.x = w - tw; hit = true; }
+    if (dflt.y + th >= h) { dflt.vy = -dflt.vy; dflt.y = h - th; hit = true; }
+    if (dflt.x <= 0) { dflt.vx = -dflt.vx; dflt.x = 0; hit = true; }
+    if (dflt.y <= 0) { dflt.vy = -dflt.vy; dflt.y = 0; hit = true; }
+    if (hit) dfltCollide();
+  }
+  ctx.shadowColor = dflt.colour; ctx.shadowBlur = 8 * devicePixelRatio;
+  ctx.fillStyle = dflt.colour;
+  ctx.textBaseline = "top";
+  ctx.fillText(dflt.text, dflt.x, dflt.y);
+  ctx.shadowBlur = 0; ctx.textBaseline = "alphabetic";
+}
 
 function drawSpectrum(f) {
   const W = canvas.width, H = canvas.height;
@@ -676,7 +724,8 @@ async function refreshState() {
   state.pollMs = Math.max(30, s.refresh_rate_ms);
   if (!state.tabs.length) {
     state.tabs = s.tabs;
-    state.tab = s.tabs[Math.min(s.selected_tab, s.tabs.length - 1)] || "spectrum";
+    state.tab = s.selected_tab < 0 ? "none"  // idle view persisted
+        : s.tabs[Math.min(s.selected_tab, s.tabs.length - 1)] || "spectrum";
     renderTabs(); loadPanel(); applyScheme(s.colour_scheme);
   }
   const el = $("#status");
@@ -691,7 +740,9 @@ async function refreshState() {
 }
 async function frameLoop() {
   try {
-    if (state.tab === "graph") {
+    if (state.tab === "none") {
+      drawDefaultView();
+    } else if (state.tab === "graph") {
       state.graph = state.graph || await api.get("/api/graph");
       drawGraph();
     } else if (state.tab !== "global") {
