@@ -40,17 +40,24 @@ Wider zooms take the existing XLA wide-band/gather paths via
 `_banded_dispatch`.
 
 Measured (TPU v5 lite, cfg3 geometry, scan-slope scalar-checksum sync,
-tools/resample_bench.py, round 3):
+tools/resample_bench.py, round 3; dual-output rows round 5):
 
-    ==========================  ===========
-    formulation                 ms/step
-    ==========================  ===========
-    XLA banded (width 64)       1.739
-    fused Pallas (this)         0.554   (3.1x)
-    ==========================  ===========
+    ==============================  ===========
+    formulation                     ms/step
+    ==============================  ===========
+    XLA banded (width 64)           1.739
+    fused Pallas (this)             0.554   (3.1x)
+    2x Pallas (lanczos + nearest)   0.948   (old env_os=1 envelope pair)
+    dual-output (with_nearest)      0.725   (24% off the pair)
+    ==============================  ===========
+
+Dual-output parity on device: wave bit-equal to the single-output
+call, nearest bit-equal to the XLA banded nearest (round 5).
 
 This is the production path: `_banded_dispatch` routes every covered
-resample here on TPU (kernels/oscilloscope.py).
+resample here on TPU (kernels/oscilloscope.py), and the oscilloscope
+step's env_os==1 envelope pick rides the dual output
+(`sinc_resample_with_nearest`).
 """
 
 from __future__ import annotations
@@ -87,11 +94,15 @@ def covers(max_step, a: int):
     return max_step * (BLOCK - 1) + 2 * a + 2 + BLOCK <= WIN
 
 
-def _kernel(s_ref, x_ref, pos_ref, out_ref, *, a: int, kind: str, nb: int,
-            pad_l: int):
+def _kernel(s_ref, x_ref, pos_ref, out_ref, near_ref=None, *, a: int,
+            kind: str, nb: int, pad_l: int):
     """One pair. x_ref [1, R, W128, 128]; pos_ref [1, nb, 128];
     s_ref (prefetched) [pairs, nb] int32 window sublane starts;
-    out_ref [1, nb, R, 128]."""
+    out_ref [1, nb, R, 128]. ``near_ref`` (present when the caller asks
+    for the dual output): nearest-sample picks at the SAME positions —
+    the oscilloscope step's min-max envelope source when env_os == 1,
+    reusing this kernel's band window and t-grid instead of paying a
+    second full banded pass (round-4 verdict #5)."""
     b = pl.program_id(0)
 
     # Mosaic's iota is integer-only; cast after
@@ -145,12 +156,32 @@ def _kernel(s_ref, x_ref, pos_ref, out_ref, *, a: int, kind: str, nb: int,
             precision=jax.lax.Precision.HIGHEST,
         )
         out_ref[0, n, :, :] = acc
+        if near_ref is not None:
+            # nearest weights off the already-computed t grid: 2 compares
+            # + 2 dots, vs a whole second kernel invocation (band DMA +
+            # t grid + loop) for the standalone nearest pass
+            wn = ((t >= -0.5) & (t < 0.5)).astype(jnp.float32)
+            nacc = jax.lax.dot_general(
+                win[:, 0, :], wn[:, :128],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            nacc = nacc + jax.lax.dot_general(
+                win[:, 1, :], wn[:, 128:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            near_ref[0, n, :, :] = nacc
         return carry
 
     jax.lax.fori_loop(0, nb, block, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("a", "kind", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("a", "kind", "interpret", "with_nearest")
+)
 def fused_banded_resample(
     x: jax.Array,  # [B, R, W] history rows (pairs x display rows)
     pos: jax.Array,  # [B, P] fractional source positions (shared by rows)
@@ -158,12 +189,16 @@ def fused_banded_resample(
     a: int,
     kind: str = "lanczos",
     interpret: bool = False,
+    with_nearest: bool = False,
 ) -> jax.Array:
     """Drop-in for the XLA banded resample on [B, R, W] x [B, P] shapes.
 
     Returns [B, R, P]. P must be a multiple of 128. Edge behaviour
     matches the per-tap clip (edge padding, as in `_banded_resample`);
     positions may legally sit a kernel radius outside [0, W-1].
+    ``with_nearest`` additionally returns the nearest-sample pick at the
+    same positions as a second [B, R, P] array (one fused pass — see
+    ``_kernel``).
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -193,23 +228,35 @@ def fused_banded_resample(
     base = jnp.floor(pos_b[..., 0]) - (a - 1) + pad_l  # [B, nb]
     s = jnp.clip(base.astype(jnp.int32) // 128, 0, w128 // 128 - 2)
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, rows, w128 // 128, 128), lambda b, s_ref: (b, 0, 0, 0)
+        ),
+        pl.BlockSpec((1, nb, BLOCK), lambda b, s_ref: (b, 0, 0)),
+    ]
+    out_spec = pl.BlockSpec((1, nb, rows, BLOCK), lambda b, s_ref: (b, 0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, rows, w128 // 128, 128), lambda b, s_ref: (b, 0, 0, 0)
-            ),
-            pl.BlockSpec((1, nb, BLOCK), lambda b, s_ref: (b, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, nb, rows, BLOCK), lambda b, s_ref: (b, 0, 0, 0)
-        ),
+        in_specs=in_specs,
+        out_specs=[out_spec, out_spec] if with_nearest else out_spec,
     )
+    shape = jax.ShapeDtypeStruct((bsz, nb, rows, BLOCK), jnp.float32)
+    if with_nearest:
+        out, near = pl.pallas_call(
+            functools.partial(_kernel, a=a, kind=kind, nb=nb, pad_l=pad_l),
+            grid_spec=grid_spec,
+            out_shape=[shape, shape],
+            interpret=interpret,
+        )(s, x4, pos_b)
+        return (
+            out.transpose(0, 2, 1, 3).reshape(bsz, rows, p),
+            near.transpose(0, 2, 1, 3).reshape(bsz, rows, p),
+        )
     out = pl.pallas_call(
         functools.partial(_kernel, a=a, kind=kind, nb=nb, pad_l=pad_l),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((bsz, nb, rows, BLOCK), jnp.float32),
+        out_shape=shape,
         interpret=interpret,
     )(s, x4, pos_b)
     return out.transpose(0, 2, 1, 3).reshape(bsz, rows, p)

@@ -57,6 +57,7 @@ from signalizer_tpu.kernels.oscilloscope import (
     nearest_resample,
     peak_hold_triggers,
     sinc_resample,
+    sinc_resample_with_nearest,
     spectral_colour_track,
     spectral_fundamental,
     trigger_phase_offset,
@@ -732,8 +733,20 @@ def osc_step_impl(
     # --- resample rows to pixel space --------------------------------------
     start_r = start[:, None]
     step_r = step[:, None]
+    # static per-pixel oversampling for the envelope (see below); resolved
+    # here so the Lanczos path can fuse the envelope's nearest pick into
+    # the same Pallas pass when the positions coincide (env_os == 1)
+    os_ = env_os if env_os is not None else max(1, -(-(h - 1) // max(pixels - 1, 1)))
+    env_pick = None
     if constant.interpolation == SubSampleInterpolation.LANCZOS:
-        wave = sinc_resample(rows, start_r, step_r, pixels, INTERPOLATION_KERNEL_SIZE)
+        if os_ == 1:
+            wave, env_pick = sinc_resample_with_nearest(
+                rows, start_r, step_r, pixels, INTERPOLATION_KERNEL_SIZE
+            )
+        else:
+            wave = sinc_resample(
+                rows, start_r, step_r, pixels, INTERPOLATION_KERNEL_SIZE
+            )
     elif constant.interpolation == SubSampleInterpolation.LINEAR:
         wave = linear_resample(rows, start_r, step_r, pixels)
     else:  # NONE / RECTANGULAR: nearest sample (banded access pattern)
@@ -748,12 +761,16 @@ def osc_step_impl(
     # hits every source sample in the span, so with OS >= h/pixels >=
     # max step this is the exact min/max, and it rides the banded/Pallas
     # resample path instead of a scatter.
-    # static per-pixel oversampling >= the actual step (see env_os doc);
-    # the fence-post bound ceil((h-1)/(pixels-1)) dominates the max
-    # possible step (window-1)/(pixels-1) for every window <= h (plain
-    # ceil(h/pixels) does NOT when pixels divides h: 4095/255 > 4096/256)
-    os_ = env_os if env_os is not None else max(1, -(-(h - 1) // max(pixels - 1, 1)))
-    dense = nearest_resample(rows, start_r, step_r / os_, pixels * os_)
+    # static per-pixel oversampling >= the actual step (see env_os doc;
+    # os_ resolved above): the fence-post bound ceil((h-1)/(pixels-1))
+    # dominates the max possible step (window-1)/(pixels-1) for every
+    # window <= h (plain ceil(h/pixels) does NOT when pixels divides h:
+    # 4095/255 > 4096/256). At os_ == 1 on the Lanczos path the pick
+    # rides the fused dual-output kernel above (same positions).
+    if env_pick is not None:
+        dense = env_pick
+    else:
+        dense = nearest_resample(rows, start_r, step_r / os_, pixels * os_)
     dense = dense.reshape(dense.shape[:-1] + (pixels, os_))
     env_min = jnp.min(dense, axis=-1)
     env_max = jnp.max(dense, axis=-1)

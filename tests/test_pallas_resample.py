@@ -133,3 +133,45 @@ def test_covers_predicate():
     # ~1:1 display is NOT covered for a=10 (max_step*127+2a+2+128 > 256)
     assert not covers(1.0, INTERPOLATION_KERNEL_SIZE)
     assert bool(covers(0.8, 10))
+
+
+def test_dual_output_nearest_matches_single_pass():
+    """with_nearest=True returns the lanczos wave bit-equal to the
+    single-output call plus the nearest pick matching the oracle — the
+    fused envelope source of the oscilloscope step (round-4 verdict #5)."""
+    x, pos = _mk(step=0.55)
+    a = INTERPOLATION_KERNEL_SIZE
+    assert covers(0.55, a)
+    wave, near = fused_banded_resample(
+        jnp.asarray(x), jnp.asarray(pos), a=a, kind="lanczos",
+        with_nearest=True, interpret=True,
+    )
+    single = fused_banded_resample(
+        jnp.asarray(x), jnp.asarray(pos), a=a, kind="lanczos", interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(wave), np.asarray(single))
+    np.testing.assert_allclose(
+        np.asarray(near), _oracle(x, pos, 1, "nearest"), atol=1e-6
+    )
+
+
+def test_sinc_resample_with_nearest_cpu_fallback_matches_separate():
+    """Off-TPU the dual helper must produce exactly the two standalone
+    resamples (the per-view/fused session parity depends on it)."""
+    from signalizer_tpu.kernels.oscilloscope import (
+        nearest_resample,
+        sinc_resample,
+        sinc_resample_with_nearest,
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 2, 2048)).astype(np.float32)
+    start = np.full((2, 1), 100.0, np.float32)
+    step = np.full((2, 1), 0.5, np.float32)
+    wave, near = sinc_resample_with_nearest(jnp.asarray(x), start, step, 256)
+    np.testing.assert_array_equal(
+        np.asarray(wave), np.asarray(sinc_resample(jnp.asarray(x), start, step, 256))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(near), np.asarray(nearest_resample(jnp.asarray(x), start, step, 256))
+    )

@@ -147,6 +147,44 @@ def main() -> None:
         **deltas,
         "frames_per_sec_full": round(1e6 / stages["full"], 1),
     }
+
+    # --- roofline (round-4 verdict #8): achieved FLOP/s and arithmetic
+    # intensity of the full headline step vs the chip's ceilings, from
+    # XLA's own cost model on the compiled executable. v5e (v5 lite)
+    # peaks: 197 TFLOP/s bf16 MXU and 819 GB/s HBM; the value-path FFT
+    # matmuls run precision=HIGH (bf16x3: one logical f32-accurate MAC
+    # decomposed into 3 bf16 MXU passes), so their effective ceiling is
+    # peak/3. The printed bound says which wall the next optimization
+    # must attack.
+    PEAK_BF16 = 197e12
+    PEAK_BF16X3 = PEAK_BF16 / 3.0  # one logical MAC = 3 bf16 passes
+    HBM_BPS = 819e9
+    try:
+        compiled = (
+            jax.jit(lambda st, f: p_full(f, st)).lower(state, frames).compile()
+        )
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        step_s = stages["full"] * pairs * t_steps * 1e-6
+        achieved = flops / step_s if step_s else 0.0
+        intensity = flops / bytes_acc if bytes_acc else float("inf")
+        ridge = PEAK_BF16X3 / HBM_BPS  # FLOP/B where compute == bandwidth
+        out.update(
+            roofline_flops_per_step=flops,
+            roofline_bytes_per_step=bytes_acc,
+            achieved_tflops=round(achieved / 1e12, 3),
+            pct_of_bf16x3_peak=round(100.0 * achieved / PEAK_BF16X3, 2),
+            arithmetic_intensity_flop_per_byte=round(intensity, 2),
+            ridge_flop_per_byte=round(ridge, 1),
+            bound="memory" if intensity < ridge else "compute",
+            hbm_utilization_pct=round(
+                100.0 * (bytes_acc / step_s) / HBM_BPS, 2
+            ) if step_s else 0.0,
+        )
+    except Exception as e:  # cost model unavailable on some backends
+        out["roofline_error"] = f"{type(e).__name__}: {e}"[:160]
     print(json.dumps(out))
 
 

@@ -72,16 +72,51 @@ def main() -> int:
         w = fused_banded_resample(xx, p, a=a, kind="lanczos")
         return jnp.roll(xx, 1, axis=-1), p + 1.0, acc + jnp.sum(w)
 
+    # old env_os==1 production pair: fused lanczos + a second full banded
+    # pass for the nearest envelope pick (round-4 verdict #5 baseline)
+    def two_pass_body(c):
+        xx, p, acc = c
+        w = fused_banded_resample(xx, p, a=a, kind="lanczos")
+        n = _banded_resample(xx, p[:, None, :], 1, 64, "nearest")
+        return jnp.roll(xx, 1, axis=-1), p + 1.0, acc + jnp.sum(w) + jnp.sum(n)
+
+    # old env_os==1 production pair as actually routed on TPU: BOTH
+    # passes were the Pallas kernel (lanczos + nearest invocations)
+    def two_pallas_body(c):
+        xx, p, acc = c
+        w = fused_banded_resample(xx, p, a=a, kind="lanczos")
+        n = fused_banded_resample(xx, p, a=1, kind="nearest")
+        return jnp.roll(xx, 1, axis=-1), p + 1.0, acc + jnp.sum(w) + jnp.sum(n)
+
+    # new: one kernel invocation, both outputs
+    def dual_body(c):
+        xx, p, acc = c
+        w, n = fused_banded_resample(xx, p, a=a, kind="lanczos", with_nearest=True)
+        return jnp.roll(xx, 1, axis=-1), p + 1.0, acc + jnp.sum(w) + jnp.sum(n)
+
     init = (x, pos, jnp.float32(0.0))
-    for name, body in (("xla banded (64)", xla_body), ("pallas fused", pallas_body)):
+    for name, body in (
+        ("xla banded (64)", xla_body),
+        ("pallas fused", pallas_body),
+        ("pallas + nearest 2pass", two_pass_body),
+        ("2x pallas (old env pair)", two_pallas_body),
+        ("pallas dual-output", dual_body),
+    ):
         dt = scan_rate(body, init)
-        print(f"{name:20s} {dt * 1e3:8.3f} ms/step", flush=True)
+        print(f"{name:24s} {dt * 1e3:8.3f} ms/step", flush=True)
 
     # parity spot check on-device
     w_x = _banded_resample(x, pos[:, None, :], a, 64, "lanczos")
     w_p = fused_banded_resample(x, pos, a=a, kind="lanczos")
     err = float(jnp.max(jnp.abs(w_x - w_p)))
     print(f"max |xla - pallas| = {err:.2e}", flush=True)
+    w_d, n_d = fused_banded_resample(x, pos, a=a, kind="lanczos", with_nearest=True)
+    n_x = _banded_resample(x, pos[:, None, :], 1, 64, "nearest")
+    print(
+        f"dual: |wave - single| = {float(jnp.max(jnp.abs(w_d - w_p))):.2e}"
+        f"  |near - banded| = {float(jnp.max(jnp.abs(n_d - n_x))):.2e}",
+        flush=True,
+    )
     return 0
 
 
