@@ -101,8 +101,11 @@ def main() -> None:
     stages = {}
 
     def measure(name, body, carry):
-        us = _scan_rate(body, carry, k1=args.k1, k2=args.k2) / (pairs * t_steps) * 1e6
+        sec, meta = _scan_rate(body, carry, k1=args.k1, k2=args.k2)
+        us = sec / (pairs * t_steps) * 1e6
         stages[name] = round(us, 4)
+        if meta.get("degraded"):
+            stages[f"{name}_degraded"] = True
         print(f"  {name}: {us:.3f} us/frame", file=sys.stderr)
 
     def simple_body(fn):
