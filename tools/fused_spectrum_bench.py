@@ -128,7 +128,7 @@ def main() -> None:
             x, acc = c
             return jnp.roll(x, 1, axis=-1), acc + jnp.sum(fn(x))
 
-        us = _scan_rate(body, (big, jnp.float32(0.0)), k1=8, k2=64) / frames_per * 1e6
+        us = _scan_rate(body, (big, jnp.float32(0.0)), k1=8, k2=64)[0] / frames_per * 1e6
         out[f"mag_us_{name}"] = round(us, 4)
         print(f"  mag {name}: {us:.3f} us/frame", file=sys.stderr)
 
@@ -155,7 +155,7 @@ def main() -> None:
             x, acc = c
             return jnp.roll(x, 1, axis=-1), acc + f(x)
 
-        us = _scan_rate(body, (big, jnp.float32(0.0)), k1=8, k2=64) / frames_per * 1e6
+        us = _scan_rate(body, (big, jnp.float32(0.0)), k1=8, k2=64)[0] / frames_per * 1e6
         out[f"pipeline_us_{name}"] = round(us, 4)
         print(f"  pipeline {name}: {us:.3f} us/frame", file=sys.stderr)
 

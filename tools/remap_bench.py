@@ -223,7 +223,7 @@ def main() -> None:
             return jnp.roll(x, 1, axis=-1), acc + jnp.sum(fn(x))
 
         us = (
-            _scan_rate(body, (big, jnp.float32(0.0)), k1=8, k2=64)
+            _scan_rate(body, (big, jnp.float32(0.0)), k1=8, k2=64)[0]
             / (pairs * t_steps)
             * 1e6
         )
@@ -251,7 +251,7 @@ def main() -> None:
             return jnp.roll(x, 1, axis=-1), acc + fn(x)
 
         us = (
-            _scan_rate(body, (frames, jnp.float32(0.0)), k1=8, k2=64)
+            _scan_rate(body, (frames, jnp.float32(0.0)), k1=8, k2=64)[0]
             / (pairs * t_steps)
             * 1e6
         )
