@@ -425,6 +425,96 @@ class SpectrumResult(NamedTuple):
     state: LineGraphState
 
 
+# T (frames per call) at or above which the decay+dB stage runs in log
+# domain (see _log_decay_db). Below it — the per-tick session path frames
+# T=1-2 — the linear path's boundary-free single step is cheaper than the
+# log/exp state round trip. Static shape ⇒ the branch resolves at trace
+# time; tests pin both paths to the same oracle.
+_LOG_DECAY_MIN_T = 8
+
+_LOG_TINY = -87.49823353377052  # log(1e-38), the _db_map clamp in log space
+
+
+def _log_decay_db(
+    constant: SpectrumConstant,
+    mag_state: jax.Array,
+    vals: jax.Array,
+    poles: jax.Array,
+    valid=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Peak decay + dB map evaluated in log domain (max-plus algebra).
+
+    Semantics identical (within float rounding) to
+    ``_db_map(constant, peak_decay_scan(mag_state, vals[...,None,:,:], poles))``
+    — the reference chain TransformDSP.inl:1336-1341 (CPeakFilter) +
+    :1308-1346 (dB map). Motivation (round-5 roofline, docs/ROUND5.md §8):
+    the linear-domain stage is 1.15 µs/frame — 49% of the headline step —
+    because the associative scan carries TWO arrays (running pole product
+    + decayed value, two multiplies + max per combine) over the full
+    ``[T, K, rows, P]`` broadcast, and ``_db_map`` then takes a log per
+    *output* element. In log space the recurrence
+    ``s[t] = max(pole * s[t-1], x[t])`` becomes the max-plus form
+    ``ls[t] = max(lp + ls[t-1], lx[t])``, whose scan solution is a plain
+    running max of the tilted sequence ``u[t] = lx[t] - L[t]``
+    (``L`` = inclusive prefix sum of per-step ``lp``, identity steps
+    contribute 0 for ``valid`` masking):
+
+        ls[t] = L[t] + max(ls0, cummax(u)[t])
+
+    — ONE carried array with a max-only combine, ``log`` evaluated on the
+    K-independent ``vals`` (K× fewer transcendentals), and the dB map is
+    a pure affine step because it needed ``log(decayed)`` anyway. Zeros
+    ride as ``-inf`` (the exact max-plus identity; ``exp(-inf) = 0``
+    restores the true linear limit in the carried state).
+
+    Numerics: poles clamp at 1e-20 (a zero pole's one-step decay already
+    lands below any representable magnitude, so the clamp is
+    display-invisible) which bounds ``|L|`` ≤ 46·T — f32-safe tilt
+    magnitudes for any realistic T. Returns ``(results, new_mag_state)``
+    with the carried state back in linear domain (``LineGraphState``'s
+    public contract is linear magnitudes).
+    """
+    neg_inf = jnp.float32(-jnp.inf)
+    T = vals.shape[-3]
+    lx = jnp.where(vals > 0, jnp.log(jnp.where(vals > 0, vals, 1.0)), neg_inf)
+    if valid is not None:
+        v = jnp.asarray(valid)
+        lx = jnp.where(v.reshape((T, 1, 1)), lx, neg_inf)
+        lpv = jnp.where(
+            v[:, None], jnp.log(jnp.maximum(poles, 1e-20))[None, :], 0.0
+        )
+    else:
+        lpv = jnp.broadcast_to(
+            jnp.log(jnp.maximum(poles, 1e-20))[None, :], (T, poles.shape[0])
+        )
+    L = jnp.cumsum(lpv, axis=0)[:, :, None, None]  # [T, K, 1, 1]
+    u = lx[..., :, None, :, :] - L  # [..., T, K, rows, P]
+    c = jax.lax.associative_scan(jnp.maximum, u, axis=-4)
+    ls0 = jnp.where(
+        mag_state > 0, jnp.log(jnp.where(mag_state > 0, mag_state, 1.0)), neg_inf
+    )
+    ls = L + jnp.maximum(ls0[..., None, :, :, :], c)  # [..., T, K, rows, P]
+    # _db_map in log space: log(slope*m/lower)/log(upper/lower) with the
+    # exact-identity lower/upper logs (low_dbs * ln(10)/20)
+    ln10_over_20 = 0.11512925464970229
+    lower_log = constant.low_dbs * ln10_over_20
+    upper_log = constant.high_dbs * ln10_over_20
+    dyr = 1.0 / (upper_log - lower_log)
+    lslope = jnp.where(
+        constant.slope_map > 0,
+        jnp.log(jnp.maximum(constant.slope_map, 1e-38)),
+        neg_inf,
+    )
+    ld = ls + (lslope - lower_log)
+    results = jnp.where(
+        ld == neg_inf,
+        jnp.float32(constant.clip_db),
+        jnp.maximum(ld, _LOG_TINY) * jnp.float32(dyr),
+    )
+    new_state = jnp.exp(ls[..., -1, :, :, :])
+    return results, new_state
+
+
 def post_process(
     constant: SpectrumConstant, state: LineGraphState, vals: jax.Array, valid=None
 ) -> SpectrumResult:
@@ -478,6 +568,11 @@ def post_process(
         full_mag = state.magnitude.at[..., 0:1, :].set(new_mag_state)
         return SpectrumResult(results, LineGraphState(full_mag, phase_state))
 
+    if vals.shape[-3] >= _LOG_DECAY_MIN_T:
+        results, new_state = _log_decay_db(
+            constant, state.magnitude, vals, poles, valid=valid
+        )
+        return SpectrumResult(results, LineGraphState(new_state, state.phase))
     decayed, new_state = peak_decay_scan(
         state.magnitude, seq, poles[:, None, None], time_axis=-4, valid=valid
     )

@@ -454,3 +454,103 @@ def test_band_tables_tile_segment_ids_property():
         dead = plan.interp_mask | plan.single_mask
         assert not plan.band_mask[dead].any()
         assert (plan.band_idx >= 0).all() and (plan.band_idx < nv).all()
+
+
+# --- log-domain decay+dB (round 5: headline roofline put 49% of the step
+# in the linear-domain decay+dB stage; kernels/spectrum._log_decay_db) ---
+
+
+def _linear_post(monkeypatch_free_constant, state, frames, valid=None):
+    """Reference arm: force the linear-domain decay+dB path."""
+    import signalizer_tpu.kernels.spectrum as sp
+
+    saved = sp._LOG_DECAY_MIN_T
+    sp._LOG_DECAY_MIN_T = 10**9
+    try:
+        return analyze_frames(monkeypatch_free_constant, state, frames, valid=valid)
+    finally:
+        sp._LOG_DECAY_MIN_T = saved
+
+
+def test_log_decay_db_matches_linear_path():
+    """T >= threshold routes decay+dB through the log-domain max-plus form;
+    results and carried state must match the linear-domain path within
+    float rounding (same semantics, different algebra)."""
+    constant = _make(
+        SpectrumChannels.SEPARATE, BinInterpolation.LINEAR, ViewScaling.LOGARITHMIC, 128
+    )
+    rng = np.random.default_rng(21)
+    frames = rng.standard_normal((2, 16, 2, constant.window_size)).astype(np.float32)
+    frames[0, 3] = 0.0  # a silent frame: zeros ride as -inf in log domain
+    state = init_line_graph_state(constant, (2,))
+    got = analyze_frames(constant, state, jnp.asarray(frames))
+    want = _linear_post(constant, state, jnp.asarray(frames))
+    np.testing.assert_allclose(
+        np.asarray(got.results), np.asarray(want.results), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.state.magnitude),
+        np.asarray(want.state.magnitude),
+        rtol=2e-4,
+        atol=1e-7,
+    )
+
+
+def test_log_decay_db_valid_mask_matches_linear_path():
+    constant = _make(
+        SpectrumChannels.LEFT, BinInterpolation.LINEAR, ViewScaling.LOGARITHMIC, 96
+    )
+    rng = np.random.default_rng(22)
+    frames = np.zeros((1, 12, 2, constant.window_size), np.float32)
+    frames[:, :9] = rng.standard_normal((1, 9, 2, constant.window_size)).astype(
+        np.float32
+    )
+    valid = jnp.asarray([True] * 9 + [False] * 3)
+    state = init_line_graph_state(constant, (1,))
+    got = analyze_frames(constant, state, jnp.asarray(frames), valid=valid)
+    want = _linear_post(constant, state, jnp.asarray(frames), valid=valid)
+    np.testing.assert_allclose(
+        np.asarray(got.results)[:, :9], np.asarray(want.results)[:, :9],
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.state.magnitude),
+        np.asarray(want.state.magnitude),
+        rtol=2e-4,
+        atol=1e-7,
+    )
+
+
+def test_log_decay_db_chained_calls_match_one_call():
+    """Two T=8 calls (log path, with the linear state round trip at the
+    call boundary) == one T=16 call == the linear-domain chain."""
+    constant = _make(
+        SpectrumChannels.MIDSIDE, BinInterpolation.LANCZOS, ViewScaling.LOGARITHMIC, 64
+    )
+    rng = np.random.default_rng(23)
+    frames = rng.standard_normal((1, 16, 2, constant.window_size)).astype(np.float32)
+    state = init_line_graph_state(constant, (1,))
+    whole = analyze_frames(constant, state, jnp.asarray(frames))
+    a = analyze_frames(constant, state, jnp.asarray(frames[:, :8]))
+    b = analyze_frames(constant, a.state, jnp.asarray(frames[:, 8:]))
+    np.testing.assert_allclose(
+        np.asarray(b.results), np.asarray(whole.results)[:, 8:], rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.state.magnitude),
+        np.asarray(whole.state.magnitude),
+        rtol=2e-4,
+        atol=1e-7,
+    )
+
+
+def test_log_decay_db_silence_clips():
+    """All-silent input through the log path lands exactly on clip_db."""
+    constant = _make(
+        SpectrumChannels.LEFT, BinInterpolation.NONE, ViewScaling.LINEAR, 64
+    )
+    frames = np.zeros((1, 8, 2, constant.window_size), np.float32)
+    state = init_line_graph_state(constant, (1,))
+    result = analyze_frames(constant, state, jnp.asarray(frames))
+    np.testing.assert_allclose(np.asarray(result.results), float(constant.clip_db))
+    assert np.all(np.asarray(result.state.magnitude) == 0.0)
