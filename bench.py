@@ -893,7 +893,10 @@ def main(only: str = None) -> None:
 
         @jax.jit
         def sg_step(state, frames, hold):
-            r = analyze_frames(c4, state, frames, valid=valid4)
+            # decay_domain="linear" — the production spectrogram routing
+            # (views/spectrogram.py): the colormap consumer measures
+            # 2.6 us/frame slower after the log-domain decay (round-5 A/B)
+            r = analyze_frames(c4, state, frames, valid=valid4, decay_domain="linear")
             intensity = r.results[:, :, 0, 0, :]
             cols = spectrogram_columns(intensity, colours, ratios)
             # 1000-frame peak hold: running max across the time axis

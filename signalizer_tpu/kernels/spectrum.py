@@ -516,7 +516,11 @@ def _log_decay_db(
 
 
 def post_process(
-    constant: SpectrumConstant, state: LineGraphState, vals: jax.Array, valid=None
+    constant: SpectrumConstant,
+    state: LineGraphState,
+    vals: jax.Array,
+    valid=None,
+    decay_domain: str = "auto",
 ) -> SpectrumResult:
     """Apply per-line-graph peak decay + dB mapping over a time-sequence.
 
@@ -528,6 +532,17 @@ def post_process(
     ``valid``: optional [T] bool — False frames are host padding and leave
     every filter state untouched (their result rows are garbage; callers
     slice them off).
+
+    ``decay_domain``: ``"auto"`` (default) runs the stage in log domain for
+    T >= ``_LOG_DECAY_MIN_T`` — 1.48x the whole headline step on chip
+    (docs/ROUND5.md §9). ``"linear"`` forces the linear associative scan:
+    measured on chip (round 5, tools-level A/B), a downstream
+    ``spectrogram_columns`` consumer runs 2.6 us/frame SLOWER after the
+    log form (168k vs 469k f/s on the full cfg4 spectrogram step) for
+    reasons invisible to HLO structure, cost analysis, VMEM assignment,
+    or any local probe (optimization_barrier, scan axis, dot form, finite
+    sentinels — all measured no-ops); colormap-consuming surfaces route
+    here explicitly. ``"log"`` forces the log form regardless of T.
     """
     poles = constant.decay_poles  # [K]
     # [..., T, K, rows, P]
@@ -568,7 +583,10 @@ def post_process(
         full_mag = state.magnitude.at[..., 0:1, :].set(new_mag_state)
         return SpectrumResult(results, LineGraphState(full_mag, phase_state))
 
-    if vals.shape[-3] >= _LOG_DECAY_MIN_T:
+    use_log = decay_domain == "log" or (
+        decay_domain == "auto" and vals.shape[-3] >= _LOG_DECAY_MIN_T
+    )
+    if use_log:
         results, new_state = _log_decay_db(
             constant, state.magnitude, vals, poles, valid=valid
         )
@@ -581,7 +599,11 @@ def post_process(
 
 
 def analyze_frames(
-    constant: SpectrumConstant, state: LineGraphState, frames: jax.Array, valid=None
+    constant: SpectrumConstant,
+    state: LineGraphState,
+    frames: jax.Array,
+    valid=None,
+    decay_domain: str = "auto",
 ) -> SpectrumResult:
     """Full pipeline: frames [..., T, C, W] -> display results.
 
@@ -589,7 +611,9 @@ def analyze_frames(
     :func:`spectrum_values` + :func:`post_process`); equivalent to the
     reference's per-frame audioEntryPoint -> addAudioFrame chain
     (ref: TransformDSP.inl:1163-1211, :1137-1148). ``valid`` [T] masks
-    host-padded frames out of the filter states (see :func:`post_process`).
+    host-padded frames out of the filter states; ``decay_domain`` routes
+    the decay+dB stage (see :func:`post_process` — colormap consumers
+    pass ``"linear"``).
     """
     vals = spectrum_values(constant, frames)  # [..., T, rows, P]
-    return post_process(constant, state, vals, valid=valid)
+    return post_process(constant, state, vals, valid=valid, decay_domain=decay_domain)

@@ -260,7 +260,12 @@ def sharded_spectrogram_step(constant: SpectrumConstant, mesh: Mesh, axis: str =
     spec_b = P(axis)
 
     def shard_fn(state: LineGraphState, frames, colours, ratios, valid):
-        result = analyze_frames(constant, state, frames, valid=valid)
+        # linear decay: the colour map downstream runs 2.6 us/frame slower
+        # composed after the log-domain form (round-5 chip A/B; matches the
+        # single-device spectrogram step so the blend parity stays exact)
+        result = analyze_frames(
+            constant, state, frames, valid=valid, decay_domain="linear"
+        )
         intensity = result.results[:, :, 0, 0, :]  # [local_pairs, T, P]
         rgb = jax.vmap(lambda inten, cols: gradient_map(inten, cols, ratios))(
             intensity, colours

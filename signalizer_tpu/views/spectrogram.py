@@ -63,7 +63,12 @@ def _spectrogram_step(
     ``valid`` [T] bool: False frames are host padding (bucketed batch
     shape); they leave the decay state untouched and their columns are
     sliced off by the caller."""
-    result = analyze_frames(constant, state, frames, valid=valid)
+    # decay_domain="linear": on chip the colour map downstream runs
+    # 2.6 us/frame slower composed after the log-domain decay (round-5
+    # A/B, see post_process) — spectrogram surfaces force the linear scan
+    result = analyze_frames(
+        constant, state, frames, valid=valid, decay_domain="linear"
+    )
     # spectrogram uses the main line graph's decayed dB row
     # (ref: addAudioFrame uses LineMain, TransformDSP.inl:1144-1147)
     intensity = result.results[:, :, 0, 0, :]  # [pairs, T, P]
@@ -94,7 +99,9 @@ def _spectrogram_ring_step(
     ring = ring_update(ring, new, n_valid)
     t_max = frame_valid.shape[0]
     frames = extract_frames(ring, constant.window_size, hop, t_max, frame_axis=-3)
-    result = analyze_frames(constant, state, frames, valid=frame_valid)
+    result = analyze_frames(
+        constant, state, frames, valid=frame_valid, decay_domain="linear"
+    )
     intensity = result.results[:, :, 0, 0, :]
     cols = spectrogram_columns(intensity, colours, ratios)
     return cols, ring, result.state

@@ -554,3 +554,53 @@ def test_log_decay_db_silence_clips():
     result = analyze_frames(constant, state, jnp.asarray(frames))
     np.testing.assert_allclose(np.asarray(result.results), float(constant.clip_db))
     assert np.all(np.asarray(result.state.magnitude) == 0.0)
+
+
+def test_decay_domain_routes_spectrogram_to_linear(monkeypatch):
+    """The spectrogram family forces decay_domain='linear' (round-5 chip
+    A/B: spectrogram_columns runs 2.6 us/frame slower composed after the
+    log-domain decay — see post_process). 'linear' must bypass the log
+    path entirely at any T; 'auto' must still take it at T >= threshold;
+    and the spectrogram step itself must ride the linear route."""
+    import jax
+
+    import signalizer_tpu.kernels.spectrum as sp
+    from signalizer_tpu.kernels.colormap import normalize_ratios
+    from signalizer_tpu.views.spectrogram import (
+        DEFAULT_GRADIENT,
+        DEFAULT_RATIOS,
+        _spectrogram_step,
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("log path taken")
+
+    monkeypatch.setattr(sp, "_log_decay_db", boom)
+
+    # a geometry no other test traces, so the jit cache cannot mask the
+    # monkeypatch (tracing is where the route is chosen)
+    constant = _make(
+        SpectrumChannels.LEFT, BinInterpolation.LINEAR, ViewScaling.LOGARITHMIC, 97
+    )
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(
+        rng.standard_normal((1, 16, 2, constant.window_size)).astype(np.float32)
+    )
+    state = init_line_graph_state(constant, (1,))
+
+    # explicit linear routing never touches the log path
+    r = analyze_frames(constant, state, frames, decay_domain="linear")
+    assert np.isfinite(np.asarray(r.results)).all()
+
+    # the production spectrogram step rides the linear route
+    colours = jnp.asarray(np.asarray(DEFAULT_GRADIENT)[None])
+    ratios = jnp.asarray(normalize_ratios(DEFAULT_RATIOS), jnp.float32)
+    valid = jnp.ones((16,), bool)
+    cols, _ = _spectrogram_step(constant, state, frames, colours, ratios, valid)
+    assert cols.shape[-1] == 4
+
+    # default 'auto' still takes the log path at this T
+    with pytest.raises(Exception):
+        jax.jit(
+            lambda s, f: analyze_frames(constant, s, f, decay_domain="auto")
+        ).lower(state, frames)
