@@ -113,6 +113,11 @@ class LineGraphRenderFeed:
         self._db_grid = db_meter_axis(
             self.low_dbs, self.high_dbs, max_divisions=self.max_divisions
         )
+        # per-tick caches (single host core, 60 Hz): the x ramp, the
+        # legend (layout/colours only — no per-tick data), and the strip
+        # labels are all construction-time constants per result shape
+        self._x_cache: dict = {}
+        self._legend_cache: dict = {}
 
     def _rgba(self, rgb: np.ndarray, alpha: float) -> np.ndarray:
         return np.asarray([rgb[0], rgb[1], rgb[2], alpha], np.float32)
@@ -145,7 +150,9 @@ class LineGraphRenderFeed:
         if results.ndim == 3:  # [K, rows, P] single pair
             results = results[None]
         pairs, k_graphs, rows, p = results.shape
-        x = np.arange(p, dtype=np.float32)
+        x = self._x_cache.get(p)
+        if x is None:
+            x = self._x_cache[p] = np.arange(p, dtype=np.float32)
         # ref: endPoint = 0 when high > low else 1 (flood fills toward the
         # bottom of the display)
         end_point = 0.0 if self.high_dbs > self.low_dbs else 1.0
@@ -182,18 +189,28 @@ class LineGraphRenderFeed:
                         floods.append(
                             FloodFill(fv, self._rgba(rgb, self.flood_fill_alpha))
                         )
-                    sv = np.stack([x, y, np.full(p, z, np.float32)], axis=-1)
+                    sv = np.empty((p, 3), np.float32)
+                    sv[:, 0] = x
+                    sv[:, 1] = y
+                    sv[:, 2] = z
                     label = f"pair{pair} {name} {graph_names[k]}" if pairs > 1 else f"{name} {graph_names[k]}"
                     strips.append(LineStrip(sv, self._rgba(rgb, alpha), label))
-        # legend ascending (ref: recalculateLegend's ascending pair loop)
-        for pair in range(pairs):
-            for k in range(k_graphs):
-                for row, slot, name in row_layout:
-                    table = self._two if slot == 1 else self._one
-                    label = f"pair{pair} {name} {graph_names[k]}" if pairs > 1 else f"{name} {graph_names[k]}"
-                    legend_entries.append(LegendEntry(label, tuple(table[k][pair])))
-
-        legend = Legend(legend_entries) if self.show_legend else None
+        # legend ascending (ref: recalculateLegend's ascending pair loop) —
+        # pure function of (pairs, k_graphs, rows): cache per shape
+        legend = None
+        if self.show_legend:
+            legend = self._legend_cache.get((pairs, k_graphs, rows))
+            if legend is None:
+                for pair in range(pairs):
+                    for k in range(k_graphs):
+                        for row, slot, name in row_layout:
+                            table = self._two if slot == 1 else self._one
+                            label = f"pair{pair} {name} {graph_names[k]}" if pairs > 1 else f"{name} {graph_names[k]}"
+                            legend_entries.append(
+                                LegendEntry(label, tuple(table[k][pair]))
+                            )
+                legend = Legend(legend_entries)
+                self._legend_cache[(pairs, k_graphs, rows)] = legend
         return LineGraphFrame(
             floods=floods,
             strips=strips,
