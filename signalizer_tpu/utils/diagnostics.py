@@ -57,7 +57,9 @@ class Diagnostics:
     def __init__(self, window: int = 64):
         self.window = window
         self._frame_times: List[float] = []
+        self._frame_sum = 0.0  # running box-filter sum: snapshot() is O(1)
         self._latencies: List[float] = []
+        self._lat_cache: Dict[str, float] = None  # recomputed only on new data
         self._last = None
         self.counters: Dict[str, float] = {}
 
@@ -65,12 +67,17 @@ class Diagnostics:
         now = time.perf_counter()
         if self._last is not None:
             self._frame_times.append(now - self._last)
-            self._frame_times = self._frame_times[-self.window :]
+            self._frame_sum += now - self._last
+            if len(self._frame_times) > self.window:
+                drop = self._frame_times[: -self.window]
+                del self._frame_times[: -self.window]
+                self._frame_sum -= sum(drop)
         self._last = now
 
     def record_latency(self, seconds: float) -> None:
         self._latencies.append(seconds)
         self._latencies = self._latencies[-max(self.window * 4, 256) :]
+        self._lat_cache = None
 
     def bump(self, name: str, amount: float = 1.0) -> None:
         self.counters[name] = self.counters.get(name, 0.0) + amount
@@ -79,16 +86,19 @@ class Diagnostics:
     def fps(self) -> float:
         if not self._frame_times:
             return 0.0
-        return 1.0 / float(np.mean(self._frame_times))
+        mean = self._frame_sum / len(self._frame_times)
+        return 1.0 / mean if mean > 0 else 0.0
 
     def latency_percentiles(self) -> Dict[str, float]:
         if not self._latencies:
             return {"p50_ms": 0.0, "p99_ms": 0.0}
-        arr = np.asarray(self._latencies) * 1e3
-        return {
-            "p50_ms": float(np.percentile(arr, 50)),
-            "p99_ms": float(np.percentile(arr, 99)),
-        }
+        if self._lat_cache is None:
+            arr = np.asarray(self._latencies) * 1e3
+            self._lat_cache = {
+                "p50_ms": float(np.percentile(arr, 50)),
+                "p99_ms": float(np.percentile(arr, 99)),
+            }
+        return dict(self._lat_cache)
 
     def snapshot(self) -> Dict[str, float]:
         out = {"fps": self.fps, **self.latency_percentiles(), **self.counters}
