@@ -1121,26 +1121,54 @@ def main(only: str = None) -> None:
     print(json.dumps(out))
 
 
-def _probe_device(timeout_s: float = 300.0) -> None:
+def _probe_device(
+    timeout_s: float = 300.0,
+    budget_s: float = None,
+    t_start: float = None,
+    max_attempts: int = 3,
+    retry_wait_s: float = 60.0,
+) -> None:
     """Fail fast if the device is unreachable. The tunnel's observed
     down-mode is a backend-init HANG (>9 min, in fresh processes) rather
     than an error, so without this bound a down tunnel costs each config
     subprocess its full 1800 s timeout and the inline fallback hangs
-    indefinitely. One bounded subprocess settles reachability up front."""
-    proc = subprocess.run(
-        [
-            sys.executable,
-            "-c",
-            "import jax, jax.numpy as jnp;"
-            "assert float(jnp.sum(jnp.arange(8.0))) == 28.0;"
-            "print('up', jax.devices()[0])",
-        ],
-        capture_output=True,
-        text=True,
-        timeout=timeout_s,
-    )
-    if proc.returncode != 0:
-        raise RuntimeError(f"device probe failed: {proc.stderr[-300:]}")
+    indefinitely. One bounded subprocess settles reachability up front.
+
+    The tunnel also FLAPS on the minute scale (round 5: up at one probe,
+    hung at the next); the driver gets exactly one round-end run, so a
+    single-shot probe forfeits the scoreboard to a flap. Retry up to
+    ``max_attempts`` while enough of the wall-clock budget remains for a
+    probe plus at least the headline config (~90 s warm)."""
+    attempt = 0
+    while True:
+        attempt += 1
+        err = None
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    "import jax, jax.numpy as jnp;"
+                    "assert float(jnp.sum(jnp.arange(8.0))) == 28.0;"
+                    "print('up', jax.devices()[0])",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+            )
+            if proc.returncode == 0:
+                return
+            err = RuntimeError(f"device probe failed: {proc.stderr[-300:]}")
+        except subprocess.TimeoutExpired as e:
+            err = e
+        if budget_s is not None and t_start is not None:
+            remaining = budget_s - (time.monotonic() - t_start)
+            if remaining < retry_wait_s + timeout_s + 90.0:
+                raise RuntimeError(f"device probe exhausted budget: {err}")
+        if attempt >= max_attempts:
+            raise RuntimeError(f"device probe failed {attempt}x: {err}")
+        sys.stderr.write(f"device probe attempt {attempt} failed; retrying\n")
+        time.sleep(retry_wait_s)
 
 
 def _cumulative_record(parts: dict, extra: dict) -> dict:
@@ -1243,7 +1271,10 @@ if __name__ == "__main__":
         PARTIAL_PATH.unlink(missing_ok=True)
         t_start = time.monotonic()
         try:
-            _probe_device()
+            _probe_device(
+                budget_s=float(os.environ.get("SZ_BENCH_BUDGET_S", str(DEFAULT_BUDGET_S))),
+                t_start=t_start,
+            )
         except Exception as e:
             _error_line(e)
             raise
