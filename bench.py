@@ -76,12 +76,23 @@ def _save_partial(parts: dict) -> None:
         pass
 
 
-def _save_run(parts: dict) -> None:
+def _save_run(parts: dict, coverage: dict | None = None) -> None:
+    """Persist a completed run capture for tools/bench_aggregate.py.
+
+    ``coverage`` (skipped_configs / timed_out_configs) rides along as
+    list-valued metadata — the aggregator's ``_is_measurement`` ignores
+    non-numeric values — so a reader of ``bench_runs/`` can tell a
+    budget-truncated capture (cfgN keys absent because the config never
+    ran) from a config that ran and failed."""
     if not parts:
         return
+    record = dict(parts)
+    for key, value in (coverage or {}).items():
+        if value:
+            record[key] = list(value)
     try:
         RUNS_DIR.mkdir(exist_ok=True)
-        (RUNS_DIR / f"run_{int(time.time())}.json").write_text(json.dumps(parts))
+        (RUNS_DIR / f"run_{int(time.time())}.json").write_text(json.dumps(record))
     except OSError:
         pass
 
@@ -1238,7 +1249,10 @@ def _run_isolated(t_start: float) -> None:
         except json.JSONDecodeError:
             sys.stderr.write(f"config {cfg} failed: {proc.stderr[-500:]}\n")
         emit()
-    _save_run(parts)
+    _save_run(
+        parts,
+        {"skipped_configs": remaining_cfgs, "timed_out_configs": timed_out},
+    )
     if "value" not in parts:
         # RuntimeError (not SystemExit) so __main__'s fallback to the
         # single-process inline run still fires

@@ -173,3 +173,22 @@ def test_save_run_appends_capture(monkeypatch, tmp_path):
     assert json.loads(files[0].read_text()) == {"value": 7.0}
     bench._save_run({})  # empty capture is not persisted
     assert len(list((tmp_path / "bench_runs").glob("run_*.json"))) == 1
+
+
+def test_save_run_records_coverage(monkeypatch, tmp_path):
+    # a budget-truncated run names the configs it never reached, so the
+    # aggregator's reader can tell "not measured" from "measured zero";
+    # empty coverage lists are dropped, and the aggregator must ignore
+    # the list-valued metadata when computing stats
+    monkeypatch.setattr(bench, "RUNS_DIR", tmp_path / "bench_runs")
+    bench._save_run(
+        {"value": 7.0},
+        {"skipped_configs": ["cfg6"], "timed_out_configs": []},
+    )
+    (saved,) = (tmp_path / "bench_runs").glob("run_*.json")
+    record = json.loads(saved.read_text())
+    assert record == {"value": 7.0, "skipped_configs": ["cfg6"]}
+    import bench_aggregate as agg
+
+    out = agg.aggregate([record])
+    assert list(out) == ["value"]
